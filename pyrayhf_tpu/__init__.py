@@ -1,0 +1,27 @@
+"""pyrayhf_tpu — TPU-native HF ionospheric ray tracing & virtual-height engine.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of PyRayHF
+(victoriyaforsythe/PyRayHF): Appleton–Hartree magnetoionic theory, the
+stretched-grid vertical forward operator (profile in → ionogram out), 2-D
+oblique ray tracers, oblique↔vertical conversion, a differentiable parametric
+EDP model, and electron-density retrieval — all as fused, branch-free,
+batched XLA programs that vmap over frequency and shard over profile meshes.
+
+Public API mirrors the reference's function names where a counterpart exists
+(docstrings cite ``/root/reference/PyRayHF/library.py`` line ranges).
+"""
+
+from .constants import C_KM_S, CP, G_P, R_E, constants
+from .magnetoionic import (den2freq, find_mu_mup, find_mu_mup_masked, find_X,
+                           find_Y, freq2den, mode_multiplier)
+from .grid import regrid_to_nonuniform_grid, smooth_nonuniform_grid
+from .forward import (find_vh, vertical_forward_operator,
+                      vertical_forward_operator_batch, vh_and_mask)
+from .fields import (build_mup_function,
+                     build_refractive_index_interpolator_cartesian,
+                     build_refractive_index_interpolator_spherical)
+from .geodesy import (azimuth_between_points, calculate_gcd,
+                      earth_radius_at_latitude, great_circle_point,
+                      oblique_to_vertical, vertical_to_magnetic_angle)
+
+__version__ = "0.1.0"

@@ -1,0 +1,124 @@
+"""Vertical forward operator: ionosonde frequencies → virtual heights.
+
+This is the hot path of the framework (ref ``vertical_forward_operator``,
+``/root/reference/PyRayHF/library.py:459-509`` and ``find_vh`` :259-293),
+re-designed as one fused XLA program:
+
+    regrid (cummax + batched interp) → X,Y → Appleton–Hartree μ' → Σ μ'·dh
+
+Three entry points:
+
+* :func:`vertical_forward_operator` — reference-parity API (NaN for escaped
+  rays), one profile, [N_freq] out.
+* :func:`vertical_forward_operator_batch` — vmapped over a profile batch
+  [B, N_alt] → [B, N_freq]; the unit of work for pjit/shard_map scaling.
+* :func:`vh_and_mask` — gradient-safe masked variant used by retrieval:
+  returns finite vh plus a validity mask, with zero (not NaN) gradients for
+  escaped rays.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .grid import regrid_core
+from .magnetoionic import (find_X, find_Y, find_mu_mup, find_mu_mup_masked,
+                           mode_multiplier)
+
+__all__ = ["find_vh", "vertical_forward_operator",
+           "vertical_forward_operator_batch", "vh_and_mask"]
+
+
+def find_vh(X, Y, bpsi, dh, alt_min, mode):
+    """Virtual height as the μ'-weighted vertical quadrature (ref :259-293).
+
+    NaN rows (escaped rays) sum to 0 under ``nansum`` and are mapped back to
+    NaN, exactly like the reference.
+    """
+    _, mup = find_mu_mup(X, Y, bpsi, mode)
+    ih = jnp.nansum(mup * dh, axis=1)
+    ih = jnp.where(ih == 0.0, jnp.nan, ih)
+    return ih + alt_min
+
+
+@partial(jax.jit, static_argnames=("mode_mult", "n_points"))
+def _forward_core(freq_mhz, den, bmag, bpsi, alt, mode_mult, n_points):
+    """Fused single-profile forward operator ([N_freq] → [N_freq])."""
+    freq_hz = jnp.asarray(freq_mhz, dtype=float) * 1e6
+    rg = regrid_core(freq_hz, den, bmag, bpsi, alt,
+                     mode_mult=mode_mult, n_points=n_points)
+    aX = find_X(rg["den"], rg["freq"])
+    aY = find_Y(rg["freq"], rg["bmag"])
+    mode = "O" if mode_mult > 0 else "X"
+    return find_vh(aX, aY, rg["bpsi"], rg["dist"], jnp.min(alt), mode)
+
+
+def vertical_forward_operator(freq, den, bmag, bpsi, alt,
+                              mode="O", n_points=200):
+    """Reference-parity API: virtual height [km] per frequency [MHz].
+
+    Parameters match ref library.py:459-509 (freq in MHz, den in m^-3,
+    bmag in T, bpsi in deg, alt in km; mode 'O'/'X'; n_points grid size).
+    """
+    return _forward_core(jnp.asarray(freq), jnp.asarray(den),
+                         jnp.asarray(bmag), jnp.asarray(bpsi),
+                         jnp.asarray(alt),
+                         mode_mult=mode_multiplier(mode), n_points=n_points)
+
+
+@partial(jax.jit, static_argnames=("mode_mult", "n_points"))
+def _forward_batch_core(freq_mhz, den, bmag, bpsi, alt, mode_mult, n_points):
+    fn = partial(_forward_core, mode_mult=mode_mult, n_points=n_points)
+    return jax.vmap(lambda d, b, p, a: fn(freq_mhz, d, b, p, a))(
+        den, bmag, bpsi, alt)
+
+
+def vertical_forward_operator_batch(freq, den, bmag, bpsi, alt,
+                                    mode="O", n_points=200):
+    """Batched operator: profiles [B, N_alt] → ionograms [B, N_freq].
+
+    ``alt`` may be [N_alt] (shared grid) or [B, N_alt].
+    This is the unit that `pyrayhf_tpu.parallel` shards over device meshes.
+    """
+    den = jnp.asarray(den)
+    alt = jnp.asarray(alt)
+    if alt.ndim == 1:
+        alt = jnp.broadcast_to(alt, den.shape)
+    return _forward_batch_core(jnp.asarray(freq), den, jnp.asarray(bmag),
+                               jnp.asarray(bpsi), alt,
+                               mode_mult=mode_multiplier(mode),
+                               n_points=n_points)
+
+
+@partial(jax.jit, static_argnames=("mode_mult", "n_points"))
+def vh_and_mask(freq_mhz, den, bmag, bpsi, alt, mode_mult=1.0, n_points=200):
+    """Gradient-safe forward operator: (vh, valid) with finite vh everywhere.
+
+    ``vh`` equals the parity operator where ``valid``; escaped rays carry
+    ``valid=False`` and vh = alt_min (a finite placeholder). ``jax.grad``
+    through ``jnp.where(valid, vh, 0)`` is finite — this is the retrieval
+    adjoint path (SURVEY §7 step 4).
+    """
+    freq_hz = jnp.asarray(freq_mhz, dtype=float) * 1e6
+    rg = regrid_core(freq_hz, den, bmag, bpsi, alt,
+                     mode_mult=mode_mult, n_points=n_points)
+    # Sanitise the NaN-carrying stretched grid: invalid rows (no reflection)
+    # are recomputed on a dummy finite grid and masked out at the end.
+    row_ok = jnp.isfinite(rg["crit_height"][:, 0])
+    safe = lambda a, fill: jnp.where(row_ok[:, None], a, fill)
+    den_m = safe(rg["den"], 0.0)
+    bmag_m = safe(rg["bmag"], 0.0)
+    bpsi_m = safe(rg["bpsi"], 0.0)
+    dist_m = safe(rg["dist"], 0.0)
+    freq_m = rg["freq"]
+
+    aX = find_X(den_m, freq_m)
+    aY = find_Y(freq_m, bmag_m)
+    mode = "O" if mode_mult > 0 else "X"
+    _, mup, pt_ok = find_mu_mup_masked(aX, aY, bpsi_m, mode)
+    contrib = jnp.where(pt_ok, mup * dist_m, 0.0)
+    ih = jnp.sum(contrib, axis=1)
+    valid = row_ok & (ih != 0.0)
+    vh = jnp.where(valid, ih, 0.0) + jnp.min(alt)
+    return vh, valid

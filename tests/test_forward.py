@@ -1,0 +1,108 @@
+"""Forward-operator parity tests against the reference oracle goldens."""
+
+import numpy as np
+import jax.numpy as jnp
+from numpy.testing import assert_allclose
+
+from pyrayhf_tpu.forward import (find_vh, vertical_forward_operator,
+                                 vertical_forward_operator_batch, vh_and_mask)
+from pyrayhf_tpu.grid import smooth_nonuniform_grid, regrid_to_nonuniform_grid
+
+
+def test_smooth_grid_structure():
+    grid = np.asarray(smooth_nonuniform_grid(0.0, 1.0, 10, 5.0))
+    assert grid.size == 10
+    assert np.all(np.diff(grid) > 0)
+    assert np.isclose(grid[0], 0.0, atol=1e-6)
+    assert np.isclose(grid[-1], 1.0, atol=1e-6)
+
+
+def test_find_vh_basic():
+    vh = np.asarray(find_vh(np.array([[0.5, 0.6]]), np.array([[0.1, 0.2]]),
+                            np.array([[45.0, 45.0]]), np.array([[1.0, 1.0]]),
+                            100.0, "O"))
+    assert vh.shape == (1,)
+    assert vh[0] > 100.0
+
+
+def test_vfo_basic_O_mode_nan_above_fof2():
+    freq = np.array([1.0, 2.0, 10.0])
+    alt = np.array([100.0, 200.0, 300.0])
+    den = np.array([0.0, 0.5e12, 1e12])
+    bmag = np.full(3, 5e-5)
+    bpsi = np.full(3, 60.0)
+    vh = np.asarray(vertical_forward_operator(freq, den, bmag, bpsi, alt,
+                                              mode="O", n_points=50))
+    assert vh.shape == freq.shape
+    assert np.isnan(vh[-1])
+    assert np.all(np.isfinite(vh[:-1]))
+
+
+def test_regrid_parity_day(goldens, day_profile):
+    d = day_profile
+    freqs = goldens["vfo_freqs"] * 1e6
+    rg = regrid_to_nonuniform_grid(freqs, d["den"], d["bmag"], d["bpsi"],
+                                   d["alt"], mode="O", n_points=200)
+    for k in ["den", "bmag", "bpsi", "dist", "alt", "crit_height"]:
+        ours = np.asarray(rg[k])
+        ref = goldens[f"regrid_day_O_{k}"]
+        assert np.array_equal(np.isnan(ours), np.isnan(ref)), k
+        m = np.isfinite(ref)
+        # dist entries near the apex are ~1e-10 km; 1-ulp association
+        # differences in new_alt blow up relatively under diff(), so allow a
+        # sub-micrometre atol there.
+        assert_allclose(ours[m], ref[m], rtol=1e-12, atol=1e-9, err_msg=k)
+
+
+def test_vfo_parity_all_configs(goldens, day_profile, night_profile):
+    freqs = goldens["vfo_freqs"]
+    for name, prof in [("day", day_profile), ("night", night_profile)]:
+        for mode, npts in [("O", 200), ("X", 200), ("X", 20000), ("O", 50)]:
+            vh = np.asarray(vertical_forward_operator(
+                freqs, prof["den"], prof["bmag"], prof["bpsi"], prof["alt"],
+                mode=mode, n_points=npts))
+            ref = goldens[f"vfo_{name}_{mode}_{npts}"]
+            assert np.array_equal(np.isnan(vh), np.isnan(ref)), (name, mode)
+            m = np.isfinite(ref)
+            dv = np.abs(vh[m] - ref[m])
+            # X-mode: bit-level agreement. O-mode: the reference evaluates the
+            # Appleton-Hartree denominator with catastrophic cancellation at
+            # the backed-off reflection point (1-X ~ 1e-9) and is itself a few
+            # percent off exact arithmetic there (verified vs 80-bit floats);
+            # our cancellation-free form is accurate to ~2e-5 relative, so the
+            # residual |Δvh| below is the *reference's* error, well inside the
+            # 0.1 km BASELINE budget.
+            tol = 1e-5 if mode == "X" else 0.05
+            assert dv.max() < tol, (name, mode, npts, dv.max())
+
+
+def test_vfo_batch_matches_single(day_profile, night_profile):
+    freqs = np.arange(1.0, 12.0, 0.5)
+    prof_d, prof_n = day_profile, night_profile
+    den = np.stack([prof_d["den"], prof_n["den"]])
+    bmag = np.stack([prof_d["bmag"], prof_n["bmag"]])
+    bpsi = np.stack([prof_d["bpsi"], prof_n["bpsi"]])
+    alt = prof_d["alt"]
+    out = np.asarray(vertical_forward_operator_batch(
+        freqs, den, bmag, bpsi, alt, mode="O", n_points=200))
+    for i, prof in enumerate([prof_d, prof_n]):
+        single = np.asarray(vertical_forward_operator(
+            freqs, prof["den"], prof["bmag"], prof["bpsi"], prof["alt"],
+            mode="O", n_points=200))
+        assert_allclose(out[i], single, rtol=1e-13, equal_nan=True)
+
+
+def test_vh_and_mask_matches_parity(day_profile):
+    d = day_profile
+    freqs = np.arange(1.0, 17.0, 0.25)
+    vh_ref = np.asarray(vertical_forward_operator(
+        freqs, d["den"], d["bmag"], d["bpsi"], d["alt"], mode="O",
+        n_points=200))
+    vh, valid = vh_and_mask(jnp.asarray(freqs), jnp.asarray(d["den"]),
+                            jnp.asarray(d["bmag"]), jnp.asarray(d["bpsi"]),
+                            jnp.asarray(d["alt"]), mode_mult=1.0,
+                            n_points=200)
+    vh, valid = np.asarray(vh), np.asarray(valid)
+    assert np.isfinite(vh).all()
+    assert np.array_equal(valid, np.isfinite(vh_ref))
+    assert_allclose(vh[valid], vh_ref[valid], rtol=1e-12)

@@ -1,0 +1,179 @@
+"""Magnetoionic core tests: exact-value, golden-regression, physics properties.
+
+Mirrors reference test strategy categories 1-3 (SURVEY §4); golden numbers are
+the behavioral contract pinned in the reference test suite
+(``test_core.py:38-152, 638-721``) plus the dense oracle lattice.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from numpy.testing import assert_allclose
+
+from pyrayhf_tpu.constants import constants
+from pyrayhf_tpu.magnetoionic import (den2freq, freq2den, find_X, find_Y,
+                                      find_mu_mup, find_mu_mup_masked)
+
+
+def test_constants():
+    cp, g_p, r_e, c = constants()
+    assert np.isclose(cp, 8.97866275, rtol=1e-8)
+    assert np.isclose(g_p, 2.799249247e10, rtol=1e-8)
+    assert np.isclose(r_e, 6371.0, rtol=1e-8)
+    assert np.isclose(c, 299_792.458, rtol=1e-8)
+
+
+def test_den2freq_freq2den_roundtrip():
+    den = np.array([1.0e12, 2.5e12, 0.0])
+    f = den2freq(den)
+    assert_allclose(np.asarray(f), np.sqrt(den) * 8.97866275, rtol=1e-12)
+    assert_allclose(np.asarray(freq2den(f)), den, rtol=1e-12)
+
+
+def test_find_X_find_Y_values():
+    n_e = np.array([1.0e12, 2.5e12, 0.0])
+    f = np.array([1.0e7, 1.5e7, 2.0e7])
+    assert_allclose(np.asarray(find_X(n_e, f)),
+                    (np.sqrt(n_e) * 8.97866275) ** 2 / f ** 2, rtol=1e-12)
+    b = np.array([5.0e-5, 6.0e-5, 7.0e-5])
+    assert_allclose(np.asarray(find_Y(f, b)),
+                    2.799249247e10 * b / f, rtol=1e-12)
+
+
+def test_find_mu_mup_reference_goldens():
+    """Hard-coded (μ, μ') pins from reference test_core.py:137-152."""
+    aX = np.array([0.02926785, 0.70981059, 0.99672596])
+    aY = np.array([0.17123449, 0.16205801, 0.15757213])
+    bpsi = np.array([60.91523271, 61.66028645, 62.02450192])
+    mu, mup = find_mu_mup(aX, aY, bpsi, "O")
+    assert_allclose(np.asarray(mu),
+                    [0.98626092, 0.56890941, 0.06475905], rtol=1e-5)
+    assert_allclose(np.asarray(mup),
+                    [1.01313137, 1.79819741, 19.76001084], rtol=1e-5)
+
+
+def test_find_mu_mup_lattice_parity(goldens):
+    """Bit-level parity with the reference on a dense (X, Y, ψ) lattice."""
+    X = goldens["mu_lattice_X_in"]
+    Y = goldens["mu_lattice_Y_in"]
+    psi = goldens["mu_lattice_psi_in"]
+    # At X == 1.0 with ψ == 90° exactly, the reference's denominator is
+    # ±1 ulp of zero (sqrt(¼YT⁴) vs ½YT² rounding) and its μ/μ' there are
+    # arithmetic noise; exclude that measure-zero artifact set.
+    artifact = (X == 1.0) & (psi == 90.0) & (Y > 0)
+    keep = ~artifact
+    for mode in "OX":
+        mu, mup = find_mu_mup(X, Y, psi, mode)
+        mu = np.asarray(mu)[keep]
+        mup = np.asarray(mup)[keep]
+        ref_mu = goldens[f"mu_lattice_{mode}"][keep]
+        ref_mup = goldens[f"mup_lattice_{mode}"][keep]
+        assert np.array_equal(np.isnan(mu), np.isnan(ref_mu)), mode
+        m = np.isfinite(ref_mu)
+        assert_allclose(mu[m], ref_mu[m], rtol=1e-13)
+        m2 = np.isfinite(ref_mup)
+        assert np.array_equal(np.isfinite(mup), m2)
+        assert_allclose(mup[m2], ref_mup[m2], rtol=1e-12)
+
+
+def test_unmagnetized_limit():
+    X = np.array([0.1, 0.2, 0.999, 1.0, 1.2])
+    mu, mup = find_mu_mup(X, np.zeros_like(X), np.zeros_like(X), "O")
+    mu, mup = np.asarray(mu), np.asarray(mup)
+    assert_allclose(mu[:3], np.sqrt(1 - X[:3]), rtol=1e-12)
+    assert_allclose(mup[:3], 1 / np.sqrt(1 - X[:3]), rtol=1e-12)
+    assert np.isnan(mu[3:]).all() and np.isnan(mup[3:]).all()
+
+
+def test_mu_physics_properties():
+    """μ ≈ sqrt(1-X) weak-field; μ' ≥ μ; O vs X differ (ref :678-721)."""
+    X = np.array([0.1, 0.2])
+    Y = np.array([0.01, 0.02])
+    psi = np.array([0.0, np.pi / 4])
+    mu, mup = find_mu_mup(X, Y, psi, "O")
+    assert_allclose(np.asarray(mu), np.sqrt(1 - X), rtol=5e-2)
+    assert np.all(np.asarray(mup) >= np.asarray(mu))
+    assert np.all((np.asarray(mup) > 0.8) & (np.asarray(mup) < 1.5))
+
+    muO, mupO = find_mu_mup(np.array([0.1]), np.array([0.02]),
+                            np.array([np.pi / 3]), "O")
+    muX, mupX = find_mu_mup(np.array([0.1]), np.array([0.02]),
+                            np.array([np.pi / 3]), "X")
+    assert np.all(np.asarray(muX) > 0) and np.all(np.asarray(mupX) > 0)
+    assert not np.allclose(muO, muX)
+    assert not np.allclose(mupO, mupX)
+
+
+def test_mode_validation():
+    with pytest.raises(ValueError):
+        find_mu_mup(np.array([0.1]), np.array([0.1]), np.array([0.0]), "Q")
+
+
+def test_masked_variant_matches_and_is_grad_safe():
+    X = np.linspace(0.0, 1.3, 40)
+    Y = np.full_like(X, 0.17)
+    psi = np.full_like(X, 61.0)
+    mu_ref, mup_ref = find_mu_mup(X, Y, psi, "O")
+    mu, mup, valid = find_mu_mup_masked(X, Y, psi, "O")
+    v = np.asarray(valid)
+    assert_allclose(np.asarray(mu)[v], np.asarray(mu_ref)[v], rtol=1e-13)
+    assert_allclose(np.asarray(mup)[v], np.asarray(mup_ref)[v], rtol=1e-13)
+    assert np.isfinite(np.asarray(mu)).all()
+    assert np.isfinite(np.asarray(mup)).all()
+    # masked-out set == NaN/non-finite set of the parity variant
+    assert np.array_equal(~v, ~np.isfinite(np.asarray(mup_ref)))
+
+    def loss(X):
+        _, mup, valid = find_mu_mup_masked(X, Y, psi, "O")
+        return jnp.sum(jnp.where(valid, mup, 0.0))
+
+    gr = np.asarray(jax.grad(loss)(jnp.asarray(X)))
+    assert np.isfinite(gr).all()
+    # finite-difference check on an interior (valid, smooth) point
+    i = 10
+    eps = 1e-6
+    Xp = X.copy(); Xp[i] += eps
+    Xm = X.copy(); Xm[i] -= eps
+    fd = (loss(jnp.asarray(Xp)) - loss(jnp.asarray(Xm))) / (2 * eps)
+    assert_allclose(gr[i], float(fd), rtol=1e-5)
+
+
+def test_jit_vs_eager_consistency():
+    """jit and eager paths agree (numeric sanitizer per SURVEY §5)."""
+    rng = np.random.default_rng(0)
+    X = rng.uniform(0, 1.2, 100)
+    Y = rng.uniform(0, 0.5, 100)
+    psi = rng.uniform(0, 90, 100)
+    with jax.disable_jit():
+        mu_e, mup_e = find_mu_mup(X, Y, psi, "X")
+    mu_j, mup_j = find_mu_mup(X, Y, psi, "X")
+    # jit fusion may commit different FMA contractions than eager; allow a
+    # few-ulp band.
+    assert_allclose(np.asarray(mu_e), np.asarray(mu_j), rtol=1e-12,
+                    equal_nan=True)
+    assert_allclose(np.asarray(mup_e), np.asarray(mup_j), rtol=1e-12,
+                    equal_nan=True)
+
+
+def test_stable_o_mode_matches_extended_precision():
+    """Near X→1 our cancellation-free O-mode form tracks 80-bit arithmetic.
+
+    The naive denominator (reference form) loses all significance there; this
+    pins the accuracy-improvement claim used by the forward-parity tolerances.
+    """
+    X = np.float64(1 - 2.68791278e-09)
+    Y = np.float64(0.0585)
+    psi = np.float64(77.5)
+
+    Xl, Yl = np.longdouble(X), np.longdouble(Y)
+    psil = np.deg2rad(np.longdouble(psi))
+    YT, YL = Yl * np.sin(psil), Yl * np.cos(psil)
+    Xm1 = 1 - Xl
+    beta = np.sqrt(np.longdouble(0.25) * YT ** 4 + YL ** 2 * Xm1 ** 2)
+    D = Xm1 - np.longdouble(0.5) * YT ** 2 + beta
+    mu80 = float(np.sqrt(1 - Xl * Xm1 / D))
+
+    mu, mup = find_mu_mup(np.array([X]), np.array([Y]), np.array([psi]), "O")
+    assert abs(float(mu[0]) / mu80 - 1) < 1e-4
+    assert float(mup[0]) > 0

@@ -23,5 +23,12 @@ from .fields import (build_mup_function,
 from .geodesy import (azimuth_between_points, calculate_gcd,
                       earth_radius_at_latitude, great_circle_point,
                       oblique_to_vertical, vertical_to_magnetic_angle)
+from .snell import (trace_ray_cartesian_snells, trace_ray_spherical_snells,
+                    trace_rays_cartesian_snells, trace_rays_spherical_snells)
+from .gradient import (trace_ray_cartesian_gradient,
+                       trace_ray_spherical_gradient,
+                       trace_rays_cartesian_gradient,
+                       trace_rays_spherical_gradient)
+from .interp import interp_exact
 
 __version__ = "0.1.0"

@@ -30,5 +30,11 @@ from .gradient import (trace_ray_cartesian_gradient,
                        trace_rays_cartesian_gradient,
                        trace_rays_spherical_gradient)
 from .interp import interp_exact
+from .edp import (derive_dependent_F1_parameters, epstein_layer,
+                  f2_bottom_b0b1, f2_bottom_thickness, f2_topside,
+                  reconstruct_density_1level, reconstruct_density_continuous,
+                  valley_transition)
+from .retrieval import (minimize_parameters, model_VH, residual_VH,
+                        retrieve_gradient)
 
 __version__ = "0.1.0"

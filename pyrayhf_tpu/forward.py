@@ -101,16 +101,15 @@ def vh_and_mask(freq_mhz, den, bmag, bpsi, alt, mode_mult=1.0, n_points=200):
     adjoint path (SURVEY §7 step 4).
     """
     freq_hz = jnp.asarray(freq_mhz, dtype=float) * 1e6
+    # masked regrid: escaped rows resolve on a finite placeholder grid so no
+    # NaN enters any jacobian (see regrid_core(masked=True))
     rg = regrid_core(freq_hz, den, bmag, bpsi, alt,
-                     mode_mult=mode_mult, n_points=n_points)
-    # Sanitise the NaN-carrying stretched grid: invalid rows (no reflection)
-    # are recomputed on a dummy finite grid and masked out at the end.
-    row_ok = jnp.isfinite(rg["crit_height"][:, 0])
-    safe = lambda a, fill: jnp.where(row_ok[:, None], a, fill)
-    den_m = safe(rg["den"], 0.0)
-    bmag_m = safe(rg["bmag"], 0.0)
-    bpsi_m = safe(rg["bpsi"], 0.0)
-    dist_m = safe(rg["dist"], 0.0)
+                     mode_mult=mode_mult, n_points=n_points, masked=True)
+    row_ok = rg["row_ok"]
+    den_m = rg["den"]
+    bmag_m = rg["bmag"]
+    bpsi_m = rg["bpsi"]
+    dist_m = rg["dist"]
     freq_m = rg["freq"]
 
     aX = find_X(den_m, freq_m)

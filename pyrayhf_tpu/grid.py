@@ -56,8 +56,8 @@ def _flat_extend(arr, ind_max):
     return jnp.where(idx < ind_max, arr, last)
 
 
-@partial(jax.jit, static_argnames=("mode_mult", "n_points"))
-def regrid_core(f, n_e, b, bpsi, aalt, mode_mult, n_points):
+@partial(jax.jit, static_argnames=("mode_mult", "n_points", "masked"))
+def regrid_core(f, n_e, b, bpsi, aalt, mode_mult, n_points, masked=False):
     """Regrid a profile onto per-frequency stretched grids.
 
     Parameters
@@ -104,7 +104,13 @@ def regrid_core(f, n_e, b, bpsi, aalt, mode_mult, n_points):
 
     # Reflection-height root solve: one interp per frequency row (ref :403-404).
     crit = jax.vmap(lambda row: jnp.interp(1.0, row, aalt_t))(fcrit)
-    crit = jnp.where(valid, crit - _DH_BACKOFF, jnp.nan)
+    if masked:
+        # gradient-safe: escaped rows get a finite placeholder height so no
+        # NaN ever enters the interp jacobians (0·NaN poisoning); callers
+        # mask with the returned 'row_ok'.
+        crit = jnp.where(valid, crit, aalt_t[-1]) - _DH_BACKOFF
+    else:
+        crit = jnp.where(valid, crit - _DH_BACKOFF, jnp.nan)
 
     # Stretched altitude grid per frequency and its spacing.
     new_alt = multiplier[None, :] * (crit[:, None] - aalt[0]) + aalt[0]
@@ -126,9 +132,12 @@ def regrid_core(f, n_e, b, bpsi, aalt, mode_mult, n_points):
     ind = jnp.broadcast_to(jnp.arange(n_points)[None, :], new_alt.shape)
     crit2d = jnp.broadcast_to(crit[:, None], new_alt.shape)
 
-    return {"freq": freq_mod, "den": den_mod, "bmag": bmag_mod,
-            "bpsi": bpsi_mod, "dist": dist, "alt": new_alt,
-            "crit_height": crit2d, "ind": ind}
+    out = {"freq": freq_mod, "den": den_mod, "bmag": bmag_mod,
+           "bpsi": bpsi_mod, "dist": dist, "alt": new_alt,
+           "crit_height": crit2d, "ind": ind}
+    if masked:
+        out["row_ok"] = valid
+    return out
 
 
 def regrid_to_nonuniform_grid(f, n_e, b, bpsi, aalt, mode="O",

@@ -1,0 +1,228 @@
+"""EDP model + retrieval tests.
+
+Pins: the reference model_VH golden (test_core.py:239-276) at the accuracy
+our reconstructed PyIRI-equivalent builder supports (see edp.py docstring /
+DEVNOTES.md), the PyIRI-shipped Day/Night profiles, zero-residual sanity
+(ref :279-320), brute minimization recovery, and gradient retrieval.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from numpy.testing import assert_allclose
+
+from pyrayhf_tpu import edp
+from pyrayhf_tpu.retrieval import (minimize_parameters, model_VH,
+                                   residual_VH, retrieve_gradient)
+
+GOLDEN_F2 = {"Nm": np.array([[1.17848165e+12]]),
+             "fo": np.array([[9.64625394]]),
+             "M3000": np.array([[2.64168819]]),
+             "hm": np.array([[365.13828931]]),
+             "B_top": np.array([[32.52487907]]),
+             "B_bot": np.array([[41.26005561]])}
+GOLDEN_F1 = {"Nm": np.array([[7.80902301e+11]]),
+             "fo": np.array([[7.93574143]]),
+             "P": np.array([[0.91422852]]),
+             "hm": np.array([[219.26637887]]),
+             "B_bot": np.array([[54.63318944]])}
+GOLDEN_E = {"Nm": np.array([[1.2846662e+11]]),
+            "fo": np.array([[3.2096443]]),
+            "hm": np.array([[110.]]),
+            "B_bot": np.array([[5.]]),
+            "B_top": np.array([[7.]]),
+            "solzen": np.array([[22.26668451]]),
+            "solzen_eff": np.array([[22.26668451]])}
+
+
+def _layer_scalars(d):
+    return {k: float(np.ravel(v)[0]) for k, v in d.items()}
+
+
+def test_topside_exact_parity(day_profile, night_profile):
+    """NeQuick topside matches PyIRI output to machine precision."""
+    for prof in (day_profile, night_profile):
+        F2 = _layer_scalars(prof["F2"])
+        alt, den = prof["alt"], prof["den"]
+        m = alt >= F2["hm"]
+        out = np.asarray(edp.f2_topside(F2["Nm"], F2["hm"], F2["B_top"],
+                                        alt[m]))
+        assert_allclose(out, den[m], rtol=1e-13)
+
+
+def test_e_bottom_exact_parity(day_profile, night_profile):
+    """E-layer bottomside matches PyIRI output below hmE."""
+    for prof in (day_profile, night_profile):
+        E = _layer_scalars(prof["E"])
+        alt, den = prof["alt"], prof["den"]
+        m = alt < E["hm"] - 1
+        out = np.asarray(edp.epstein_layer(E["Nm"], E["hm"], E["B_bot"],
+                                           alt[m]))
+        assert_allclose(out, den[m], rtol=1e-10)
+
+
+def test_continuous_builder_vs_pyiri_profiles(day_profile, night_profile):
+    """Full continuous builder vs the shipped PyIRI profiles.
+
+    Night (no F1): ≤2e-5 of peak. Day (F1 ledge approximated): ≤2% of peak.
+    """
+    for prof, tol in ((night_profile, 2e-5), (day_profile, 0.02)):
+        F2 = _layer_scalars(prof["F2"])
+        F1 = _layer_scalars(prof["F1"])
+        E = _layer_scalars(prof["E"])
+        out = np.asarray(edp.reconstruct_density_continuous(
+            F2, F1, E, prof["alt"]))
+        err = np.abs(out - prof["den"]) / prof["den"].max()
+        assert err.max() < tol, err.max()
+
+
+def test_derive_dependent_f1_golden():
+    """Exact on the reference golden point (test_core.py:239-276 inputs)."""
+    NmF1, foF1, hmF1, BF1 = edp.derive_dependent_F1_parameters(
+        0.91422852, 1.17848165e+12, 365.13828931, 41.26005561, 110.0)
+    assert_allclose(float(NmF1), 7.80902301e+11, rtol=1e-8)
+    assert_allclose(float(foF1), 7.93574143, rtol=1e-7)
+    assert_allclose(float(hmF1), 219.26637887, rtol=1e-8)
+    assert_allclose(float(BF1), 54.63318944, rtol=1e-8)
+
+
+def test_model_vh_golden():
+    """Reference model_VH golden; our reconstructed builder holds 1e-5.
+
+    (The reference pins rtol=1e-6 against PyIRI itself; our EDP builder is a
+    reverse-engineered equivalent — see DEVNOTES.md for what is exact vs
+    calibrated.)
+    """
+    freq = np.array([3.0, 3.5, 3.7])
+    alt = np.array([100.0, 200.0, 300.0])
+    bmag = np.full(3, 5e-5)
+    bpsi = np.full(3, 60.0)
+    vh, edp_out = model_VH(GOLDEN_F2, GOLDEN_F1, GOLDEN_E, freq, alt, bmag,
+                           bpsi)
+    assert_allclose(np.asarray(vh),
+                    [236.22215658, 304.53151596, 334.34853791], rtol=1e-5)
+    assert_allclose(np.asarray(edp_out),
+                    [5.39526842e+10, 1.77861786e+11, 6.66833260e+11],
+                    rtol=1e-5)
+
+
+def test_zero_residual_when_parameters_match():
+    """residual_VH == 0 when params equal truth (ref :279-320)."""
+    freq = np.array([3.0, 3.5, 3.7])
+    alt = np.array([100.0, 200.0, 300.0])
+    bmag = np.full(3, 5e-5)
+    bpsi = np.full(3, 60.0)
+    vh_obs, _ = model_VH(GOLDEN_F2, GOLDEN_F1, GOLDEN_E, freq, alt, bmag,
+                         bpsi)
+    params = {"NmF2": 1.17848165e+12, "hmF2": 365.13828931,
+              "B_bot": 41.26005561}
+    r = residual_VH(params, GOLDEN_F2, GOLDEN_F1, GOLDEN_E, freq,
+                    np.asarray(vh_obs), alt, bmag, bpsi)
+    assert_allclose(np.asarray(r), np.zeros(3), atol=1e-9)
+
+
+def test_residual_nan_fill():
+    """Escaped rays are filled with max(nanmean|vh|, 100) (ref :660-665)."""
+    freq = np.array([3.0, 20.0])          # 20 MHz escapes
+    alt = np.array([100.0, 200.0, 300.0])
+    bmag = np.full(3, 5e-5)
+    bpsi = np.full(3, 60.0)
+    r = residual_VH({"NmF2": 1.17848165e+12, "hmF2": 365.13828931,
+                     "B_bot": 41.26005561},
+                    GOLDEN_F2, GOLDEN_F1, GOLDEN_E, freq,
+                    np.array([250.0, 400.0]), alt, bmag, bpsi)
+    assert np.isfinite(np.asarray(r)).all()
+
+
+def test_minimize_parameters_recovers_truth(day_profile):
+    """Brute grid search recovers perturbed parameters (synthetic twin)."""
+    d = day_profile
+    F2 = _layer_scalars(d["F2"])
+    F1 = _layer_scalars(d["F1"])
+    E = _layer_scalars(d["E"])
+    # Make the truth's NmF2 exactly consistent with the reference's pinning
+    # rule Nm = freq2den(f_max)*1.0001 (ref :760-768) so the model family is
+    # closed over the search space. A 0.25-km altitude grid keeps the
+    # peak-exclusive regrid truncation deficit below the 1.0001 margin so
+    # the top observed frequency still reflects.
+    freq = np.arange(2.0, 13.51, 0.25)
+    alt = np.arange(80.0, 700.0, 0.25)
+    from pyrayhf_tpu.magnetoionic import freq2den
+    nm_truth = float(freq2den(13.5e6)) * 1.0001
+
+    # truth: shifted hmF2 / B_bot
+    F2_truth = dict(F2, Nm=nm_truth, hm=F2["hm"] - 12.0,
+                    B_bot=F2["B_bot"] + 4.0)
+    bmag = np.full(alt.size, 3e-5)
+    bpsi = np.full(alt.size, 70.0)
+    vh_obs, _ = model_VH({k: np.array([[v]]) for k, v in F2_truth.items()},
+                         F1, E, freq, alt, bmag, bpsi)
+    vh_obs = np.asarray(vh_obs)
+    assert np.isfinite(vh_obs[-1])      # pin frequency must reflect
+
+    F2_in = {k: np.array([[v]]) for k, v in F2.items()}
+    vh_fit, edp_fit, F2_fit = minimize_parameters(
+        F2_in, F1, E, freq, vh_obs, alt, bmag, bpsi,
+        percent_sigma=10.0, step=2.0)
+    # within 2 grid steps (the always-escaping pin frequency adds a
+    # small NaN-fill noise floor, ref :660-665)
+    assert abs(float(np.ravel(F2_fit["hm"])[0]) - F2_truth["hm"]) <= 4.0
+    assert abs(float(np.ravel(F2_fit["B_bot"])[0])
+               - F2_truth["B_bot"]) <= 2.5
+
+
+def test_minimize_validates_bottom_type():
+    with pytest.raises(ValueError):
+        minimize_parameters({"Nm": np.array([[1e12]]),
+                             "hm": np.array([[300.0]])}, {}, {},
+                            np.array([5.0]), np.array([200.0]),
+                            np.array([100.0, 200.0]), np.zeros(2),
+                            np.zeros(2), bottom_type="B_bot")
+
+
+def test_gradient_retrieval_converges(day_profile):
+    """jax.grad retrieval recovers perturbed parameters (headline feature)."""
+    d = day_profile
+    F2 = _layer_scalars(d["F2"])
+    F1 = _layer_scalars(d["F1"])
+    E = _layer_scalars(d["E"])
+    freq = np.arange(2.0, 13.51, 0.25)
+    alt = np.arange(80.0, 700.0, 0.25)
+    from pyrayhf_tpu.magnetoionic import freq2den
+    nm_truth = float(freq2den(13.5e6)) * 1.0001
+    F2_truth = dict(F2, Nm=nm_truth, hm=F2["hm"] * 0.95,
+                    B_bot=F2["B_bot"] * 1.1)
+    bmag = np.full(alt.size, 3e-5)
+    bpsi = np.full(alt.size, 70.0)
+    vh_obs, _ = model_VH({k: np.array([[v]]) for k, v in F2_truth.items()},
+                         F1, E, freq, alt, bmag, bpsi)
+    vh_obs = np.asarray(vh_obs)
+    assert np.isfinite(vh_obs[-1])
+
+    F2_in = {k: np.array([[v]]) for k, v in F2.items()}
+    vh_fit, edp_fit, F2_fit, hist = retrieve_gradient(
+        F2_in, F1, E, freq, vh_obs, alt, bmag, bpsi, steps=300,
+        learning_rate=0.01)
+    assert hist[-1] < hist[0] * 1e-2, (hist[0], hist[-1])
+    assert abs(float(np.ravel(F2_fit["hm"])[0]) / F2_truth["hm"] - 1) < 0.02
+    assert abs(float(np.ravel(F2_fit["B_bot"])[0])
+               / F2_truth["B_bot"] - 1) < 0.05
+    ok = np.isfinite(vh_obs)
+    assert np.nanmax(np.abs(np.asarray(vh_fit)[ok] - vh_obs[ok])) < 5.0
+
+
+def test_edp_builders_are_differentiable():
+    """grad of EDP w.r.t. every layer parameter is finite."""
+    alt = jnp.linspace(80.0, 600.0, 100)
+
+    def f(nm, hm, bb, bt):
+        F2 = {"Nm": nm, "hm": hm, "B_bot": bb, "B_top": bt}
+        NmF1, _, hmF1, _ = edp.derive_dependent_F1_parameters(
+            0.9, nm, hm, bb, 110.0)
+        E = {"Nm": 1.2e11, "hm": 110.0, "B_bot": 5.0, "B_top": 7.0}
+        return jnp.sum(edp.reconstruct_density_1level(
+            F2, {"Nm": NmF1, "hm": hmF1}, E, alt))
+
+    g = jax.grad(f, argnums=(0, 1, 2, 3))(1.2e12, 350.0, 40.0, 33.0)
+    assert all(np.isfinite(float(x)) for x in g)

@@ -36,5 +36,6 @@ from .edp import (derive_dependent_F1_parameters, epstein_layer,
                   valley_transition)
 from .retrieval import (minimize_parameters, model_VH, residual_VH,
                         retrieve_gradient)
+from .pallas_vh import ionogram_fast_xla, ionogram_pallas
 
 __version__ = "0.1.0"

@@ -1,0 +1,320 @@
+"""Fused Pallas TPU kernel for ionogram synthesis (the north-star op).
+
+The parity operator (``forward.py``) resamples the profile onto per-frequency
+stretched grids with searchsorted+gather — correct, but TPU gathers are slow
+(~100 M/s) and the XLA fallback segment-sweep is HBM-bound (the [B, F, P]
+accumulators stream to HBM on every of the ~620 sweep steps).
+
+This kernel keeps the whole (frequency-tile × n_points) workspace in VMEM and
+fuses, per profile:
+
+    stretched-grid generation → gather-free piecewise-linear resample
+    (segment sweep over the 620 profile nodes) → Appleton–Hartree μ' →
+    Σ μ'·dh quadrature
+
+so HBM traffic collapses to the packed profile table (620×8 per profile) and
+the [B, F] output. The reflection-height solve (cummax + crossing count)
+stays in XLA — it is O(B·F·N) elementwise and already fast.
+
+Numerically the fast path evaluates the *same* discretisation as the
+reference/parity operator (same stretched grid, same clamped-linear
+resample, same AH formulas); in float32 the singular μ' tail near the
+reflection point loses precision (1−X below f32 eps), which only affects
+frequencies within ~0.5% of the critical frequency. Use the f64 parity
+operator where the |Δvh| < 0.1 km budget must hold at near-critical
+frequencies (see bench.py accuracy report).
+
+Layout: grid = (B, P-chunks); per cell the [F_pad, P_chunk] workspace lives
+in VMEM; P-chunks accumulate into the output block (revisited across the
+inner grid dimension).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .constants import CP, G_P
+from .grid import smooth_nonuniform_grid
+from .magnetoionic import _magnetized_mu_mup
+
+__all__ = ["ionogram_pallas", "ionogram_fast_xla", "prepare_profile_tables"]
+
+_DH_BACKOFF = 1e-6
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def prepare_profile_tables(freq_hz, den, bmag, bpsi, alt, mode_mult):
+    """XLA-side preprocessing shared by the fast paths.
+
+    Flat-extends each profile at its density peak (== the reference's
+    truncation, grid.py), runs the monotone cutoff (cummax) and the
+    crossing-count reflection-height solve, and packs the per-segment
+    piecewise-linear table.
+
+    Returns (seg [B, N, 8], crit [B, F] finite, valid [B, F] bool).
+    Segment row j: [alt_j, 1/Δalt_j, den_j, Δden_j, bmag_j, Δbmag_j,
+    bpsi_j, Δbpsi_j].
+    """
+    B, N = den.shape
+    dtype = den.dtype
+    cp2 = jnp.asarray(CP * CP, dtype)
+    gp = jnp.asarray(G_P, dtype)
+
+    ind_max = jnp.argmax(den, axis=1)
+    idx = jnp.arange(N)
+    keep = idx[None, :] < ind_max[:, None]
+    last = jnp.maximum(ind_max - 1, 0)[:, None]
+
+    def ext(a):
+        return jnp.where(keep, a, jnp.take_along_axis(a, last, axis=1))
+
+    alt_b = jnp.broadcast_to(alt, (B, N))
+    den_t = ext(den)
+    alt_t = ext(alt_b)
+    bmag_t = ext(bmag)
+    bpsi_t = ext(bpsi)
+
+    inv_f2 = (1.0 / (freq_hz * freq_hz)).astype(dtype)
+    X = den_t[:, None, :] * cp2 * inv_f2[None, :, None]
+    if mode_mult > 0:
+        fcrit = jax.lax.cummax(X, axis=2)
+    else:
+        Y = bmag_t[:, None, :] * gp / freq_hz[None, :, None]
+        fcrit = jax.lax.cummax(X + Y, axis=2)
+    valid = fcrit[:, :, -1] >= 1.0
+
+    # crossing index by counting nodes below the cutoff (rows are monotone)
+    k = jnp.clip(jnp.sum(fcrit < 1.0, axis=2), 1, N - 1)
+    take = lambda a, kk: jnp.take_along_axis(a, kk[:, :, None], axis=2)[..., 0]
+    f0 = take(fcrit, k - 1)
+    f1 = take(fcrit, k)
+    alt_bf = jnp.broadcast_to(alt_t[:, None, :], fcrit.shape)
+    a0 = take(alt_bf, k - 1)
+    a1 = take(alt_bf, k)
+    t = jnp.where(f1 != f0, (1.0 - f0) / jnp.where(f1 != f0, f1 - f0, 1.0),
+                  0.0)
+    crit = a0 + jnp.clip(t, 0.0, 1.0) * (a1 - a0)
+    # np.interp edge semantics: cutoff already exceeded at the first node
+    crit = jnp.where(1.0 <= fcrit[:, :, 0], alt_t[:, 0][:, None], crit)
+    # masked-finite: escaped rows resolve on a placeholder grid
+    crit = jnp.where(valid, crit, alt_t[:, -1][:, None]) - _DH_BACKOFF
+
+    dalt = jnp.diff(alt_t, axis=1)
+    inv_dalt = jnp.where(dalt > 0, 1.0 / jnp.where(dalt > 0, dalt, 1.0), 0.0)
+    pad = lambda a: jnp.concatenate([a, a[:, -1:]], axis=1)
+    # altitudes are stored relative to alt[0] so the kernel needs no scalar
+    # offset input (the stretched grid is generated in the same frame)
+    seg = jnp.stack([
+        alt_t - alt_t[:, 0][:, None],
+        pad(inv_dalt),
+        den_t, pad(jnp.diff(den_t, axis=1)),
+        bmag_t, pad(jnp.diff(bmag_t, axis=1)),
+        bpsi_t, pad(jnp.diff(bpsi_t, axis=1)),
+    ], axis=2)
+    return seg, crit, valid
+
+
+def _mu_mup_masked_tile(X, Y, psi, mode_mult):
+    """Per-element μ' with validity mask (iso fallback for Y≈0)."""
+    mu, mup, ok = _magnetized_mu_mup(X, Y, psi, mode_mult, sanitize=True)
+    iso_ok = (1.0 - X) > 0.0
+    iso_mup = jax.lax.rsqrt(jnp.where(iso_ok, 1.0 - X, 1.0))
+    unmag = jnp.abs(Y) < 1e-12
+    mup = jnp.where(unmag, jnp.where(iso_ok, iso_mup, 0.0),
+                    jnp.where(ok, mup, 0.0))
+    # boolean select via logic ops (Mosaic lacks i1 truncation for where)
+    ok = (unmag & iso_ok) | (~unmag & ok)
+    return mup, ok
+
+
+def _kernel(jhi_ref, mult_ref, dmult_ref, seg_ref, span_ref, freq_ref,
+            out_ref, *, mode_mult, n_seg, last_chunk, last_idx):
+    b = pl.program_id(0)
+    pc = pl.program_id(1)
+    span = span_ref[0, 0, :]                    # [F_pad], = crit - alt0
+    mult = mult_ref[0, :]                       # [P_chunk]
+    dmult = dmult_ref[0, :]
+
+    # altitudes relative to alt0 (segment table is stored in the same frame)
+    new_alt = span[:, None] * mult[None, :]              # [F_pad, P_chunk]
+    dh = span[:, None] * dmult[None, :]
+    # trailing backoff cell carries dh = 1e-6 (reference quirk)
+    p_ids = jax.lax.broadcasted_iota(jnp.int32, new_alt.shape, 1)
+    is_last = (pc == last_chunk) & (p_ids == last_idx)
+    dh = jnp.where(is_last, jnp.asarray(_DH_BACKOFF, dh.dtype), dh)
+
+    f_pad = span.shape[0]
+    shape = (f_pad, mult.shape[0])
+    d_acc = jnp.full(shape, seg_ref[0, 0, 2], dtype=new_alt.dtype)
+    bm_acc = jnp.full(shape, seg_ref[0, 0, 4], dtype=new_alt.dtype)
+    bp_acc = jnp.full(shape, seg_ref[0, 0, 6], dtype=new_alt.dtype)
+
+    def body(j, carry):
+        d, bm, bp = carry
+        a_j = seg_ref[0, j, 0]
+        inv = seg_ref[0, j, 1]
+        tt = jnp.clip((new_alt - a_j) * inv, 0.0, 1.0)
+        d = d + tt * seg_ref[0, j, 3]
+        bm = bm + tt * seg_ref[0, j, 5]
+        bp = bp + tt * seg_ref[0, j, 7]
+        return d, bm, bp
+
+    # segments above every reflection height of this profile contribute
+    # nothing (tt == 0); bound the sweep by the precomputed top index
+    j_hi = jnp.minimum(jhi_ref[b], n_seg - 1)
+    d_acc, bm_acc, bp_acc = jax.lax.fori_loop(
+        0, j_hi, body, (d_acc, bm_acc, bp_acc))
+
+    f = freq_ref[0, 0, :][:, None]               # [F_pad, 1]
+    X = d_acc * (CP * CP) / (f * f)
+    Y = bm_acc * G_P / f
+    mup, ok = _mu_mup_masked_tile(X, Y, bp_acc, mode_mult)
+    partial_ih = jnp.sum(jnp.where(ok, mup * dh, 0.0), axis=1)   # [F_pad]
+
+    @pl.when(pc == 0)
+    def _():
+        out_ref[0, 0, :] = jnp.zeros_like(partial_ih)
+
+    out_ref[0, 0, :] = out_ref[0, 0, :] + partial_ih
+
+
+@partial(jax.jit, static_argnames=("mode_mult", "n_points", "p_chunk",
+                                   "interpret"))
+def ionogram_pallas(freq_mhz, den, bmag, bpsi, alt, mode_mult=1.0,
+                    n_points=200, p_chunk=512, interpret=False):
+    """Fused TPU ionogram synthesis: [B, N_alt] profiles → [B, F] vh.
+
+    Same discretisation as :func:`pyrayhf_tpu.forward
+    .vertical_forward_operator_batch` (docstring caveats re f32 tails).
+    """
+    freq_hz = (jnp.asarray(freq_mhz, dtype=den.dtype) * 1e6)
+    den = jnp.asarray(den)
+    B, N = den.shape
+    F = freq_hz.shape[0]
+    dtype = den.dtype
+
+    seg, crit, valid = prepare_profile_tables(
+        freq_hz, den, jnp.asarray(bmag, dtype), jnp.asarray(bpsi, dtype),
+        jnp.asarray(alt, dtype), mode_mult)
+
+    F_pad = _round_up(F, 8)
+    P = n_points
+    p_chunk = min(p_chunk, _round_up(P, 128))
+    n_chunks = -(-P // p_chunk)
+    P_pad = n_chunks * p_chunk
+
+    # static stretched-grid multiplier (numpy so it folds into the kernel)
+    u = np.linspace(0.0, 1.0, P)
+    factor = (np.exp(10.0 * (1.0 - u)) - 1.0) / (np.exp(10.0) - 1.0)
+    mult = 1.0 - factor
+    dmult = np.concatenate([np.diff(mult), [0.0]])
+    # pad the point axis with zero-weight cells
+    mult_p = np.zeros(P_pad)
+    mult_p[:P] = mult
+    dmult_p = np.zeros(P_pad)
+    dmult_p[:P] = dmult
+    mult_j = jnp.asarray(mult_p, dtype)[None, :]
+    dmult_j = jnp.asarray(dmult_p, dtype)[None, :]
+
+    alt0 = jnp.asarray(alt, dtype)[0]
+    span = crit - alt0
+    # unit middle axis so each (1, 1, F_pad) block equals the trailing dims
+    span_p = jnp.zeros((B, 1, F_pad), dtype).at[:, 0, :F].set(span)
+    freq_p = jnp.ones((1, 1, F_pad), dtype).at[0, 0, :F].set(freq_hz)
+
+    # highest profile node any stretched grid of profile b can reach
+    alt_rel = seg[:, :, 0]
+    max_span = jnp.max(span_p[:, 0, :], axis=1)
+    j_hi = jnp.sum(alt_rel < max_span[:, None], axis=1).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, p_chunk), lambda b, c, jh: (0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p_chunk), lambda b, c, jh: (0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, 8), lambda b, c, jh: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, F_pad), lambda b, c, jh: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, F_pad), lambda b, c, jh: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, F_pad), lambda b, c, jh: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        partial(_kernel, mode_mult=mode_mult, n_seg=N,
+                last_chunk=(P - 1) // p_chunk, last_idx=(P - 1) % p_chunk),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, 1, F_pad), dtype),
+        interpret=interpret,
+    )(j_hi, mult_j, dmult_j, seg.reshape(B, N, 8), span_p, freq_p)
+
+    ih = out[:, 0, :F]
+    min_alt = jnp.min(jnp.asarray(alt, dtype))
+    return jnp.where(valid & (ih != 0.0), ih + min_alt, jnp.nan)
+
+
+@partial(jax.jit, static_argnames=("mode_mult", "n_points"))
+def ionogram_fast_xla(freq_mhz, den, bmag, bpsi, alt, mode_mult=1.0,
+                      n_points=200):
+    """Gather-free XLA fallback of the fused kernel (runs on CPU too).
+
+    Identical math to :func:`ionogram_pallas`; HBM-bound on TPU (the sweep
+    accumulators stream each step) but ~12× faster than the gather-based
+    parity path there, and exactly matches the parity operator in f64.
+    """
+    freq_hz = jnp.asarray(freq_mhz, dtype=den.dtype) * 1e6
+    den = jnp.asarray(den)
+    B, N = den.shape
+    F = freq_hz.shape[0]
+    dtype = den.dtype
+    bmag = jnp.asarray(bmag, dtype)
+    bpsi = jnp.asarray(bpsi, dtype)
+    alt_j = jnp.asarray(alt, dtype)
+
+    seg, crit, valid = prepare_profile_tables(freq_hz, den, bmag, bpsi,
+                                              alt_j, mode_mult)
+    mult = smooth_nonuniform_grid(0.0, 1.0, n_points, 10.0).astype(dtype)
+    dmult = jnp.concatenate([jnp.diff(mult),
+                             jnp.zeros((1,), dtype)])
+    alt0 = alt_j[0]
+    span = crit - alt0                                # [B, F]
+    # work in altitudes relative to alt0, matching the packed table
+    new_alt = span[:, :, None] * mult[None, None, :]
+    dh = span[:, :, None] * dmult[None, None, :]
+    dh = dh.at[:, :, -1].set(_DH_BACKOFF)
+
+    def body(j, carry):
+        d, bm, bp = carry
+        a_j = seg[:, j, 0][:, None, None]
+        inv = seg[:, j, 1][:, None, None]
+        tt = jnp.clip((new_alt - a_j) * inv, 0.0, 1.0)
+        d = d + tt * seg[:, j, 3][:, None, None]
+        bm = bm + tt * seg[:, j, 5][:, None, None]
+        bp = bp + tt * seg[:, j, 7][:, None, None]
+        return d, bm, bp
+
+    shape = (B, F, n_points)
+    init = (jnp.broadcast_to(seg[:, 0, 2][:, None, None], shape),
+            jnp.broadcast_to(seg[:, 0, 4][:, None, None], shape),
+            jnp.broadcast_to(seg[:, 0, 6][:, None, None], shape))
+    d_acc, bm_acc, bp_acc = jax.lax.fori_loop(0, N - 1, body, init)
+
+    f = freq_hz[None, :, None]
+    X = d_acc * (CP * CP) / (f * f)
+    Y = bm_acc * G_P / f
+    mup, ok = _mu_mup_masked_tile(X, Y, bp_acc, mode_mult)
+    ih = jnp.sum(jnp.where(ok, mup * dh, 0.0), axis=2)
+    min_alt = jnp.min(alt_j)
+    return jnp.where(valid & (ih != 0.0), ih + min_alt, jnp.nan)

@@ -1,0 +1,7 @@
+"""Multi-chip scaling: mesh sharding for ionogram synthesis & retrieval."""
+
+from .mesh import (ionogram_mesh, synthesize_ionograms_sharded,
+                   vh_height_sharded, retrieval_step_sharded)
+
+__all__ = ["ionogram_mesh", "synthesize_ionograms_sharded",
+           "vh_height_sharded", "retrieval_step_sharded"]

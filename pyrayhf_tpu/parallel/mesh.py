@@ -1,0 +1,183 @@
+"""Device-mesh scaling of the virtual-height engine.
+
+The reference is a single-process NumPy library (SURVEY §2 'Parallelism
+inventory': every distributed strategy Absent). The TPU-native equivalents
+implemented here:
+
+* **DP (profile batch)** — ionogram synthesis for (lat, lon, time) profile
+  stacks sharded over the ``batch`` mesh axis; pure data parallel, output
+  gathered by XLA.
+* **TP analogue (frequency axis)** — the [N_freq, n_points] work tile is
+  sharded over the ``freq`` mesh axis; each device computes its frequency
+  slice of the ionogram (no collectives needed — frequencies are
+  independent, like heads in tensor-parallel attention).
+* **SP analogue (height axis)** — :func:`vh_height_sharded` splits the
+  stretched-grid quadrature Σ μ'·dh across devices and combines partial
+  integrals with one ``psum`` over ICI (the quadrature analogue of
+  blockwise/ring attention, SURVEY §5 'Long-context').
+* **Retrieval DP** — :func:`retrieval_step_sharded` takes one gradient step
+  of a batched inversion with the loss gradient ``psum``-reduced across the
+  profile shards (the training-step analogue).
+
+All functions accept an explicit ``jax.sharding.Mesh`` so they compile
+against virtual CPU meshes in tests and against real TPU slices unchanged.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..forward import _forward_core, vh_and_mask
+from ..magnetoionic import find_X, find_Y, find_mu_mup_masked, mode_multiplier
+
+__all__ = ["ionogram_mesh", "synthesize_ionograms_sharded",
+           "vh_height_sharded", "retrieval_step_sharded"]
+
+
+def ionogram_mesh(devices=None, batch_axis=None):
+    """Build a (batch, freq) mesh over the given devices.
+
+    ``batch_axis`` defaults to as many devices as possible on 'batch' with
+    the remainder on 'freq' (frequency sharding only helps once the profile
+    batch no longer fills the chips).
+    """
+    devices = jax.devices() if devices is None else devices
+    n = len(devices)
+    if batch_axis is None:
+        batch_axis = n
+        freq_axis = 1
+    else:
+        freq_axis = n // batch_axis
+    import numpy as np
+    dev_array = np.asarray(devices).reshape(batch_axis, freq_axis)
+    return Mesh(dev_array, axis_names=("batch", "freq"))
+
+
+def synthesize_ionograms_sharded(freq, den, bmag, bpsi, alt, mesh,
+                                 mode="O", n_points=200):
+    """Batched ionogram synthesis sharded over a (batch, freq) mesh.
+
+    ``den``/``bmag``/``bpsi``: [B, N_alt] profile stacks (B divisible by the
+    'batch' axis), ``alt``: [N_alt] shared grid, ``freq``: [F] MHz
+    (F divisible by the 'freq' axis). Returns [B, F] virtual heights laid
+    out (batch, freq) over the mesh.
+    """
+    mm = mode_multiplier(mode)
+    freq = jnp.asarray(freq, dtype=float)
+    den = jnp.asarray(den, dtype=float)
+    bmag = jnp.asarray(bmag, dtype=float)
+    bpsi = jnp.asarray(bpsi, dtype=float)
+    alt = jnp.asarray(alt, dtype=float)
+
+    prof_sharding = NamedSharding(mesh, P("batch", None))
+    freq_sharding = NamedSharding(mesh, P("freq"))
+    out_sharding = NamedSharding(mesh, P("batch", "freq"))
+
+    @partial(jax.jit, out_shardings=out_sharding)
+    def run(freq, den, bmag, bpsi, alt):
+        fn = partial(_forward_core, mode_mult=mm, n_points=n_points)
+        return jax.vmap(lambda d, b, p: fn(freq, d, b, p, alt))(
+            den, bmag, bpsi)
+
+    freq = jax.device_put(freq, freq_sharding)
+    den = jax.device_put(den, prof_sharding)
+    bmag = jax.device_put(bmag, prof_sharding)
+    bpsi = jax.device_put(bpsi, prof_sharding)
+    return run(freq, den, bmag, bpsi, alt)
+
+
+def vh_height_sharded(freq_mhz, den, bmag, bpsi, alt, mesh, axis="batch",
+                      mode="O", n_points=256):
+    """Height(SP)-sharded quadrature: each device integrates a slice of the
+    stretched grid and partial sums combine with one psum over ICI.
+
+    Demonstrates the collective layout for n_points too large for one
+    chip's VMEM (SURVEY §5). ``n_points`` must be divisible by the axis size.
+    """
+    from jax import shard_map
+
+    mm = mode_multiplier(mode)
+    n_dev = mesh.shape[axis]
+    if n_points % n_dev:
+        raise ValueError("n_points must be divisible by the mesh axis size")
+    from ..grid import regrid_core
+
+    freq_hz = jnp.asarray(freq_mhz, dtype=float) * 1e6
+    den = jnp.asarray(den, dtype=float)
+    bmag = jnp.asarray(bmag, dtype=float)
+    bpsi = jnp.asarray(bpsi, dtype=float)
+    alt = jnp.asarray(alt, dtype=float)
+
+    # regrid once (replicated — it is O(N_freq · N_alt), cheap), then shard
+    # the [N_freq, n_points] tiles along the height axis
+    rg = regrid_core(freq_hz, den, bmag, bpsi, alt, mode_mult=mm,
+                     n_points=n_points, masked=True)
+
+    spec_in = P(None, axis)
+
+    def shard_fn(den_t, bmag_t, bpsi_t, dist_t, freq_t):
+        aX = find_X(den_t, freq_t)
+        aY = find_Y(freq_t, bmag_t)
+        mode_str = "O" if mm > 0 else "X"
+        _, mup, ok = find_mu_mup_masked(aX, aY, bpsi_t, mode_str)
+        partial_ih = jnp.sum(jnp.where(ok, mup * dist_t, 0.0), axis=1)
+        return jax.lax.psum(partial_ih, axis_name=axis)
+
+    fn = shard_map(shard_fn, mesh=mesh,
+                   in_specs=(spec_in,) * 5,
+                   out_specs=P(None))
+    ih = fn(rg["den"], rg["bmag"], rg["bpsi"], rg["dist"], rg["freq"])
+    vh = jnp.where(rg["row_ok"] & (ih != 0.0), ih + jnp.min(alt), jnp.nan)
+    return vh
+
+
+def retrieval_step_sharded(theta, obs, freq, den_aux, mesh, lr=1e-2,
+                           n_points=64):
+    """One gradient step of a batched retrieval with psum'd gradients.
+
+    ``theta``: {'hm': [B], 'bb': [B], 'nm': [B]} per-profile layer params;
+    ``obs``: [B, F] observed virtual heights; ``den_aux``: dict with
+    'alt' [N], 'bmag' [N], 'bpsi' [N], 'E' layer dict and 'B_top' scalar.
+    The profile batch is sharded over the 'batch' axis; each device
+    computes its shard's loss gradient; the scalar loss is psum-reduced
+    (pure DP — the canonical training step for the dryrun harness).
+    Returns (theta_next, loss).
+    """
+    from jax import shard_map
+    from .. import edp
+
+    alt = den_aux["alt"]
+    bmag = den_aux["bmag"]
+    bpsi = den_aux["bpsi"]
+    E = den_aux["E"]
+    B_top = den_aux["B_top"]
+
+    def one_profile_loss(hm, bb, nm, obs_row):
+        NmF1, _, hmF1, _ = edp.derive_dependent_F1_parameters(
+            0.8, nm, hm, bb, E["hm"])
+        EDP = edp.reconstruct_density_1level(
+            {"Nm": nm, "hm": hm, "B_bot": bb, "B_top": B_top},
+            {"Nm": NmF1, "hm": hmF1}, E, alt)
+        vh, valid = vh_and_mask(freq, EDP, bmag, bpsi, alt,
+                                mode_mult=1.0, n_points=n_points)
+        use = valid & jnp.isfinite(obs_row)
+        r = jnp.where(use, obs_row - vh, 0.0)
+        return jnp.sum(r * r)
+
+    def shard_step(hm, bb, nm, obs_shard):
+        def loss(hm, bb, nm):
+            per = jax.vmap(one_profile_loss)(hm, bb, nm, obs_shard)
+            return jax.lax.psum(jnp.sum(per), axis_name="batch")
+
+        val, grads = jax.value_and_grad(loss, argnums=(0, 1, 2))(hm, bb, nm)
+        return (hm - lr * grads[0], bb - lr * grads[1],
+                nm - lr * grads[2], val)
+
+    fn = shard_map(shard_step, mesh=mesh,
+                   in_specs=(P("batch"), P("batch"), P("batch"),
+                             P("batch", None)),
+                   out_specs=(P("batch"), P("batch"), P("batch"), P()))
+    hm, bb, nm, loss = fn(theta["hm"], theta["bb"], theta["nm"], obs)
+    return {"hm": hm, "bb": bb, "nm": nm}, loss

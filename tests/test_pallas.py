@@ -1,0 +1,77 @@
+"""Fused-kernel tests (interpret mode on CPU; real-TPU numbers in bench.py)."""
+
+import numpy as np
+import jax.numpy as jnp
+from numpy.testing import assert_allclose
+
+from pyrayhf_tpu.forward import vertical_forward_operator_batch
+from pyrayhf_tpu.pallas_vh import ionogram_fast_xla, ionogram_pallas
+
+
+def _workload(B=4, n_alt=180):
+    alt = np.linspace(90.0, 550.0, n_alt)
+    rng = np.random.default_rng(3)
+    hms = rng.uniform(250.0, 330.0, B)
+    peaks = rng.uniform(1e12, 3e12, B)
+    den = peaks[:, None] * np.exp(-(alt[None, :] - hms[:, None]) ** 2
+                                  / (2 * 55.0 ** 2))
+    bmag = np.full((B, n_alt), 3.2e-5)
+    bpsi = np.full((B, n_alt), 65.0)
+    freqs = np.arange(1.0, 16.0, 0.5)
+    return freqs, den, bmag, bpsi, alt
+
+
+def test_fast_xla_matches_parity_operator():
+    freqs, den, bmag, bpsi, alt = _workload()
+    for mm, mode in [(1.0, "O"), (-1.0, "X")]:
+        ref = np.asarray(vertical_forward_operator_batch(
+            freqs, den, bmag, bpsi, alt, mode=mode, n_points=200))
+        fast = np.asarray(ionogram_fast_xla(
+            jnp.asarray(freqs), jnp.asarray(den), jnp.asarray(bmag),
+            jnp.asarray(bpsi), jnp.asarray(alt), mode_mult=mm, n_points=200))
+        assert np.array_equal(np.isnan(fast), np.isnan(ref)), mode
+        m = np.isfinite(ref)
+        assert np.abs(fast[m] - ref[m]).max() < 1e-6, mode
+
+
+def test_pallas_kernel_interpret_matches_parity():
+    freqs, den, bmag, bpsi, alt = _workload(B=2)
+    for mm, mode in [(1.0, "O"), (-1.0, "X")]:
+        ref = np.asarray(vertical_forward_operator_batch(
+            freqs, den, bmag, bpsi, alt, mode=mode, n_points=200))
+        pal = np.asarray(ionogram_pallas(
+            jnp.asarray(freqs), jnp.asarray(den), jnp.asarray(bmag),
+            jnp.asarray(bpsi), jnp.asarray(alt), mode_mult=mm,
+            n_points=200, interpret=True))
+        assert np.array_equal(np.isnan(pal), np.isnan(ref)), mode
+        m = np.isfinite(ref)
+        assert np.abs(pal[m] - ref[m]).max() < 1e-6, mode
+
+
+def test_pallas_kernel_point_chunking():
+    """Multiple P-chunks accumulate correctly into the output block."""
+    freqs, den, bmag, bpsi, alt = _workload(B=2)
+    one = np.asarray(ionogram_pallas(
+        jnp.asarray(freqs), jnp.asarray(den), jnp.asarray(bmag),
+        jnp.asarray(bpsi), jnp.asarray(alt), mode_mult=1.0,
+        n_points=512, p_chunk=512, interpret=True))
+    four = np.asarray(ionogram_pallas(
+        jnp.asarray(freqs), jnp.asarray(den), jnp.asarray(bmag),
+        jnp.asarray(bpsi), jnp.asarray(alt), mode_mult=1.0,
+        n_points=512, p_chunk=128, interpret=True))
+    assert_allclose(one, four, rtol=1e-10, equal_nan=True)
+
+
+def test_fast_xla_unmagnetized_profile():
+    """B == 0 exercises the per-element isotropic fallback."""
+    freqs, den, _, _, alt = _workload(B=2)
+    bmag = np.zeros_like(den)
+    bpsi = np.zeros_like(den)
+    ref = np.asarray(vertical_forward_operator_batch(
+        freqs, den, bmag, bpsi, alt, mode="O", n_points=200))
+    fast = np.asarray(ionogram_fast_xla(
+        jnp.asarray(freqs), jnp.asarray(den), jnp.asarray(bmag),
+        jnp.asarray(bpsi), jnp.asarray(alt), mode_mult=1.0, n_points=200))
+    assert np.array_equal(np.isnan(fast), np.isnan(ref))
+    m = np.isfinite(ref)
+    assert np.abs(fast[m] - ref[m]).max() < 1e-6

@@ -37,5 +37,11 @@ from .edp import (derive_dependent_F1_parameters, epstein_layer,
 from .retrieval import (minimize_parameters, model_VH, residual_VH,
                         retrieve_gradient)
 from .pallas_vh import ionogram_fast_xla, ionogram_pallas
+from . import edp, envgen, fields, geodesy, gradient, grid, igrf, io, \
+    magnetoionic, parallel, profiling, retrieval, snell
+from .envgen import (find_mean_gradient_error, generate_input_1D,
+                     generate_input_2D)
+from .igrf import calculate_magnetic_field
+from .io import load_input, save_to_file
 
 __version__ = "0.1.0"

@@ -1,0 +1,201 @@
+"""Ionosphere/geomagnetic input generation (environment models).
+
+The reference's ``generate_input_1D/2D`` (ref ``library.py:2458-2694``) call
+PyIRI (CCIR foF2 maps + SHU2015 hmF2 + IGRF). PyIRI's coefficient databases
+are not installable here, so this module keeps the exact geometry/plumbing
+(great-circle slice sampling, grid assembly, pickle output — API-parity) and
+substitutes a documented **analytic climatology** for the layer parameters:
+
+* foE from the classic Davies (1990) solar-zenith relation,
+* foF1 from the DuCharme et al. relation (with an F1-presence probability),
+* foF2/hmF2 from a smooth solar-activity + zenith + latitude parametrisation
+  (NOT the CCIR maps — do not use for operational specification),
+* |B|, ψ from the in-repo spherical-harmonic IGRF (pyrayhf_tpu.igrf).
+
+The EDP itself is built by the same differentiable parametric builder used by
+model_VH/retrieval, so generated inputs are self-consistent with the rest of
+the framework. Everything is vmapped jnp — a whole lat×lon×time grid of
+profiles is one XLA program (the reference loops in Python).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import edp
+from .geodesy import great_circle_point, calculate_gcd, azimuth_between_points, earth_radius_at_latitude
+from .igrf import calculate_magnetic_field
+from .io import save_to_file
+
+__all__ = ["solar_zenith_angle", "climatology_parameters",
+           "generate_input_1D", "generate_input_2D",
+           "find_mean_gradient_error"]
+
+
+def _day_of_year(year, month, day):
+    days = [31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31]
+    leap = (year % 4 == 0 and year % 100 != 0) or year % 400 == 0
+    if leap:
+        days[1] = 29
+    return sum(days[:month - 1]) + day
+
+
+def solar_zenith_angle(year, month, day, UT, lat, lon):
+    """Solar zenith angle χ [deg] (standard declination/hour-angle formula)."""
+    doy = _day_of_year(year, month, day)
+    decl = jnp.deg2rad(23.44) * jnp.sin(
+        2.0 * jnp.pi * (284.0 + doy) / 365.0)
+    lat_r = jnp.deg2rad(jnp.asarray(lat, dtype=float))
+    lst = (UT + jnp.asarray(lon, dtype=float) / 15.0) % 24.0
+    hour_angle = jnp.deg2rad((lst - 12.0) * 15.0)
+    cos_chi = (jnp.sin(lat_r) * jnp.sin(decl)
+               + jnp.cos(lat_r) * jnp.cos(decl) * jnp.cos(hour_angle))
+    return jnp.rad2deg(jnp.arccos(jnp.clip(cos_chi, -1.0, 1.0)))
+
+
+def climatology_parameters(year, month, day, UT, lat, lon, F107):
+    """Analytic layer-parameter climatology at the given locations.
+
+    Returns (F2, F1, E) dicts of jnp arrays broadcast over lat/lon, using
+    the same keys as the reference's PyIRI dicts (Nm, fo, hm, B_bot, B_top,
+    B0, B1, P, solzen...).
+    """
+    lat = jnp.asarray(lat, dtype=float)
+    lon = jnp.asarray(lon, dtype=float)
+    chi = solar_zenith_angle(year, month, day, UT, lat, lon)
+    cos_chi = jnp.cos(jnp.deg2rad(chi))
+    cos_eff = jnp.clip(cos_chi, 0.0, 1.0)
+
+    # E layer: Davies (1990) foE relation, with a small night floor
+    foE = 0.9 * ((180.0 + 1.44 * F107) * jnp.maximum(cos_eff, 1e-4)) ** 0.25
+    foE = jnp.maximum(foE, 0.4)
+    E = {"Nm": edp.NM_PER_MHZ2 * foE ** 2, "fo": foE,
+         "hm": jnp.full_like(foE, 110.0),
+         "B_bot": jnp.full_like(foE, 5.0), "B_top": jnp.full_like(foE, 7.0),
+         "solzen": chi}
+
+    # F1 layer: DuCharme foF1 + daytime presence probability
+    foF1 = (4.3 + 0.01 * F107) * cos_eff ** 0.2
+    P = jnp.clip(cos_eff * 1.2, 0.0, 1.0) * (chi < 89.0)
+    F1 = {"Nm": edp.NM_PER_MHZ2 * foF1 ** 2, "fo": foF1, "P": P,
+          "hm": jnp.full_like(foF1, 180.0),
+          "B_bot": jnp.full_like(foF1, 50.0)}
+
+    # F2 layer: smooth zenith/latitude/activity parametrisation (NOT CCIR)
+    act = 1.0 + 0.6 * (F107 - 70.0) / 130.0
+    mlat = jnp.deg2rad(lat)
+    foF2 = (5.5 + 4.0 * cos_eff ** 0.6) * act ** 0.5 \
+        * (1.0 - 0.15 * jnp.sin(mlat) ** 2)
+    foF2 = jnp.maximum(foF2, 1.1 * foE + 0.5)
+    hmF2 = 260.0 + 60.0 * (1.0 - cos_eff) + 30.0 * (act - 1.0)
+    B_bot = 35.0 + 18.0 * (1.0 - cos_eff)
+    B_top = jnp.full_like(foF2, 40.0 + 12.0 * (act - 1.0))
+    F2 = {"Nm": edp.NM_PER_MHZ2 * foF2 ** 2, "fo": foF2, "hm": hmF2,
+          "B_bot": B_bot, "B_top": B_top,
+          "B0": B_bot * 2.4, "B1": jnp.full_like(foF2, 2.2),
+          "M3000": jnp.full_like(foF2, 2.6)}
+    return F2, F1, E
+
+
+def _edp_from_params(F2, F1, E, aalt):
+    """Vectorised EDP build over a batch of parameter sets."""
+    def one(nm, hm, bb, bt, p, nmE, hmE):
+        NmF1, _, hmF1, _ = edp.derive_dependent_F1_parameters(
+            p, nm, hm, bb, hmE)
+        return edp.reconstruct_density_1level(
+            {"Nm": nm, "hm": hm, "B_bot": bb, "B_top": bt},
+            {"Nm": NmF1, "hm": hmF1},
+            {"Nm": nmE, "hm": hmE, "B_bot": 5.0, "B_top": 7.0}, aalt)
+
+    return jax.vmap(one)(jnp.ravel(F2["Nm"]), jnp.ravel(F2["hm"]),
+                         jnp.ravel(F2["B_bot"]), jnp.ravel(F2["B_top"]),
+                         jnp.ravel(F1["P"]), jnp.ravel(E["Nm"]),
+                         jnp.ravel(E["hm"]))
+
+
+def generate_input_1D(year, month, day, UT, tlat, tlon, aalt, F107,
+                      save_path="", coeffs=None):
+    """1-D ray-tracing input at a site (API-parity, ref :2590-2694).
+
+    Returns the reference's dict layout: alt/den/bmag/bpsi + layer dicts +
+    metadata. Layer parameters come from the analytic climatology (see
+    module docstring), B from the in-repo IGRF.
+    """
+    aalt = jnp.asarray(aalt, dtype=float)
+    bmag, bpsi = calculate_magnetic_field(year, month, day,
+                                          jnp.atleast_1d(tlat),
+                                          jnp.atleast_1d(tlon), aalt,
+                                          coeffs=coeffs)
+    F2, F1, E = climatology_parameters(year, month, day, UT,
+                                       jnp.atleast_1d(float(tlat)),
+                                       jnp.atleast_1d(float(tlon)), F107)
+    den = _edp_from_params(F2, F1, E, aalt)[0]
+    out = {"alt": np.asarray(aalt), "den": np.asarray(den),
+           "bmag": np.asarray(bmag[:, 0]), "bpsi": np.asarray(bpsi[:, 0]),
+           "F2": {k: np.asarray(v) for k, v in F2.items()},
+           "F1": {k: np.asarray(v) for k, v in F1.items()},
+           "E": {k: np.asarray(v) for k, v in E.items()},
+           "year": year, "month": month, "day": day, "UT": UT,
+           "F107": F107, "tlat": tlat, "tlon": tlon}
+    if save_path:
+        save_to_file(out, save_path)
+    return out
+
+
+def generate_input_2D(year, month, day, UT, tlat, tlon, dx, aalt, gcd, az,
+                      F107, save_path="", coeffs=None):
+    """2-D great-circle-slice input grid (API-parity, ref :2458-2587)."""
+    aalt = jnp.asarray(aalt, dtype=float)
+    n_x = int(gcd / dx)
+    xgrid = jnp.linspace(0.0, gcd, n_x)
+    xlat, xlon = great_circle_point(tlat, tlon, xgrid, az)
+    bmag, bpsi = calculate_magnetic_field(year, month, day, xlat, xlon,
+                                          aalt, coeffs=coeffs)
+    F2, F1, E = climatology_parameters(year, month, day, UT, xlat, xlon,
+                                       F107)
+    den = _edp_from_params(F2, F1, E, aalt).T          # [N_alt, n_x]
+    out = {"xgrid": np.asarray(xgrid), "zgrid": np.asarray(aalt),
+           "xlat": np.asarray(xlat), "xlon": np.asarray(xlon),
+           "den": np.asarray(den), "bmag": np.asarray(bmag),
+           "bpsi": np.asarray(bpsi),
+           "F2": {k: np.asarray(v) for k, v in F2.items()},
+           "F1": {k: np.asarray(v) for k, v in F1.items()},
+           "E": {k: np.asarray(v) for k, v in E.items()},
+           "year": year, "month": month, "day": day, "UT": UT,
+           "F107": F107, "tlat": tlat, "tlon": tlon, "az": az}
+    if save_path:
+        save_to_file(out, save_path)
+    return out
+
+
+def find_mean_gradient_error(atlon, atlat, arlon, arlat, year, month, day,
+                             UT, F107, nelem=50):
+    """Mean % foF2 deviation along each T-R great circle vs its midpoint.
+
+    API-parity with ref :2866-3006 (geometry identical; foF2 from the
+    analytic climatology instead of PyIRI). Returns (mean_error [%], F2_mid).
+    """
+    atlon = jnp.atleast_1d(jnp.asarray(atlon, dtype=float))
+    atlat = jnp.atleast_1d(jnp.asarray(atlat, dtype=float))
+    arlon = jnp.atleast_1d(jnp.asarray(arlon, dtype=float))
+    arlat = jnp.atleast_1d(jnp.asarray(arlat, dtype=float))
+
+    gcd_deg = calculate_gcd(atlon, atlat, arlon, arlat)
+    re = earth_radius_at_latitude(atlat)
+    r_loc = jnp.deg2rad(gcd_deg) * re
+    az = azimuth_between_points(atlon, atlat, arlon, arlat)
+
+    frac = jnp.linspace(0.0, 1.0, nelem)
+    agcd = r_loc[:, None] * frac[None, :]
+    alat, alon = jax.vmap(great_circle_point)(atlat, atlon, agcd, az)
+    mlat, mlon = jax.vmap(great_circle_point)(
+        atlat, atlon, r_loc[:, None] / 2.0, az)
+
+    F2, _, _ = climatology_parameters(year, month, day, UT,
+                                      alat.ravel(), alon.ravel(), F107)
+    F2m, _, _ = climatology_parameters(year, month, day, UT,
+                                       mlat.ravel(), mlon.ravel(), F107)
+    fo = F2["fo"].reshape(alat.shape)
+    fo_mid = F2m["fo"].reshape(mlat.shape)[:, 0]
+    per_err = (fo - fo_mid[:, None]) / fo_mid[:, None] * 100.0
+    return jnp.mean(per_err, axis=1), {"fo": fo_mid}

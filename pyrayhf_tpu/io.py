@@ -1,0 +1,58 @@
+"""IO: reference-compatible pickle files + npz checkpoint/resume.
+
+The reference persists input dicts with pickle (``save_to_file``, ref
+``library.py:2442-2455``) and has no checkpointing (SURVEY §5). Here:
+
+* :func:`save_to_file` / :func:`load_input` — byte-compatible with the
+  reference's ``.p`` files (the tutorial pickles load unchanged);
+* :func:`save_checkpoint` / :func:`load_checkpoint` — flat-npz persistence
+  for retrieval/optimizer state (pytrees of arrays), the checkpoint/resume
+  facility for long batched inversions.
+"""
+
+import pickle
+
+import numpy as np
+
+__all__ = ["save_to_file", "load_input", "save_checkpoint",
+           "load_checkpoint"]
+
+
+def save_to_file(output, file_path):
+    """Pickle a dict to ``file_path`` (API-parity, ref :2442-2455)."""
+    with open(file_path, "wb") as f:
+        pickle.dump(output, f)
+
+
+def load_input(file_path):
+    """Load a reference-format ``.p`` input dict (e.g. the tutorial files)."""
+    with open(file_path, "rb") as f:
+        return pickle.load(f)
+
+
+def _flatten(prefix, obj, out):
+    if isinstance(obj, dict):
+        for k, v in obj.items():
+            _flatten(f"{prefix}.{k}" if prefix else str(k), v, out)
+    else:
+        out[prefix] = np.asarray(obj)
+
+
+def save_checkpoint(state, file_path):
+    """Persist a (nested-dict) pytree of arrays to a flat .npz file."""
+    flat = {}
+    _flatten("", state, flat)
+    np.savez_compressed(file_path, **flat)
+
+
+def load_checkpoint(file_path):
+    """Inverse of :func:`save_checkpoint` — rebuilds the nested dict."""
+    data = np.load(file_path, allow_pickle=False)
+    out = {}
+    for key in data.files:
+        parts = key.split(".")
+        d = out
+        for p in parts[:-1]:
+            d = d.setdefault(p, {})
+        d[parts[-1]] = data[key]
+    return out

@@ -1,0 +1,123 @@
+"""IGRF, climatology input generation, IO, and profiling-utility tests."""
+
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+from pyrayhf_tpu import igrf
+from pyrayhf_tpu.envgen import (climatology_parameters, find_mean_gradient_error,
+                                generate_input_1D, generate_input_2D,
+                                solar_zenith_angle)
+from pyrayhf_tpu.io import (load_checkpoint, load_input, save_checkpoint,
+                            save_to_file)
+
+
+def test_igrf_dipole_magnitudes():
+    """Field strength and inclination in physically correct ranges."""
+    _, _, _, Bmag, inc = igrf.igrf_field(0.0, 0.0, 0.0)
+    assert 25000 < float(Bmag) < 40000          # equatorial surface field nT
+    _, _, _, Bp, incp = igrf.igrf_field(85.0, 0.0, 0.0)
+    assert 50000 < float(Bp) < 65000            # polar field stronger
+    assert abs(float(incp)) > 75.0              # near-vertical at high lat
+    # field decays ~ (a/r)^3
+    _, _, _, Bhi, _ = igrf.igrf_field(0.0, 0.0, 6371.0)
+    assert float(Bhi) < float(Bmag) / 6
+
+
+def test_igrf_vs_known_2020_values():
+    """Sanity vs published IGRF-13 2020 values (low-degree truncation ⇒ a
+    few-percent tolerance)."""
+    # London (51.5N, 0E): |B| ≈ 49,000 nT, inclination ≈ +66°
+    _, _, _, B, inc = igrf.igrf_field(51.5, 0.0, 0.0)
+    assert abs(float(B) - 49000) / 49000 < 0.10
+    assert 55 < float(inc) < 75
+
+
+def test_calculate_magnetic_field_api():
+    aalt = np.linspace(90.0, 500.0, 40)
+    mag, psi = igrf.calculate_magnetic_field(2020, 6, 1, np.array([45.0]),
+                                             np.array([-75.0]), aalt)
+    mag, psi = np.asarray(mag), np.asarray(psi)
+    assert mag.shape == (40, 1) and psi.shape == (40, 1)
+    assert np.all((mag > 1e-5) & (mag < 1e-4))      # Tesla
+    assert np.all((psi >= 0) & (psi <= 90))
+    assert np.all(np.diff(mag[:, 0]) < 0)            # decays with altitude
+
+
+def test_solar_zenith_angle():
+    # local noon at equator near equinox → χ small; midnight → χ large
+    chi_noon = float(solar_zenith_angle(2020, 3, 21, 12.0, 0.0, 0.0))
+    chi_mid = float(solar_zenith_angle(2020, 3, 21, 0.0, 0.0, 0.0))
+    assert chi_noon < 10.0
+    assert chi_mid > 150.0
+
+
+def test_climatology_day_night_contrast():
+    F2d, F1d, Ed = climatology_parameters(2020, 6, 1, 12.0, 0.0, 0.0, 150.0)
+    F2n, F1n, En = climatology_parameters(2020, 6, 1, 0.0, 0.0, 0.0, 150.0)
+    assert float(Ed["fo"]) > 2.5                 # daytime E layer
+    assert float(En["fo"]) < 1.0                 # night E collapses
+    assert float(F1d["P"]) > 0.5                 # F1 present by day
+    assert float(F1n["P"]) == 0.0
+    assert float(F2d["fo"]) > float(F2n["fo"])
+
+
+def test_generate_input_1d_runs_forward(tmp_path):
+    aalt = np.arange(80.0, 700.0, 2.0)
+    out = generate_input_1D(2020, 6, 1, 17.0, 30.0, -85.0, aalt, 140.0,
+                            save_path=str(tmp_path / "in.p"))
+    assert out["den"].shape == aalt.shape
+    assert out["bmag"].shape == aalt.shape
+    assert np.all(out["den"] > 0)
+    # generated input feeds the forward operator end-to-end
+    from pyrayhf_tpu import vertical_forward_operator
+    vh = np.asarray(vertical_forward_operator(
+        np.arange(1.0, 10.0, 0.5), out["den"], out["bmag"], out["bpsi"],
+        out["alt"]))
+    assert np.isfinite(vh).sum() > 5
+    reloaded = load_input(str(tmp_path / "in.p"))
+    assert_allclose(reloaded["den"], out["den"])
+
+
+def test_generate_input_2d_shapes():
+    aalt = np.arange(90.0, 500.0, 5.0)
+    out = generate_input_2D(2020, 6, 1, 17.0, 40.0, -100.0, dx=100.0,
+                            aalt=aalt, gcd=2000.0, az=90.0, F107=120.0)
+    n_x = int(2000.0 / 100.0)
+    assert out["xgrid"].shape == (n_x,)
+    assert out["den"].shape == (aalt.size, n_x)
+    assert out["bmag"].shape == (aalt.size, n_x)
+    # eastward slice at constant-ish latitude: lat varies slowly
+    assert np.abs(out["xlat"] - 40.0).max() < 15.0
+
+
+def test_find_mean_gradient_error_shapes():
+    err, F2_mid = find_mean_gradient_error(
+        np.array([-100.0, 10.0]), np.array([40.0, 50.0]),
+        np.array([-90.0, 20.0]), np.array([45.0, 45.0]),
+        2020, 6, 1, 17.0, 120.0)
+    err = np.asarray(err)
+    assert err.shape == (2,)
+    assert np.all(np.isfinite(err))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    state = {"theta": {"hm": np.array([300.0, 310.0]),
+                       "bb": np.array([40.0, 50.0])},
+             "step": np.array(7)}
+    p = str(tmp_path / "ckpt.npz")
+    save_checkpoint(state, p)
+    back = load_checkpoint(p)
+    assert_allclose(back["theta"]["hm"], state["theta"]["hm"])
+    assert int(back["step"]) == 7
+
+
+def test_time_launch_and_cost():
+    import jax.numpy as jnp
+    from pyrayhf_tpu.profiling import operator_cost, time_launch
+    import jax
+    f = jax.jit(lambda x: jnp.sum(x * x))
+    dt = time_launch(f, jnp.ones(1000), iters=2, warmup=1)
+    assert dt > 0
+    c = operator_cost(4, 175, 200, 620)
+    assert c["points"] == 4 * 175 * 200

@@ -43,5 +43,13 @@ from .envgen import (find_mean_gradient_error, generate_input_1D,
                      generate_input_2D)
 from .igrf import calculate_magnetic_field
 from .io import load_input, save_to_file
+from . import config, rays
+from .config import (GradientTracerConfig, OperatorConfig, RetrievalConfig,
+                     SnellConfig)
+from .rays import (event_ground, event_x_left, event_x_right, event_z_bottom,
+                   event_z_top, find_turning_point, ray_rhs_cartesian,
+                   rhs_spherical, tan_from_mu_scalar)
+from .fields import (eval_refractive_index_and_grad, make_n_and_grad,
+                     n_and_grad, n_and_grad_rphi)
 
 __version__ = "0.1.0"

@@ -21,6 +21,8 @@ import jax.numpy as jnp
 from .constants import R_E
 
 __all__ = ["bilinear", "gradient_ord2", "RefractiveField",
+           "n_and_grad", "eval_refractive_index_and_grad", "make_n_and_grad",
+           "n_and_grad_rphi",
            "build_refractive_index_interpolator_cartesian",
            "build_refractive_index_interpolator_spherical",
            "build_mup_function"]
@@ -200,3 +202,53 @@ def build_mup_function(mup_field, x_grid, z_grid, *, geometry="cartesian",
                              jnp.asarray(x, dtype=float) / re)
     mup_func.field = fld
     return mup_func
+
+
+def eval_refractive_index_and_grad(x, z, n_interp, dn_dx_interp,
+                                   dn_dz_interp):
+    """(x, z) → (n, ∂n/∂x, ∂n/∂z) from three interpolants (ref :883-936).
+
+    Each interpolant may be a :class:`RefractiveField` (its value is used) or
+    any callable ``f(z, x)``; inputs broadcast like the reference.
+    """
+    def _ev(itp, zq, xq):
+        if isinstance(itp, RefractiveField):
+            return itp.value(zq, xq)
+        return itp(zq, xq)
+
+    x = jnp.asarray(x, dtype=float)
+    z = jnp.asarray(z, dtype=float)
+    x, z = jnp.broadcast_arrays(x, z)
+    return _ev(n_interp, z, x), _ev(dn_dx_interp, z, x), \
+        _ev(dn_dz_interp, z, x)
+
+
+def n_and_grad(x, z, n_interp, dn_dx_interp, dn_dz_interp):
+    """Alias of :func:`eval_refractive_index_and_grad` (ref :828-880)."""
+    return eval_refractive_index_and_grad(x, z, n_interp, dn_dx_interp,
+                                          dn_dz_interp)
+
+
+def make_n_and_grad(n_interp, dn_dx_interp, dn_dz_interp):
+    """Bind interpolants into an (x, z) → (n, dndx, dndz) callable
+    (ref :939-950)."""
+    def fn(x, z):
+        return eval_refractive_index_and_grad(x, z, n_interp, dn_dx_interp,
+                                              dn_dz_interp)
+    return fn
+
+
+def n_and_grad_rphi(phi, r, n_interp, dn_dr_interp, dn_dphi_interp):
+    """(φ, r) → (μ, ∂μ/∂r, ∂μ/∂φ) from three interpolants (ref :1716-1761).
+
+    Interpolants are called with native spherical coordinates (r, φ)."""
+    def _ev(itp, rq, pq):
+        if isinstance(itp, RefractiveField):
+            return itp.value(rq, pq)
+        return itp(rq, pq)
+
+    phi = jnp.asarray(phi, dtype=float)
+    r = jnp.asarray(r, dtype=float)
+    phi, r = jnp.broadcast_arrays(phi, r)
+    return _ev(n_interp, r, phi), _ev(dn_dr_interp, r, phi), \
+        _ev(dn_dphi_interp, r, phi)

@@ -17,6 +17,7 @@ Three entry points:
   escaped rays.
 """
 
+import logging
 from functools import partial
 
 import jax
@@ -54,13 +55,23 @@ def _forward_core(freq_mhz, den, bmag, bpsi, alt, mode_mult, n_points):
     return find_vh(aX, aY, rg["bpsi"], rg["dist"], jnp.min(alt), mode)
 
 
+logger = logging.getLogger("pyrayhf_tpu")
+
+
 def vertical_forward_operator(freq, den, bmag, bpsi, alt,
                               mode="O", n_points=200):
     """Reference-parity API: virtual height [km] per frequency [MHz].
 
     Parameters match ref library.py:459-509 (freq in MHz, den in m^-3,
     bmag in T, bpsi in deg, alt in km; mode 'O'/'X'; n_points grid size).
+    Mismatched profile-array shapes are logged (not raised), like the
+    reference's logger.error at ref :486-488.
     """
+    import numpy as _np
+    shapes = {_np.shape(a) for a in (den, bmag, bpsi, alt)}
+    if len(shapes) > 1:
+        logger.error(
+            "Error: freq, den, bmag, bpsi, alt should have same size")
     return _forward_core(jnp.asarray(freq), jnp.asarray(den),
                          jnp.asarray(bmag), jnp.asarray(bpsi),
                          jnp.asarray(alt),

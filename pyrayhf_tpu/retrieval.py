@@ -136,11 +136,22 @@ def minimize_parameters(F2, F1, E, f_in0, vh_obs0, alt, b_mag, b_psi,
 
     lmfit-brute grid semantics (``arange(min, max, step)`` per axis) but the
     entire grid of forward operators runs as one vmapped XLA program.
-    Returns (vh_fit, EDP_fit, F2_fit).
+    ``method='levenberg-marquardt'`` delegates to :func:`retrieve_gradient`
+    (exact-jacobian LM — strictly stronger than lmfit's finite-difference
+    version). Returns (vh_fit, EDP_fit, F2_fit).
     """
+    if method in ("levenberg-marquardt", "leastsq"):
+        if bottom_type != "B_bot":
+            raise ValueError("levenberg-marquardt retrieval supports B_bot")
+        vh_fit, EDP_fit, F2_fit, _ = retrieve_gradient(
+            F2, F1, E, f_in0, vh_obs0, alt, b_mag, b_psi, mode=mode,
+            n_points=n_points, bottom_type=bottom_type)
+        return vh_fit, EDP_fit, F2_fit
     if method not in ("brute",):
-        raise ValueError("only 'brute' is supported; use retrieve_gradient "
-                         "for gradient-based fitting")
+        raise ValueError(
+            "method must be 'brute' or 'levenberg-marquardt' (the "
+            "reference's 'powell' relied on lmfit; use the vmapped brute "
+            "grid or gradient LM instead)")
     if bottom_type == "B_bot" and F2.get("B_bot") is None:
         raise ValueError("B_bot is not provided in F, but bottom_type is "
                          "B_bot")

@@ -38,6 +38,10 @@ def find_vh(X, Y, bpsi, dh, alt_min, mode):
     NaN, exactly like the reference.
     """
     _, mup = find_mu_mup(X, Y, bpsi, mode)
+    # guard the measure-zero μ'=∞ case (X == 1 exactly at a sample; common
+    # in f32 where 1-X underflows): treat like the NaN escape samples
+    # instead of poisoning the whole quadrature with inf
+    mup = jnp.where(jnp.isinf(mup), jnp.nan, mup)
     ih = jnp.nansum(mup * dh, axis=1)
     ih = jnp.where(ih == 0.0, jnp.nan, ih)
     return ih + alt_min

@@ -103,8 +103,9 @@ def prepare_profile_tables(freq_hz, den, bmag, bpsi, alt, mode_mult):
     crit = a0 + jnp.clip(t, 0.0, 1.0) * (a1 - a0)
     # np.interp edge semantics: cutoff already exceeded at the first node
     crit = jnp.where(1.0 <= fcrit[:, :, 0], alt_t[:, 0][:, None], crit)
-    # masked-finite: escaped rows resolve on a placeholder grid
-    crit = jnp.where(valid, crit, alt_t[:, -1][:, None]) - _DH_BACKOFF
+    # masked-finite: escaped rows collapse to a zero-span grid (zero dh ⇒
+    # zero contribution, and they never inflate the sweep bounds)
+    crit = jnp.where(valid, crit, alt_t[:, 0][:, None]) - _DH_BACKOFF
 
     dalt = jnp.diff(alt_t, axis=1)
     inv_dalt = jnp.where(dalt > 0, 1.0 / jnp.where(dalt > 0, dalt, 1.0), 0.0)
@@ -135,10 +136,11 @@ def _mu_mup_masked_tile(X, Y, psi, mode_mult):
 
 
 def _kernel(jhi_ref, mult_ref, dmult_ref, seg_ref, span_ref, freq_ref,
-            out_ref, *, mode_mult, n_seg, last_chunk, last_idx):
+            out_ref, *, mode_mult, n_seg, last_chunk, last_idx, n_ftiles):
     b = pl.program_id(0)
-    pc = pl.program_id(1)
-    span = span_ref[0, 0, :]                    # [F_pad], = crit - alt0
+    ft = pl.program_id(1)
+    pc = pl.program_id(2)
+    span = span_ref[0, 0, 0, :]                 # [f_tile], = crit - alt0
     mult = mult_ref[0, :]                       # [P_chunk]
     dmult = dmult_ref[0, :]
 
@@ -166,13 +168,14 @@ def _kernel(jhi_ref, mult_ref, dmult_ref, seg_ref, span_ref, freq_ref,
         bp = bp + tt * seg_ref[0, j, 7]
         return d, bm, bp
 
-    # segments above every reflection height of this profile contribute
-    # nothing (tt == 0); bound the sweep by the precomputed top index
-    j_hi = jnp.minimum(jhi_ref[b], n_seg - 1)
+    # segments above every reflection height of this (profile, freq-tile)
+    # contribute nothing (tt == 0); bound the sweep by the precomputed top
+    # index — low-frequency tiles reflect low and sweep far fewer segments
+    j_hi = jnp.minimum(jhi_ref[b * n_ftiles + ft], n_seg - 1)
     d_acc, bm_acc, bp_acc = jax.lax.fori_loop(
         0, j_hi, body, (d_acc, bm_acc, bp_acc))
 
-    f = freq_ref[0, 0, :][:, None]               # [F_pad, 1]
+    f = freq_ref[0, 0, 0, :][:, None]            # [f_tile, 1]
     X = d_acc * (CP * CP) / (f * f)
     Y = bm_acc * G_P / f
     mup, ok = _mu_mup_masked_tile(X, Y, bp_acc, mode_mult)
@@ -180,15 +183,15 @@ def _kernel(jhi_ref, mult_ref, dmult_ref, seg_ref, span_ref, freq_ref,
 
     @pl.when(pc == 0)
     def _():
-        out_ref[0, 0, :] = jnp.zeros_like(partial_ih)
+        out_ref[0, 0, 0, :] = jnp.zeros_like(partial_ih)
 
-    out_ref[0, 0, :] = out_ref[0, 0, :] + partial_ih
+    out_ref[0, 0, 0, :] = out_ref[0, 0, 0, :] + partial_ih
 
 
 @partial(jax.jit, static_argnames=("mode_mult", "n_points", "p_chunk",
-                                   "interpret"))
+                                   "interpret", "f_tile"))
 def ionogram_pallas(freq_mhz, den, bmag, bpsi, alt, mode_mult=1.0,
-                    n_points=200, p_chunk=512, interpret=False):
+                    n_points=200, p_chunk=512, interpret=False, f_tile=64):
     """Fused TPU ionogram synthesis: [B, N_alt] profiles → [B, F] vh.
 
     Same discretisation as :func:`pyrayhf_tpu.forward
@@ -204,7 +207,7 @@ def ionogram_pallas(freq_mhz, den, bmag, bpsi, alt, mode_mult=1.0,
         freq_hz, den, jnp.asarray(bmag, dtype), jnp.asarray(bpsi, dtype),
         jnp.asarray(alt, dtype), mode_mult)
 
-    F_pad = _round_up(F, 8)
+    F_pad = _round_up(F, f_tile)
     P = n_points
     p_chunk = min(p_chunk, _round_up(P, 128))
     n_chunks = -(-P // p_chunk)
@@ -225,42 +228,53 @@ def ionogram_pallas(freq_mhz, den, bmag, bpsi, alt, mode_mult=1.0,
 
     alt0 = jnp.asarray(alt, dtype)[0]
     span = crit - alt0
-    # unit middle axis so each (1, 1, F_pad) block equals the trailing dims
+    # unit middle axis so each block equals the trailing dims
     span_p = jnp.zeros((B, 1, F_pad), dtype).at[:, 0, :F].set(span)
     freq_p = jnp.ones((1, 1, F_pad), dtype).at[0, 0, :F].set(freq_hz)
 
-    # highest profile node any stretched grid of profile b can reach
+    # per-(profile, frequency-tile) sweep bound: highest profile node any
+    # stretched grid in the tile reaches
+    n_ftiles = F_pad // f_tile
     alt_rel = seg[:, :, 0]
-    max_span = jnp.max(span_p[:, 0, :], axis=1)
-    j_hi = jnp.sum(alt_rel < max_span[:, None], axis=1).astype(jnp.int32)
+    span_t = span_p[:, 0, :].reshape(B, n_ftiles, f_tile)
+    max_span = jnp.max(span_t, axis=2)                     # [B, n_ftiles]
+    j_hi = jnp.sum(alt_rel[:, None, :] < max_span[:, :, None],
+                   axis=2).astype(jnp.int32).reshape(B * n_ftiles)
+
+    span_b = span_p.reshape(B, n_ftiles, 1, f_tile)
+    freq_b = freq_p.reshape(1, n_ftiles, 1, f_tile)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, n_chunks),
+        grid=(B, n_ftiles, n_chunks),
         in_specs=[
-            pl.BlockSpec((1, p_chunk), lambda b, c, jh: (0, c),
+            pl.BlockSpec((1, p_chunk), lambda b, f, c, jh: (0, c),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, p_chunk), lambda b, c, jh: (0, c),
+            pl.BlockSpec((1, p_chunk), lambda b, f, c, jh: (0, c),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, 8), lambda b, c, jh: (b, 0, 0),
+            pl.BlockSpec((1, N, 8), lambda b, f, c, jh: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, F_pad), lambda b, c, jh: (b, 0, 0),
+            pl.BlockSpec((1, 1, 1, f_tile),
+                         lambda b, f, c, jh: (b, f, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, F_pad), lambda b, c, jh: (0, 0, 0),
+            pl.BlockSpec((1, 1, 1, f_tile),
+                         lambda b, f, c, jh: (0, f, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, F_pad), lambda b, c, jh: (b, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, 1, f_tile),
+                               lambda b, f, c, jh: (b, f, 0, 0),
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
         partial(_kernel, mode_mult=mode_mult, n_seg=N,
-                last_chunk=(P - 1) // p_chunk, last_idx=(P - 1) % p_chunk),
+                last_chunk=(P - 1) // p_chunk, last_idx=(P - 1) % p_chunk,
+                n_ftiles=n_ftiles),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, 1, F_pad), dtype),
+        out_shape=jax.ShapeDtypeStruct((B, n_ftiles, 1, f_tile), dtype),
         interpret=interpret,
-    )(j_hi, mult_j, dmult_j, seg.reshape(B, N, 8), span_p, freq_p)
+    )(j_hi, mult_j, dmult_j, seg.reshape(B, N, 8), span_b, freq_b)
 
-    ih = out[:, 0, :F]
+    ih = out.reshape(B, F_pad)[:, :F]
     min_alt = jnp.min(jnp.asarray(alt, dtype))
     return jnp.where(valid & (ih != 0.0), ih + min_alt, jnp.nan)
 

@@ -136,7 +136,8 @@ def _mu_mup_masked_tile(X, Y, psi, mode_mult):
 
 
 def _kernel(jhi_ref, mult_ref, dmult_ref, seg_ref, span_ref, freq_ref,
-            out_ref, *, mode_mult, n_seg, last_chunk, last_idx, n_ftiles):
+            out_ref, *, mode_mult, n_seg, last_chunk, last_idx, n_ftiles,
+            inv_dalt=None):
     b = pl.program_id(0)
     ft = pl.program_id(1)
     pc = pl.program_id(2)
@@ -158,22 +159,47 @@ def _kernel(jhi_ref, mult_ref, dmult_ref, seg_ref, span_ref, freq_ref,
     bm_acc = jnp.full(shape, seg_ref[0, 0, 4], dtype=new_alt.dtype)
     bp_acc = jnp.full(shape, seg_ref[0, 0, 6], dtype=new_alt.dtype)
 
-    def body(j, carry):
-        d, bm, bp = carry
-        a_j = seg_ref[0, j, 0]
-        inv = seg_ref[0, j, 1]
-        tt = jnp.clip((new_alt - a_j) * inv, 0.0, 1.0)
-        d = d + tt * seg_ref[0, j, 3]
-        bm = bm + tt * seg_ref[0, j, 5]
-        bp = bp + tt * seg_ref[0, j, 7]
-        return d, bm, bp
+    if inv_dalt is not None:
+        # uniform altitude grid: segment edges are j·Δ, so the hat argument
+        # is pos − j with pos precomputed once — no per-segment scalar loads
+        # for the edge coordinates; 4x unrolled to amortise loop overhead
+        pos = new_alt * jnp.asarray(inv_dalt, new_alt.dtype)
+
+        def body(q, carry):
+            d, bm, bp = carry
+            j0 = q * 16
+            for u in range(16):
+                j = j0 + u
+                tt = jnp.clip(pos - j.astype(pos.dtype), 0.0, 1.0)
+                d = d + tt * seg_ref[0, j, 3]
+                bm = bm + tt * seg_ref[0, j, 5]
+                bp = bp + tt * seg_ref[0, j, 7]
+            return d, bm, bp
+    else:
+        def body(j, carry):
+            d, bm, bp = carry
+            a_j = seg_ref[0, j, 0]
+            inv = seg_ref[0, j, 1]
+            tt = jnp.clip((new_alt - a_j) * inv, 0.0, 1.0)
+            d = d + tt * seg_ref[0, j, 3]
+            bm = bm + tt * seg_ref[0, j, 5]
+            bp = bp + tt * seg_ref[0, j, 7]
+            return d, bm, bp
 
     # segments above every reflection height of this (profile, freq-tile)
     # contribute nothing (tt == 0); bound the sweep by the precomputed top
     # index — low-frequency tiles reflect low and sweep far fewer segments
     j_hi = jnp.minimum(jhi_ref[b * n_ftiles + ft], n_seg - 1)
-    d_acc, bm_acc, bp_acc = jax.lax.fori_loop(
-        0, j_hi, body, (d_acc, bm_acc, bp_acc))
+    if inv_dalt is not None:
+        # padded to a multiple of 4 for the unrolled body; extra segments
+        # beyond the table are avoided because seg is padded one row and
+        # j_hi <= n_seg-1 (tt there multiplies a zero field delta)
+        trips = (j_hi + 15) // 16
+        d_acc, bm_acc, bp_acc = jax.lax.fori_loop(
+            0, trips, body, (d_acc, bm_acc, bp_acc))
+    else:
+        d_acc, bm_acc, bp_acc = jax.lax.fori_loop(
+            0, j_hi, body, (d_acc, bm_acc, bp_acc))
 
     f = freq_ref[0, 0, 0, :][:, None]            # [f_tile, 1]
     X = d_acc * (CP * CP) / (f * f)
@@ -188,15 +214,32 @@ def _kernel(jhi_ref, mult_ref, dmult_ref, seg_ref, span_ref, freq_ref,
     out_ref[0, 0, 0, :] = out_ref[0, 0, 0, :] + partial_ih
 
 
-@partial(jax.jit, static_argnames=("mode_mult", "n_points", "p_chunk",
-                                   "interpret", "f_tile"))
 def ionogram_pallas(freq_mhz, den, bmag, bpsi, alt, mode_mult=1.0,
                     n_points=200, p_chunk=512, interpret=False, f_tile=64):
     """Fused TPU ionogram synthesis: [B, N_alt] profiles → [B, F] vh.
 
     Same discretisation as :func:`pyrayhf_tpu.forward
     .vertical_forward_operator_batch` (docstring caveats re f32 tails).
+    When ``alt`` is a concrete uniformly spaced grid the kernel takes a
+    cheaper sweep path (no per-segment edge loads).
     """
+    inv_dalt = None
+    if not isinstance(alt, jax.core.Tracer):
+        a = np.asarray(alt, dtype=np.float64)
+        d = np.diff(a)
+        if d.size and np.allclose(d, d[0], rtol=1e-9, atol=1e-9):
+            inv_dalt = float(1.0 / d[0])
+    return _ionogram_pallas(freq_mhz, den, bmag, bpsi, alt,
+                            mode_mult=mode_mult, n_points=n_points,
+                            p_chunk=p_chunk, interpret=interpret,
+                            f_tile=f_tile, inv_dalt=inv_dalt)
+
+
+@partial(jax.jit, static_argnames=("mode_mult", "n_points", "p_chunk",
+                                   "interpret", "f_tile", "inv_dalt"))
+def _ionogram_pallas(freq_mhz, den, bmag, bpsi, alt, mode_mult=1.0,
+                     n_points=200, p_chunk=512, interpret=False, f_tile=64,
+                     inv_dalt=None):
     freq_hz = (jnp.asarray(freq_mhz, dtype=den.dtype) * 1e6)
     den = jnp.asarray(den)
     B, N = den.shape
@@ -232,10 +275,16 @@ def ionogram_pallas(freq_mhz, den, bmag, bpsi, alt, mode_mult=1.0,
     span_p = jnp.zeros((B, 1, F_pad), dtype).at[:, 0, :F].set(span)
     freq_p = jnp.ones((1, 1, F_pad), dtype).at[0, 0, :F].set(freq_hz)
 
+    # pad the segment table with zero rows so the 4x-unrolled sweep may
+    # read (harmlessly) up to 3 rows past its bound
+    seg = jnp.concatenate(
+        [seg, jnp.zeros((B, 16, 8), seg.dtype)], axis=1)
+    N_tab = N + 16
+
     # per-(profile, frequency-tile) sweep bound: highest profile node any
     # stretched grid in the tile reaches
     n_ftiles = F_pad // f_tile
-    alt_rel = seg[:, :, 0]
+    alt_rel = seg[:, :N, 0]
     span_t = span_p[:, 0, :].reshape(B, n_ftiles, f_tile)
     max_span = jnp.max(span_t, axis=2)                     # [B, n_ftiles]
     j_hi = jnp.sum(alt_rel[:, None, :] < max_span[:, :, None],
@@ -252,7 +301,7 @@ def ionogram_pallas(freq_mhz, den, bmag, bpsi, alt, mode_mult=1.0,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, p_chunk), lambda b, f, c, jh: (0, c),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, 8), lambda b, f, c, jh: (b, 0, 0),
+            pl.BlockSpec((1, N_tab, 8), lambda b, f, c, jh: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1, f_tile),
                          lambda b, f, c, jh: (b, f, 0, 0),
@@ -268,11 +317,11 @@ def ionogram_pallas(freq_mhz, den, bmag, bpsi, alt, mode_mult=1.0,
     out = pl.pallas_call(
         partial(_kernel, mode_mult=mode_mult, n_seg=N,
                 last_chunk=(P - 1) // p_chunk, last_idx=(P - 1) % p_chunk,
-                n_ftiles=n_ftiles),
+                n_ftiles=n_ftiles, inv_dalt=inv_dalt),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, n_ftiles, 1, f_tile), dtype),
         interpret=interpret,
-    )(j_hi, mult_j, dmult_j, seg.reshape(B, N, 8), span_b, freq_b)
+    )(j_hi, mult_j, dmult_j, seg.reshape(B, N_tab, 8), span_b, freq_b)
 
     ih = out.reshape(B, F_pad)[:, :F]
     min_alt = jnp.min(jnp.asarray(alt, dtype))

@@ -176,14 +176,17 @@ def _kernel(jhi_ref, mult_ref, dmult_ref, seg_ref, span_ref, freq_ref,
                 bp = bp + tt * seg_ref[0, j, 7]
             return d, bm, bp
     else:
-        def body(j, carry):
+        def body(q, carry):
             d, bm, bp = carry
-            a_j = seg_ref[0, j, 0]
-            inv = seg_ref[0, j, 1]
-            tt = jnp.clip((new_alt - a_j) * inv, 0.0, 1.0)
-            d = d + tt * seg_ref[0, j, 3]
-            bm = bm + tt * seg_ref[0, j, 5]
-            bp = bp + tt * seg_ref[0, j, 7]
+            j0 = q * 4
+            for u in range(4):
+                j = j0 + u
+                a_j = seg_ref[0, j, 0]
+                inv = seg_ref[0, j, 1]
+                tt = jnp.clip((new_alt - a_j) * inv, 0.0, 1.0)
+                d = d + tt * seg_ref[0, j, 3]
+                bm = bm + tt * seg_ref[0, j, 5]
+                bp = bp + tt * seg_ref[0, j, 7]
             return d, bm, bp
 
     # segments above every reflection height of this (profile, freq-tile)
@@ -198,8 +201,9 @@ def _kernel(jhi_ref, mult_ref, dmult_ref, seg_ref, span_ref, freq_ref,
         d_acc, bm_acc, bp_acc = jax.lax.fori_loop(
             0, trips, body, (d_acc, bm_acc, bp_acc))
     else:
+        # 4x unroll; overrun rows land in the zero padding (tt * 0)
         d_acc, bm_acc, bp_acc = jax.lax.fori_loop(
-            0, j_hi, body, (d_acc, bm_acc, bp_acc))
+            0, (j_hi + 3) // 4, body, (d_acc, bm_acc, bp_acc))
 
     f = freq_ref[0, 0, 0, :][:, None]            # [f_tile, 1]
     X = d_acc * (CP * CP) / (f * f)

@@ -75,3 +75,45 @@ def test_fast_xla_unmagnetized_profile():
     assert np.array_equal(np.isnan(fast), np.isnan(ref))
     m = np.isfinite(ref)
     assert np.abs(fast[m] - ref[m]).max() < 1e-6
+
+
+def test_pallas_nonuniform_grid_interpret():
+    """The generic (non-uniform grid) sweep path matches parity."""
+    rng = np.random.default_rng(7)
+    alt = np.sort(rng.uniform(90.0, 550.0, 150))
+    alt[0], alt[-1] = 90.0, 550.0
+    den = 2e12 * np.exp(-(alt - 300.0) ** 2 / (2 * 60.0 ** 2))[None, :]
+    bmag = np.full_like(den, 3e-5)
+    bpsi = np.full_like(den, 60.0)
+    freqs = np.arange(2.0, 14.0, 1.0)
+    ref = np.asarray(vertical_forward_operator_batch(
+        freqs, den, bmag, bpsi, alt, mode="O", n_points=200))
+    pal = np.asarray(ionogram_pallas(
+        jnp.asarray(freqs), jnp.asarray(den), jnp.asarray(bmag),
+        jnp.asarray(bpsi), jnp.asarray(alt), mode_mult=1.0,
+        n_points=200, interpret=True))
+    assert np.array_equal(np.isnan(pal), np.isnan(ref))
+    m = np.isfinite(ref)
+    assert np.abs(pal[m] - ref[m]).max() < 1e-6
+
+
+def test_f32_vs_f64_tolerance():
+    """f32 operator stays within ~0.1 km of f64 away from near-critical.
+
+    (SURVEY §4 implication: add f32-vs-f64 tolerance tests.)
+    """
+    freqs, den, bmag, bpsi, alt = _workload(B=2)
+    v64 = np.asarray(ionogram_fast_xla(
+        jnp.asarray(freqs), jnp.asarray(den), jnp.asarray(bmag),
+        jnp.asarray(bpsi), jnp.asarray(alt), mode_mult=1.0, n_points=200))
+    f32 = jnp.float32
+    v32 = np.asarray(ionogram_fast_xla(
+        jnp.asarray(freqs, f32), jnp.asarray(den, f32),
+        jnp.asarray(bmag, f32), jnp.asarray(bpsi, f32),
+        jnp.asarray(alt, f32), mode_mult=1.0, n_points=200))
+    m = np.isfinite(v64) & np.isfinite(v32)
+    # exclude the top two frequencies of each row (documented f32 tail)
+    for b in range(v64.shape[0]):
+        fin = np.where(np.isfinite(v64[b]))[0]
+        m[b, fin[-2:]] = False
+    assert np.abs(v32[m] - v64[m]).max() < 0.1

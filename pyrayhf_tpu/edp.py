@@ -198,9 +198,13 @@ def reconstruct_density_continuous(F2, F1, E, alt):
     span = jnp.maximum(hmF1 - hmE, 1.0)
     v = (h - hmE) / span
     w = jnp.clip((v - _CBUMP_V0) / (1.0 - _CBUMP_V0), 0.0, 1.0)
-    bump = (_CBUMP_K_OVER_P * P * jnp.maximum(w, 0.0) ** _CBUMP_A
+    # w**a has an infinite derivative at w == 0 (a < 1): guard with
+    # double-where so jacobians through hmF2/hmF1 stay finite
+    w_pos = w > 0.0
+    w_safe = jnp.where(w_pos, w, 1.0)
+    bump = (_CBUMP_K_OVER_P * P * w_safe ** _CBUMP_A
             * jnp.maximum(1.0 - w, 0.0) ** _CBUMP_B)
-    bump = jnp.where((h > hmE) & (h < hmF1), bump, 0.0)
+    bump = jnp.where(w_pos & (h > hmE) & (h < hmF1), bump, 0.0)
 
     bottom = e_l + (t2 + bump) * f2b
     return jnp.where(h >= hmF2, top, bottom)

@@ -213,7 +213,8 @@ def retrieve_gradient(F2, F1, E, f_in, vh_obs, alt, b_mag, b_psi,
                       crit_margin=0.995):
     """Gradient-based retrieval: exact jacobians through the whole operator.
 
-    Optimises log-scaled (hmF2, B_bot[, NmF2]) with Levenberg–Marquardt on
+    Optimises log-scaled (hmF2, B_bot[, NmF2]) — or (hmF2, B0) for
+    bottom_type='B0_B1' — with Levenberg–Marquardt on
     the virtual-height residuals, using ``jax.jacobian`` through the masked
     (NaN-free-gradient) operator — the adjoint capability the TPU build adds
     over the reference's brute search (SURVEY §2 'Inversion / retrieval').
@@ -230,8 +231,6 @@ def retrieve_gradient(F2, F1, E, f_in, vh_obs, alt, b_mag, b_psi,
     mean-squared-residual trace per accepted iteration.
     """
     del learning_rate
-    if bottom_type != "B_bot":
-        raise NotImplementedError("gradient retrieval supports B_bot")
     f = jnp.asarray(f_in, dtype=float)
     obs = jnp.asarray(vh_obs, dtype=float)
     obs_ok = jnp.isfinite(obs) & jnp.isfinite(f)
@@ -241,7 +240,8 @@ def retrieve_gradient(F2, F1, E, f_in, vh_obs, alt, b_mag, b_psi,
     mm = mode_multiplier(mode)
 
     hm0 = _scalar(F2["hm"])
-    bb0 = _scalar(F2["B_bot"])
+    key2 = "B_bot" if bottom_type == "B_bot" else "B0"
+    bb0 = _scalar(F2[key2])
     old_hm = float(hm0)
     nm0 = (_scalar(F2["Nm"]) if fit_nm
            else _pin_NmF2(jnp.sort(f[obs_ok]), alt_j, bmag_j, old_hm, mode))
@@ -254,6 +254,7 @@ def retrieve_gradient(F2, F1, E, f_in, vh_obs, alt, b_mag, b_psi,
     B_top = _scalar(F2["B_top"])
     Es = {k: _scalar(E[k]) for k in ("Nm", "hm", "B_bot", "B_top")}
     P = _scalar(F1["P"]) if "P" in F1 else jnp.asarray(0.0)
+    B1_fix = _scalar(F2["B1"]) if bottom_type == "B0_B1" else None
 
     def forward(theta):
         hm = jnp.exp(theta["log_hm"])
@@ -261,9 +262,14 @@ def retrieve_gradient(F2, F1, E, f_in, vh_obs, alt, b_mag, b_psi,
         nm = jnp.exp(theta["log_nm"]) if fit_nm else nm0
         NmF1, _, hmF1, _ = edp.derive_dependent_F1_parameters(
             P, nm, hm, bb, hmE)
-        EDP = edp.reconstruct_density_1level(
-            {"Nm": nm, "hm": hm, "B_bot": bb, "B_top": B_top},
-            {"Nm": NmF1, "hm": hmF1}, Es, alt_j)
+        if bottom_type == "B_bot":
+            EDP = edp.reconstruct_density_1level(
+                {"Nm": nm, "hm": hm, "B_bot": bb, "B_top": B_top},
+                {"Nm": NmF1, "hm": hmF1}, Es, alt_j)
+        else:
+            EDP = edp.reconstruct_density_continuous(
+                {"Nm": nm, "hm": hm, "B0": bb, "B1": B1_fix,
+                 "B_top": B_top}, {"P": P, "hm": hmF1}, Es, alt_j)
         vh, valid = vh_and_mask(f, EDP, bmag_j, bpsi_j, alt_j,
                                 mode_mult=mm, n_points=n_points)
         return vh, valid
@@ -281,8 +287,14 @@ def retrieve_gradient(F2, F1, E, f_in, vh_obs, alt, b_mag, b_psi,
         vh, valid = forward(theta)
         nm = jnp.exp(theta["log_nm"]) if fit_nm else nm0
         fo_model = jnp.sqrt(nm) * 8.97866275 / 1e6      # MHz
-        use = valid & obs_ok & (f < crit_margin * fo_model)
-        return jnp.where(use, obs - vh, 0.0), use
+        in_band = obs_ok & (f < crit_margin * fo_model)
+        use = valid & in_band
+        # an observed ray the model fails to reflect costs a large constant
+        # residual — otherwise a parameter step that kills every ray would
+        # zero the residuals and masquerade as a perfect fit
+        r = jnp.where(use, obs - vh, 0.0)
+        r = jnp.where(in_band & ~valid, 1e3, r)
+        return r, use
 
     def res_only(x):
         return residuals(x)[0]
@@ -325,7 +337,8 @@ def retrieve_gradient(F2, F1, E, f_in, vh_obs, alt, b_mag, b_psi,
     F2_fit = dict(F2)
     F2_fit["Nm"] = np.full_like(np.asarray(F2["Nm"], dtype=float), nm_opt)
     F2_fit["hm"] = np.full_like(np.asarray(F2["Nm"], dtype=float), hm_opt)
-    F2_fit["B_bot"] = np.full_like(np.asarray(F2["Nm"], dtype=float), bb_opt)
+    F2_fit[key2] = np.full_like(np.asarray(F2["Nm"], dtype=float), bb_opt)
     vh_fit, EDP_fit = model_VH(F2_fit, dict(F1), dict(E), f_in, alt, b_mag,
-                               b_psi, mode=mode, n_points=n_points)
+                               b_psi, mode=mode, n_points=n_points,
+                               bottom_type=bottom_type)
     return vh_fit, EDP_fit, F2_fit, np.asarray(history)

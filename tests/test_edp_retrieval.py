@@ -226,3 +226,29 @@ def test_edp_builders_are_differentiable():
 
     g = jax.grad(f, argnums=(0, 1, 2, 3))(1.2e12, 350.0, 40.0, 33.0)
     assert all(np.isfinite(float(x)) for x in g)
+
+
+def test_gradient_retrieval_b0b1(day_profile):
+    """LM retrieval through the continuous (B0/B1) builder."""
+    d = day_profile
+    F2 = _layer_scalars(d["F2"])
+    F1 = _layer_scalars(d["F1"])
+    E = _layer_scalars(d["E"])
+    freq = np.arange(2.0, 13.51, 0.25)
+    alt = np.arange(80.0, 700.0, 0.25)
+    from pyrayhf_tpu.magnetoionic import freq2den
+    nm_truth = float(freq2den(13.5e6)) * 1.0001
+    F2_truth = dict(F2, Nm=nm_truth, hm=F2["hm"] * 0.96, B0=F2["B0"] * 1.1)
+    bmag = np.full(alt.size, 3e-5)
+    bpsi = np.full(alt.size, 70.0)
+    vh_obs, _ = model_VH({k: np.array([[v]]) for k, v in F2_truth.items()},
+                         F1, E, freq, alt, bmag, bpsi, bottom_type="B0_B1")
+    vh_obs = np.asarray(vh_obs)
+    F2_in = {k: np.array([[v]]) for k, v in F2.items()}
+    _, _, F2_fit, hist = retrieve_gradient(
+        F2_in, F1, E, freq, vh_obs, alt, bmag, bpsi, bottom_type="B0_B1",
+        steps=25)
+    # may converge to exactly zero in the first accepted iteration
+    assert hist[-1] <= max(hist[0] * 1e-2, 1e-6)
+    assert abs(float(np.ravel(F2_fit["hm"])[0]) / F2_truth["hm"] - 1) < 0.02
+    assert abs(float(np.ravel(F2_fit["B0"])[0]) / F2_truth["B0"] - 1) < 0.05

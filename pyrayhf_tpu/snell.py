@@ -54,18 +54,22 @@ def _prepend_ground(alt, ne, b, psi):
     return cat(z0, alt), cat(ne0, ne), cat(b0, b), cat(psi0, psi)
 
 
-def _compact_valid(z, mu):
+def _compact_valid(z, mu, mup=None):
     """Stable-sort the valid (finite μ) nodes to the front.
 
-    Returns (z_c, mu_c, count): the first ``count`` entries are the valid
-    nodes in ascending altitude; the rest are +inf/NaN padding. This is the
-    static-shape equivalent of the reference's boolean compaction (:1204-1205).
+    Returns (z_c, mu_c, mup_c, count): the first ``count`` entries are the
+    valid nodes in ascending altitude; the rest are +inf/NaN padding. This is
+    the static-shape equivalent of the reference's boolean compaction
+    (:1204-1205). ``mup_c`` gathers μ' through the same permutation (path
+    nodes land exactly on profile nodes, so the reference's per-path
+    ``np.interp`` over μ' reduces to this gather plus one apex interp).
     """
     valid = jnp.isfinite(mu)
     order = jnp.argsort(jnp.where(valid, 0, 1), stable=True)
     z_c = jnp.where(valid[order], z[order], jnp.inf)
     mu_c = jnp.where(valid[order], mu[order], jnp.nan)
-    return z_c, mu_c, jnp.sum(valid)
+    mup_c = mup[order] if mup is not None else None
+    return z_c, mu_c, mup_c, jnp.sum(valid)
 
 
 def _turning_point(z_c, mu_c, count, p, weight):
@@ -131,33 +135,36 @@ def _metrics(x_full, z_full, ds, mup_seg, ok):
     return res
 
 
-@partial(jax.jit, static_argnames=("mode_mult",))
-def _snell_cartesian_core(f0_hz, elevation_deg, alt, ne, babs, bpsi,
-                          mode_mult):
-    alt, ne, babs, bpsi = _prepend_ground(alt, ne, babs, bpsi)
+def _snell_cart_prep(f0_hz, alt, ne, babs, bpsi, mode_mult):
+    """Frequency-dependent, elevation-independent precomputation."""
     mode = "O" if mode_mult > 0 else "X"
     X = find_X(ne, f0_hz)
     Y = find_Y(f0_hz, babs)
     mu, mup = find_mu_mup(X, Y, bpsi, mode)
     mu = jnp.where(jnp.isfinite(mu) & (mu > 0.0), mu, jnp.nan)
     mup = jnp.where(jnp.isfinite(mup) & (mup > 0.0), mup, jnp.nan)
+    z_c, mu_c, mup_c, count = _compact_valid(alt, mu, mup)
+    return z_c, mu_c, mup_c, count, mup, mu[0]
 
+
+def _snell_cart_ray(prep, alt, elevation_deg):
+    z_c, mu_c, mup_c, count, mup, mu0 = prep
     theta0 = jnp.deg2rad(90.0 - elevation_deg)
     s0 = jnp.sin(theta0)
-    mu0 = mu[0]
     p = mu0 * s0
 
-    z_c, mu_c, count = _compact_valid(alt, mu)
     z_turn, i_cross, found = _turning_point(z_c, mu_c, count, p,
                                             lambda z: jnp.ones_like(z))
     ok = jnp.isfinite(mu0) & (count >= 2) & found
 
-    n = alt.shape[0]
+    n = z_c.shape[0]
     k = jnp.arange(n + 1)
     # nodes 0..i_cross, then the apex repeated — the padded tail carries
     # zero-length segments so no masking is needed downstream
     z_up = jnp.where(k <= i_cross, z_c[jnp.minimum(k, n - 1)], z_turn)
     mu_up = jnp.where(k <= i_cross, mu_c[jnp.minimum(k, n - 1)], p)
+    mup_turn = interp_exact(z_turn, alt, mup)
+    mup_up = jnp.where(k <= i_cross, mup_c[jnp.minimum(k, n - 1)], mup_turn)
 
     dz = jnp.diff(z_up)
     mu_mid = 0.5 * (mu_up[:-1] + mu_up[1:])
@@ -172,9 +179,17 @@ def _snell_cartesian_core(f0_hz, elevation_deg, alt, ne, babs, bpsi,
     dx = jnp.diff(x_full)
     dzf = jnp.diff(z_full)
     ds = jnp.hypot(dx, dzf)
-    mup_path = interp_exact(z_full, alt, mup)
+    mup_path = jnp.concatenate([mup_up, mup_up[::-1][1:]])
     mup_seg = 0.5 * (mup_path[1:] + mup_path[:-1])
     return _metrics(x_full, z_full, ds, mup_seg, ok)
+
+
+@partial(jax.jit, static_argnames=("mode_mult",))
+def _snell_cartesian_core(f0_hz, elevation_deg, alt, ne, babs, bpsi,
+                          mode_mult):
+    alt, ne, babs, bpsi = _prepend_ground(alt, ne, babs, bpsi)
+    prep = _snell_cart_prep(f0_hz, alt, ne, babs, bpsi, mode_mult)
+    return _snell_cart_ray(prep, alt, elevation_deg)
 
 
 def trace_ray_cartesian_snells(f0_Hz, elevation_deg, alt_km, Ne, Babs, bpsi,
@@ -193,34 +208,34 @@ def trace_ray_cartesian_snells(f0_Hz, elevation_deg, alt_km, Ne, Babs, bpsi,
                                  mode_mult=mode_multiplier(mode))
 
 
-@partial(jax.jit, static_argnames=("mode_mult",))
-def _snell_spherical_core(f0_hz, elevation_deg, alt, ne, babs, bpsi,
-                          mode_mult, re):
-    alt, ne, babs, bpsi = _prepend_ground(alt, ne, babs, bpsi)
+def _snell_sph_prep(f0_hz, alt, ne, babs, bpsi, mode_mult):
     mode = "O" if mode_mult > 0 else "X"
     X = find_X(ne, f0_hz)
     Y = find_Y(f0_hz, babs)
     mu, mup = find_mu_mup(X, Y, bpsi, mode)
     mu = jnp.where(jnp.isfinite(mu) & (mu > 0.0), mu, jnp.nan)
     mup = jnp.where(jnp.isfinite(mup) & (mup > 0.0), mup, jnp.nan)
+    z_c, mu_c, mup_c, count = _compact_valid(alt, mu, mup)
+    return z_c, mu_c, mup_c, count, mup, mu[0]
 
+
+def _snell_sph_ray(prep, alt, elevation_deg, re):
+    z_c, mu_c, mup_c, count, mup, mu0 = prep
     theta0 = jnp.deg2rad(90.0 - elevation_deg)
     r0 = re + alt[0]
-    mu0 = mu[0]
     p = mu0 * r0 * jnp.sin(theta0)
 
-    z_c, mu_c, count = _compact_valid(alt, mu)
     z_turn, i_cross, found = _turning_point(z_c, mu_c, count, p,
                                             lambda z: re + z)
     ok = jnp.isfinite(mu0) & (count >= 2) & found
 
-    n = alt.shape[0]
+    n = z_c.shape[0]
     k = jnp.arange(n + 1)
     z_up = jnp.where(k <= i_cross, z_c[jnp.minimum(k, n - 1)], z_turn)
     mu_up = jnp.where(k <= i_cross, mu_c[jnp.minimum(k, n - 1)],
                       p / (re + z_turn))
-    z_up = jnp.where(k == i_cross + 1, z_turn, z_up)
-    mu_up = jnp.where(k == i_cross + 1, p / (re + z_turn), mu_up)
+    mup_turn = interp_exact(z_turn, alt, mup)
+    mup_up = jnp.where(k <= i_cross, mup_c[jnp.minimum(k, n - 1)], mup_turn)
 
     # dφ/dz = p / (r · sqrt((μ r)² − p²)), μ linear within each interval.
     z_a, z_b = z_up[:-1], z_up[1:]
@@ -268,9 +283,17 @@ def _snell_spherical_core(f0_hz, elevation_deg, alt, ne, babs, bpsi,
     phi_seg = jnp.diff(phi_full)
     r_mid = re + 0.5 * (z_full[:-1] + z_full[1:])
     ds = jnp.hypot(r_mid * phi_seg, dz_seg)
-    mup_path = interp_exact(z_full, alt, mup)
+    mup_path = jnp.concatenate([mup_up, mup_up[::-1][1:]])
     mup_seg = 0.5 * (mup_path[:-1] + mup_path[1:])
     return _metrics(x_full, z_full, ds, mup_seg, ok)
+
+
+@partial(jax.jit, static_argnames=("mode_mult",))
+def _snell_spherical_core(f0_hz, elevation_deg, alt, ne, babs, bpsi,
+                          mode_mult, re):
+    alt, ne, babs, bpsi = _prepend_ground(alt, ne, babs, bpsi)
+    prep = _snell_sph_prep(f0_hz, alt, ne, babs, bpsi, mode_mult)
+    return _snell_sph_ray(prep, alt, elevation_deg, re)
 
 
 def trace_ray_spherical_snells(f0_Hz, elevation_deg, alt_km, Ne, Babs, bpsi,
@@ -293,6 +316,28 @@ def trace_ray_spherical_snells(f0_Hz, elevation_deg, alt_km, Ne, Babs, bpsi,
                                  mode_mult=mode_multiplier(mode), re=re)
 
 
+@partial(jax.jit, static_argnames=("mode_mult",))
+def _snell_cart_fan(f0s, els, alt_km, ne0, b0, psi0, mode_mult):
+    alt, ne, b, psi = _prepend_ground(alt_km, ne0, b0, psi0)
+
+    def per_freq(f0):
+        prep = _snell_cart_prep(f0, alt, ne, b, psi, mode_mult)
+        return jax.vmap(lambda el: _snell_cart_ray(prep, alt, el))(els)
+
+    return jax.vmap(per_freq)(f0s)
+
+
+@partial(jax.jit, static_argnames=("mode_mult", "re"))
+def _snell_sph_fan(f0s, els, alt_km, ne0, b0, psi0, mode_mult, re):
+    alt, ne, b, psi = _prepend_ground(alt_km, ne0, b0, psi0)
+
+    def per_freq(f0):
+        prep = _snell_sph_prep(f0, alt, ne, b, psi, mode_mult)
+        return jax.vmap(lambda el: _snell_sph_ray(prep, alt, el, re))(els)
+
+    return jax.vmap(per_freq)(f0s)
+
+
 def trace_rays_cartesian_snells(f0_Hz, elevation_deg, alt_km, Ne, Babs, bpsi,
                                 mode):
     """Batched fan: f0 [F], elevation [E] → dict of [F, E, ...] arrays.
@@ -300,29 +345,23 @@ def trace_rays_cartesian_snells(f0_Hz, elevation_deg, alt_km, Ne, Babs, bpsi,
     One XLA launch for the whole (frequency × elevation) fan — this is the
     TPU-native unit of work (the reference traces one ray per call).
     """
-    fn = partial(_snell_cartesian_core, mode_mult=mode_multiplier(mode))
-    alt = jnp.asarray(alt_km, dtype=float)
-    ne = jnp.asarray(Ne, dtype=float)
-    b = jnp.asarray(Babs, dtype=float)
-    psi = jnp.asarray(bpsi, dtype=float)
-    g = jax.vmap(lambda f0: jax.vmap(
-        lambda el: fn(f0, el, alt, ne, b, psi))(
-            jnp.asarray(elevation_deg, dtype=float)))(
-                jnp.asarray(f0_Hz, dtype=float))
-    return g
+    return _snell_cart_fan(jnp.asarray(f0_Hz, dtype=float),
+                           jnp.asarray(elevation_deg, dtype=float),
+                           jnp.asarray(alt_km, dtype=float),
+                           jnp.asarray(Ne, dtype=float),
+                           jnp.asarray(Babs, dtype=float),
+                           jnp.asarray(bpsi, dtype=float),
+                           mode_mult=mode_multiplier(mode))
 
 
 def trace_rays_spherical_snells(f0_Hz, elevation_deg, alt_km, Ne, Babs, bpsi,
                                 mode="O", R_E=None):
     """Batched spherical fan: [F] × [E] → dict of [F, E, ...] arrays."""
     re = globals()["R_E"] if R_E is None else float(R_E)
-    fn = partial(_snell_spherical_core, mode_mult=mode_multiplier(mode),
-                 re=re)
-    alt = jnp.asarray(alt_km, dtype=float)
-    ne = jnp.asarray(Ne, dtype=float)
-    b = jnp.asarray(Babs, dtype=float)
-    psi = jnp.asarray(bpsi, dtype=float)
-    return jax.vmap(lambda f0: jax.vmap(
-        lambda el: fn(f0, el, alt, ne, b, psi))(
-            jnp.asarray(elevation_deg, dtype=float)))(
-                jnp.asarray(f0_Hz, dtype=float))
+    return _snell_sph_fan(jnp.asarray(f0_Hz, dtype=float),
+                          jnp.asarray(elevation_deg, dtype=float),
+                          jnp.asarray(alt_km, dtype=float),
+                          jnp.asarray(Ne, dtype=float),
+                          jnp.asarray(Babs, dtype=float),
+                          jnp.asarray(bpsi, dtype=float),
+                          mode_mult=mode_multiplier(mode), re=re)

@@ -14,7 +14,6 @@ Out-of-domain queries return ``fill_value`` (NaN for n, 0.0 for gradients by
 default), like the reference's ``bounds_error=False`` fills.
 """
 
-from functools import partial
 
 import jax.numpy as jnp
 

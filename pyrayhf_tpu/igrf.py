@@ -20,9 +20,7 @@ percent — adequate for Y = f_ce/f in HF work; load the full 13th-generation
 table for production accuracy.
 """
 
-from functools import partial
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

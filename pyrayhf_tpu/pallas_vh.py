@@ -219,7 +219,7 @@ def _kernel(jhi_ref, mult_ref, dmult_ref, seg_ref, span_ref, freq_ref,
 
 
 def ionogram_pallas(freq_mhz, den, bmag, bpsi, alt, mode_mult=1.0,
-                    n_points=200, p_chunk=512, interpret=False, f_tile=64):
+                    n_points=200, p_chunk=512, interpret=False, f_tile=32):
     """Fused TPU ionogram synthesis: [B, N_alt] profiles → [B, F] vh.
 
     Same discretisation as :func:`pyrayhf_tpu.forward
@@ -242,7 +242,7 @@ def ionogram_pallas(freq_mhz, den, bmag, bpsi, alt, mode_mult=1.0,
 @partial(jax.jit, static_argnames=("mode_mult", "n_points", "p_chunk",
                                    "interpret", "f_tile", "inv_dalt"))
 def _ionogram_pallas(freq_mhz, den, bmag, bpsi, alt, mode_mult=1.0,
-                     n_points=200, p_chunk=512, interpret=False, f_tile=64,
+                     n_points=200, p_chunk=512, interpret=False, f_tile=32,
                      inv_dalt=None):
     freq_hz = (jnp.asarray(freq_mhz, dtype=den.dtype) * 1e6)
     den = jnp.asarray(den)

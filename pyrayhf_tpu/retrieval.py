@@ -15,7 +15,6 @@ PyIRI:
   Levenberg–Marquardt loop, impossible in the NumPy reference.
 """
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -24,6 +24,11 @@ import jax
 import jax.numpy as jnp
 
 from .grid import regrid_core
+
+# Physical ceiling for the group index at the backed-off reflection sample
+# (see find_vh); generous vs the f64 bound ~3e5.
+_MUP_CEILING = 1e7
+
 from .magnetoionic import (find_X, find_Y, find_mu_mup, find_mu_mup_masked,
                            mode_multiplier)
 
@@ -38,10 +43,12 @@ def find_vh(X, Y, bpsi, dh, alt_min, mode):
     NaN, exactly like the reference.
     """
     _, mup = find_mu_mup(X, Y, bpsi, mode)
-    # guard the measure-zero μ'=∞ case (X == 1 exactly at a sample; common
-    # in f32 where 1-X underflows): treat like the NaN escape samples
-    # instead of poisoning the whole quadrature with inf
-    mup = jnp.where(jnp.isinf(mup), jnp.nan, mup)
+    # μ' ceiling: the 1e-6 km reflection backoff bounds the true μ' at the
+    # last sample to ~3e5; in f32, 1-X underflows to 0 (μ'=inf) or to a
+    # denormal (μ' = 2^31-ish) and a single such sample poisons the row by
+    # thousands of km. Values beyond the ceiling are unphysical artifacts —
+    # treat them like the NaN escape samples. (f64 results are unaffected.)
+    mup = jnp.where((mup > 0.0) & (mup <= _MUP_CEILING), mup, jnp.nan)
     ih = jnp.nansum(mup * dh, axis=1)
     ih = jnp.where(ih == 0.0, jnp.nan, ih)
     return ih + alt_min
@@ -131,6 +138,7 @@ def vh_and_mask(freq_mhz, den, bmag, bpsi, alt, mode_mult=1.0, n_points=200):
     aY = find_Y(freq_m, bmag_m)
     mode = "O" if mode_mult > 0 else "X"
     _, mup, pt_ok = find_mu_mup_masked(aX, aY, bpsi_m, mode)
+    pt_ok = pt_ok & (mup > 0.0) & (mup <= _MUP_CEILING)
     contrib = jnp.where(pt_ok, mup * dist_m, 0.0)
     ih = jnp.sum(contrib, axis=1)
     valid = row_ok & (ih != 0.0)

@@ -132,6 +132,9 @@ def _mu_mup_masked_tile(X, Y, psi, mode_mult):
                     jnp.where(ok, mup, 0.0))
     # boolean select via logic ops (Mosaic lacks i1 truncation for where)
     ok = (unmag & iso_ok) | (~unmag & ok)
+    # μ' ceiling: f32 denormal 1-X at the backed-off sample would otherwise
+    # contribute 2^31-scale garbage (see forward.find_vh)
+    ok = ok & (mup > 0.0) & (mup <= 1e7)
     return mup, ok
 
 

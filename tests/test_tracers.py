@@ -223,3 +223,61 @@ def test_gradient_requires_mup_func():
     with pytest.raises(ValueError):
         trace_ray_cartesian_gradient(lambda x, z: (1.0, 0.0, 0.0), None,
                                      0.0, 0.0, 45.0)
+
+
+def test_snell_parity_night_profile(goldens, night_profile):
+    """Night profile: different evanescent-gap structure than Day."""
+    d = night_profile
+    elevs = goldens["snell_elevs"]
+    tfreqs = goldens["snell_freqs"]
+    # the night X-mode profile has an interior evanescent gap; the bridged
+    # 5-km segment is integrated with different quadratures (ref adaptive
+    # substeps vs our √-substitution/midpoint), so spherical physics get a
+    # looser band there
+    for mode in "OX":
+        for tag, fn, tol in [("cart", trace_ray_cartesian_snells, 1e-9),
+                             ("sph", trace_ray_spherical_snells, 2e-2)]:
+            key = f"snell_night_{tag}_{mode}"
+            if key not in goldens:
+                pytest.skip("night goldens not generated")
+            ref = goldens[key]
+            for i, f0 in enumerate(tfreqs):
+                for j, el in enumerate(elevs):
+                    r = fn(f0, el, d["alt"], d["den"], d["bmag"], d["bpsi"],
+                           mode)
+                    ours = np.array([float(r[k]) for k in _METRICS])
+                    rr = ref[i, j]
+                    assert np.array_equal(np.isfinite(ours),
+                                          np.isfinite(rr)), (tag, mode, f0,
+                                                             el)
+                    both = np.isfinite(rr)
+                    rel = np.where(both, np.abs(ours - rr)
+                                   / np.maximum(np.abs(rr), 1e-12), 0.0)
+                    assert rel[:3].max() < tol, (tag, mode, f0, el, rel)
+
+
+def test_gradient_parity_x_mode(goldens):
+    """X-mode gradient traces vs the scipy oracle."""
+    if "grad_cart_X" not in goldens:
+        pytest.skip("X-mode gradient goldens not generated")
+    alt = goldens["gauss_alt"]
+    x_grid = goldens["gauss_x_grid"]
+    nag = build_refractive_index_interpolator_cartesian(
+        alt, x_grid, goldens["gauss_mu_field_X"])
+    mupf = build_mup_function(mup_field=goldens["gauss_mup_field_X"],
+                              x_grid=x_grid, z_grid=alt,
+                              geometry="cartesian")
+    for j, el in enumerate(goldens["snell_elevs"]):
+        r = trace_ray_cartesian_gradient(nag, mupf, 0.0, 0.0, float(el),
+                                         4000.0, step_km=1.0, z_max_km=600.0,
+                                         x_min_km=0.0, x_max_km=1000.0)
+        ours = np.array([float(r["group_path_km"]),
+                         float(r["group_delay_sec"]),
+                         float(r["ground_range_km"]),
+                         float(r["x_apex_km"]), float(r["z_apex_km"])])
+        ref = goldens["grad_cart_X"][j]
+        assert np.array_equal(np.isfinite(ours), np.isfinite(ref)), el
+        both = np.isfinite(ref)
+        rel = np.abs(ours[both] - ref[both]) / np.maximum(np.abs(ref[both]),
+                                                          1e-9)
+        assert rel.max() < 0.01, (el, rel)

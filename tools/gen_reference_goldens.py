@@ -167,6 +167,40 @@ def main():
                   r["ground_range_km"], r["x_apex_km"], r["z_apex_km"]]
     g["grad_sph_O"] = res
 
+    # ---- night-profile Snell tracers (evanescent-gap coverage) ----
+    for mode in "OX":
+        for tag, fn in [("cart", ref.trace_ray_cartesian_snells),
+                        ("sph", ref.trace_ray_spherical_snells)]:
+            res = np.zeros((len(tfreqs), len(elevs), 5))
+            for i, f0 in enumerate(tfreqs):
+                for j, el in enumerate(elevs):
+                    r = fn(f0, el, night["alt"], night["den"],
+                           night["bmag"], night["bpsi"], mode)
+                    res[i, j] = [r["group_path_km"], r["group_delay_sec"],
+                                 r["ground_range_km"], r["x_midpoint"],
+                                 r["z_midpoint"]]
+            g[f"snell_night_{tag}_{mode}"] = res
+
+    # ---- X-mode gradient traces on the Gaussian-layer field ----
+    Xx = ref.find_X(Ne_grid, 10e6)
+    Yx = ref.find_Y(10e6, B_grid)
+    mux, mupx = ref.find_mu_mup(Xx, Yx, psi_grid, "X")
+    nag_x = ref.build_refractive_index_interpolator_cartesian(
+        alt_km, x_grid, mux)
+    mupf_x = ref.build_mup_function(mup_field=mupx, x_grid=x_grid,
+                                    z_grid=alt_km, geometry="cartesian")
+    res = np.zeros((len(elevs), 5))
+    for j, el in enumerate(elevs):
+        r = ref.trace_ray_cartesian_gradient(
+            n_and_grad=nag_x, mup_func=mupf_x, x0_km=0.0, z0_km=0.0,
+            elevation_deg=el, s_max_km=4000.0, max_step_km=5.0,
+            z_max_km=600.0, x_min_km=0.0, x_max_km=1000.0)
+        res[j] = [r["group_path_km"], r["group_delay_sec"],
+                  r["ground_range_km"], r["x_apex_km"], r["z_apex_km"]]
+    g["grad_cart_X"] = res
+    g["gauss_mu_field_X"] = mux
+    g["gauss_mup_field_X"] = mupx
+
     # ---- geodesy & oblique/vertical ----
     D = 600.0
     p = np.array([900.0, 1100.0, 1500.0])

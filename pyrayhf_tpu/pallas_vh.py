@@ -18,11 +18,16 @@ stays in XLA — it is O(B·F·N) elementwise and already fast.
 
 Numerically the fast path evaluates the *same* discretisation as the
 reference/parity operator (same stretched grid, same clamped-linear
-resample, same AH formulas); in float32 the singular μ' tail near the
-reflection point loses precision (1−X below f32 eps), which only affects
-frequencies within ~0.5% of the critical frequency. Use the f64 parity
-operator where the |Δvh| < 0.1 km budget must hold at near-critical
-frequencies (see bench.py accuracy report).
+resample, same AH formulas). The singular μ' tail near the reflection
+point — where the interpolated 1−X falls below f32 eps and the naive
+evaluation loses all significance — is handled by the *analytic margin*
+path: on the reflection-crossing segment the cutoff margin (1−X, resp.
+1−X−Y) is linear in altitude with a slope known exactly from the
+profile table, so the tail is evaluated from cancellation-free
+factorisations of the Appleton–Hartree quotient with that margin
+substituted (see ``_mu_mup_stable_tile``). Measured f32 accuracy vs the
+f64 oracle: ≤ 0.02 km on the Day/Night reference ionograms (well inside
+the 0.1 km budget; f64 remains exact to ~1e-9).
 
 Layout: grid = (B, P-chunks); per cell the [F_pad, P_chunk] workspace lives
 in VMEM; P-chunks accumulate into the output block (revisited across the
@@ -58,7 +63,10 @@ def prepare_profile_tables(freq_hz, den, bmag, bpsi, alt, mode_mult):
     crossing-count reflection-height solve, and packs the per-segment
     piecewise-linear table.
 
-    Returns (seg [B, N, 8], crit [B, F] finite, valid [B, F] bool).
+    Returns (seg [B, N, 8], crit [B, F] finite, valid [B, F] bool,
+    slope [B, F]): ``slope`` is d(fcrit)/dh on the crossing segment — the
+    analytic rate at which the cutoff function approaches 1, used by the
+    stable near-reflection evaluation (the "analytic Xm1" path).
     Segment row j: [alt_j, 1/Δalt_j, den_j, Δden_j, bmag_j, Δbmag_j,
     bpsi_j, Δbpsi_j].
     """
@@ -101,11 +109,28 @@ def prepare_profile_tables(freq_hz, den, bmag, bpsi, alt, mode_mult):
     t = jnp.where(f1 != f0, (1.0 - f0) / jnp.where(f1 != f0, f1 - f0, 1.0),
                   0.0)
     crit = a0 + jnp.clip(t, 0.0, 1.0) * (a1 - a0)
+    da = a1 - a0
+    slope = jnp.where((da > 0) & (f1 > f0),
+                      (f1 - f0) / jnp.where(da > 0, da, 1.0), 0.0)
+    # The analytic near-reflection margin is exact linear-interpolation
+    # algebra ONLY on the crossing segment itself, and only when the cutoff
+    # function equals the local (non-cummax) value there — i.e. X(crit)==1.
+    # When the lower crossing node is cummax-shadowed (an E-peak above a
+    # valley) the interpolated X at ``crit`` never reaches 1 and the
+    # computed 1-X (which is then comfortably far from cancellation) must
+    # be used. ``emax`` = cutoff margin at the segment's lower node bounds
+    # where the analytic form may be substituted.
+    raw = X if mode_mult > 0 else X + Y
+    r0 = take(raw, k - 1)
+    genuine = r0 == f0
+    emax = jnp.where(genuine, jnp.maximum(slope * (crit - a0), 0.0), 0.0)
     # np.interp edge semantics: cutoff already exceeded at the first node
     crit = jnp.where(1.0 <= fcrit[:, :, 0], alt_t[:, 0][:, None], crit)
     # masked-finite: escaped rows collapse to a zero-span grid (zero dh ⇒
     # zero contribution, and they never inflate the sweep bounds)
     crit = jnp.where(valid, crit, alt_t[:, 0][:, None]) - _DH_BACKOFF
+    slope = jnp.where(valid, slope, 0.0)
+    emax = jnp.where(valid, emax, 0.0)
 
     dalt = jnp.diff(alt_t, axis=1)
     inv_dalt = jnp.where(dalt > 0, 1.0 / jnp.where(dalt > 0, dalt, 1.0), 0.0)
@@ -119,7 +144,7 @@ def prepare_profile_tables(freq_hz, den, bmag, bpsi, alt, mode_mult):
         bmag_t, pad(jnp.diff(bmag_t, axis=1)),
         bpsi_t, pad(jnp.diff(bpsi_t, axis=1)),
     ], axis=2)
-    return seg, crit, valid
+    return seg, crit, valid, slope, emax
 
 
 def _mu_mup_masked_tile(X, Y, psi, mode_mult):
@@ -138,9 +163,116 @@ def _mu_mup_masked_tile(X, Y, psi, mode_mult):
     return mup, ok
 
 
-def _kernel(jhi_ref, mult_ref, dmult_ref, seg_ref, span_ref, freq_ref,
-            out_ref, *, mode_mult, n_seg, last_chunk, last_idx, n_ftiles,
-            inv_dalt=None):
+def _mu_mup_stable_tile(X, Y, psi_deg, mode_mult, eps_crit, eps_max):
+    """μ' with the near-reflection small quantity supplied analytically.
+
+    ``eps_crit`` is the cutoff margin from the crossing-segment geometry:
+    1−X for O-mode, 1−X−Y for X-mode — computed as slope·(distance below the
+    reflection height), which is exact linear-interpolation algebra with no
+    catastrophic cancellation, so the singular μ' tail is accurate even in
+    f32 (where the interpolated X rounds to 1 at the last samples). It is
+    substituted only where the sample lies on the crossing segment itself
+    (``eps_crit ≤ eps_max``, the margin at the segment's lower node) —
+    beyond that node the linear model has the wrong slope. Elsewhere the
+    committed-parity computed forms are used unchanged.
+
+    Analytic-path factorisations (cancellation-free):
+      O:  under = (Xm1² + s)/(Xm1 + s),            s = YL²Xm1²/(β + ½YT²)
+      X:  under = Xm1²·ε·(Xm1+Y) / ((Xm1² + s)·D), D = Xm1 − ½YT² − β
+    (the X-mode numerator N = D − X·Xm1 = Xm1² − ½YT² − β factors exactly
+    as N·(Xm1² − ½YT² + β) = Xm1²(Xm1−Y)(Xm1+Y) with ε = Xm1 − Y).
+    """
+    TH = 1e-3
+    use_an = (eps_crit < TH) & (eps_crit <= eps_max)
+    psi = jnp.deg2rad(psi_deg)
+    sinp = jnp.sin(psi)
+    cosp = jnp.cos(psi)
+    YT = Y * sinp
+    YL = Y * cosp
+
+    if mode_mult > 0:
+        Xm1 = jnp.where(use_an, eps_crit, 1.0 - X)
+    else:
+        eps_u = jnp.where(use_an, eps_crit, 1.0 - X - Y)
+        Xm1 = jnp.where(use_an, Y + eps_u, 1.0 - X)
+
+    beta = jnp.sqrt(0.25 * YT ** 4 + YL ** 2 * Xm1 ** 2)
+    bsum = beta + 0.5 * YT ** 2
+    b_ok = bsum > 0.0
+    bsum_safe = jnp.where(b_ok, bsum, 1.0)
+    s_term = jnp.where(b_ok, YL ** 2 * Xm1 ** 2 / bsum_safe, 0.0)
+    conj = Xm1 ** 2 + s_term                     # = Xm1² − ½YT² + β exactly
+
+    if mode_mult > 0:
+        D = Xm1 + s_term
+        d_ok = D != 0.0
+        D_safe = jnp.where(d_ok, D, 1.0)
+        under = conj / D_safe
+    else:
+        D = Xm1 - 0.5 * YT ** 2 - beta
+        d_ok = D != 0.0
+        D_safe = jnp.where(d_ok, D, 1.0)
+        conj_safe = jnp.where(conj > 0.0, conj, 1.0)
+        under_an = Xm1 ** 2 * eps_u * (Xm1 + Y) / (conj_safe * D_safe)
+        under = jnp.where(use_an, under_an, 1.0 - X * Xm1 / D_safe)
+        d_ok = d_ok & (~use_an | (conj > 0.0))
+
+    u_ok = (under >= 0.0) & d_ok
+    mu = jnp.where(u_ok, jnp.sqrt(jnp.where(u_ok, under, 1.0)), 1.0)
+    mu_le1 = mu <= 1.0
+
+    bb_ok = beta > 0.0
+    beta_safe = jnp.where(bb_ok, beta, 1.0)
+    dbetadX = -YL ** 2 * Xm1 / beta_safe
+    dDdX = -1.0 + mode_mult * dbetadX
+    dalphadY = YT ** 3 * sinp + 2.0 * YL * Xm1 ** 2 * cosp
+    dbetadY = 0.5 * dalphadY / beta_safe
+    dDdY = -YT * sinp + mode_mult * dbetadY
+
+    m_ok = u_ok & bb_ok & (mu > 0.0) & mu_le1
+    mu_safe = jnp.where(m_ok, mu, 1.0)
+    dmudY = (X * Xm1 * dDdY) / (2.0 * mu_safe * D_safe ** 2)
+    dmudX = (1.0 / (2.0 * mu_safe * D_safe)) * (
+        2.0 * X - 1.0 + X * Xm1 / D_safe * dDdX)
+    if mode_mult > 0:
+        # On the analytic path the naive derivative terms are inconsistent
+        # with the substituted Xm1 (the computed 2X−1 carries the *rounded*
+        # distance from 1, e.g. −1.2e-7 where eps = 3e-9, which dominates μ'
+        # through 1/(2μD)). Use the exact cancellation-free expansions with
+        # X ≡ 1 − Xm1:
+        #   2X−1 + X·(Xm1/D)·dDdX
+        #     = Xm1·(−1 + c(1−2Xm1) − (YL²/β)(1−Xm1)) / (1+cXm1),
+        #       c = YL²/(β+½YT²)  (so s = c·Xm1², D = Xm1(1+cXm1))
+        #   dDdY = (YL·Xm1²·(cosψ − YT·sinψ·YL/(β+½YT²))) / β
+        # (derived from β−½YT² = s; both are O(Xm1) resp. O(Xm1²) with no
+        # subtraction of near-equal quantities).
+        cfac = jnp.where(b_ok, YL ** 2 / bsum_safe, 0.0)
+        termX_st = Xm1 * (-1.0 + cfac * (1.0 - 2.0 * Xm1)
+                          - YL ** 2 / beta_safe * (1.0 - Xm1)) \
+            / (1.0 + cfac * Xm1)
+        dmudX_st = termX_st / (2.0 * mu_safe * D_safe)
+        dDdY_st = YL * Xm1 ** 2 * (cosp - YT * sinp * YL / bsum_safe) \
+            / beta_safe
+        dmudY_st = (X * Xm1 * dDdY_st) / (2.0 * mu_safe * D_safe ** 2)
+        dmudX = jnp.where(use_an, dmudX_st, dmudX)
+        dmudY = jnp.where(use_an, dmudY_st, dmudY)
+    mup = mu - (2.0 * X * dmudX + Y * dmudY)
+    ok = m_ok & jnp.isfinite(mup)
+
+    # per-element isotropic fallback for unmagnetised samples
+    iso_ok = Xm1 > 0.0
+    iso_mup = jax.lax.rsqrt(jnp.where(iso_ok, Xm1, 1.0))
+    unmag = jnp.abs(Y) < 1e-12
+    mup = jnp.where(unmag, jnp.where(iso_ok, iso_mup, 0.0),
+                    jnp.where(ok, mup, 0.0))
+    ok = (unmag & iso_ok) | (~unmag & ok)
+    ok = ok & (mup > 0.0) & (mup <= 1e7)
+    return mup, ok
+
+
+def _kernel(jhi_ref, mult_ref, dmult_ref, seg_ref, span_ref, slope_ref,
+            emax_ref, freq_ref, out_ref, *, mode_mult, n_seg, last_chunk,
+            last_idx, n_ftiles, inv_dalt=None):
     b = pl.program_id(0)
     ft = pl.program_id(1)
     pc = pl.program_id(2)
@@ -211,7 +343,11 @@ def _kernel(jhi_ref, mult_ref, dmult_ref, seg_ref, span_ref, freq_ref,
     f = freq_ref[0, 0, 0, :][:, None]            # [f_tile, 1]
     X = d_acc * (CP * CP) / (f * f)
     Y = bm_acc * G_P / f
-    mup, ok = _mu_mup_masked_tile(X, Y, bp_acc, mode_mult)
+    # analytic cutoff margin: slope * (distance below the reflection height)
+    slope_t = slope_ref[0, 0, 0, :][:, None]
+    emax_t = emax_ref[0, 0, 0, :][:, None]
+    eps = slope_t * (span[:, None] * (1.0 - mult[None, :]) + _DH_BACKOFF)
+    mup, ok = _mu_mup_stable_tile(X, Y, bp_acc, mode_mult, eps, emax_t)
     partial_ih = jnp.sum(jnp.where(ok, mup * dh, 0.0), axis=1)   # [F_pad]
 
     @pl.when(pc == 0)
@@ -253,7 +389,7 @@ def _ionogram_pallas(freq_mhz, den, bmag, bpsi, alt, mode_mult=1.0,
     F = freq_hz.shape[0]
     dtype = den.dtype
 
-    seg, crit, valid = prepare_profile_tables(
+    seg, crit, valid, slope, emax = prepare_profile_tables(
         freq_hz, den, jnp.asarray(bmag, dtype), jnp.asarray(bpsi, dtype),
         jnp.asarray(alt, dtype), mode_mult)
 
@@ -280,6 +416,8 @@ def _ionogram_pallas(freq_mhz, den, bmag, bpsi, alt, mode_mult=1.0,
     span = crit - alt0
     # unit middle axis so each block equals the trailing dims
     span_p = jnp.zeros((B, 1, F_pad), dtype).at[:, 0, :F].set(span)
+    slope_p = jnp.zeros((B, 1, F_pad), dtype).at[:, 0, :F].set(slope)
+    emax_p = jnp.zeros((B, 1, F_pad), dtype).at[:, 0, :F].set(emax)
     freq_p = jnp.ones((1, 1, F_pad), dtype).at[0, 0, :F].set(freq_hz)
 
     # pad the segment table with zero rows so the 4x-unrolled sweep may
@@ -298,6 +436,8 @@ def _ionogram_pallas(freq_mhz, den, bmag, bpsi, alt, mode_mult=1.0,
                    axis=2).astype(jnp.int32).reshape(B * n_ftiles)
 
     span_b = span_p.reshape(B, n_ftiles, 1, f_tile)
+    slope_b = slope_p.reshape(B, n_ftiles, 1, f_tile)
+    emax_b = emax_p.reshape(B, n_ftiles, 1, f_tile)
     freq_b = freq_p.reshape(1, n_ftiles, 1, f_tile)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -309,6 +449,12 @@ def _ionogram_pallas(freq_mhz, den, bmag, bpsi, alt, mode_mult=1.0,
             pl.BlockSpec((1, p_chunk), lambda b, f, c, jh: (0, c),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, N_tab, 8), lambda b, f, c, jh: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, f_tile),
+                         lambda b, f, c, jh: (b, f, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, f_tile),
+                         lambda b, f, c, jh: (b, f, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1, f_tile),
                          lambda b, f, c, jh: (b, f, 0, 0),
@@ -328,7 +474,8 @@ def _ionogram_pallas(freq_mhz, den, bmag, bpsi, alt, mode_mult=1.0,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, n_ftiles, 1, f_tile), dtype),
         interpret=interpret,
-    )(j_hi, mult_j, dmult_j, seg.reshape(B, N_tab, 8), span_b, freq_b)
+    )(j_hi, mult_j, dmult_j, seg.reshape(B, N_tab, 8), span_b, slope_b,
+      emax_b, freq_b)
 
     ih = out.reshape(B, F_pad)[:, :F]
     min_alt = jnp.min(jnp.asarray(alt, dtype))
@@ -353,8 +500,8 @@ def ionogram_fast_xla(freq_mhz, den, bmag, bpsi, alt, mode_mult=1.0,
     bpsi = jnp.asarray(bpsi, dtype)
     alt_j = jnp.asarray(alt, dtype)
 
-    seg, crit, valid = prepare_profile_tables(freq_hz, den, bmag, bpsi,
-                                              alt_j, mode_mult)
+    seg, crit, valid, slope, emax = prepare_profile_tables(
+        freq_hz, den, bmag, bpsi, alt_j, mode_mult)
     mult = smooth_nonuniform_grid(0.0, 1.0, n_points, 10.0).astype(dtype)
     dmult = jnp.concatenate([jnp.diff(mult),
                              jnp.zeros((1,), dtype)])
@@ -384,7 +531,10 @@ def ionogram_fast_xla(freq_mhz, den, bmag, bpsi, alt, mode_mult=1.0,
     f = freq_hz[None, :, None]
     X = d_acc * (CP * CP) / (f * f)
     Y = bm_acc * G_P / f
-    mup, ok = _mu_mup_masked_tile(X, Y, bp_acc, mode_mult)
+    eps = slope[:, :, None] * (span[:, :, None] * (1.0 - mult[None, None, :])
+                               + _DH_BACKOFF)
+    mup, ok = _mu_mup_stable_tile(X, Y, bp_acc, mode_mult, eps,
+                                  emax[:, :, None])
     ih = jnp.sum(jnp.where(ok, mup * dh, 0.0), axis=2)
     min_alt = jnp.min(alt_j)
     return jnp.where(valid & (ih != 0.0), ih + min_alt, jnp.nan)

@@ -98,22 +98,49 @@ def test_pallas_nonuniform_grid_interpret():
 
 
 def test_f32_vs_f64_tolerance():
-    """f32 operator stays within ~0.1 km of f64 away from near-critical.
+    """f32 operator stays within the 0.1 km budget INCLUDING near-critical.
 
-    (SURVEY §4 implication: add f32-vs-f64 tolerance tests.)
+    (SURVEY §4 implication: add f32-vs-f64 tolerance tests.) The
+    analytic-margin tail (``_mu_mup_stable_tile``) evaluates the singular
+    reflection tail from the crossing-segment slope, so no frequencies
+    need excluding.
     """
     freqs, den, bmag, bpsi, alt = _workload(B=2)
-    v64 = np.asarray(ionogram_fast_xla(
-        jnp.asarray(freqs), jnp.asarray(den), jnp.asarray(bmag),
-        jnp.asarray(bpsi), jnp.asarray(alt), mode_mult=1.0, n_points=200))
+    for mm in (1.0, -1.0):
+        v64 = np.asarray(ionogram_fast_xla(
+            jnp.asarray(freqs), jnp.asarray(den), jnp.asarray(bmag),
+            jnp.asarray(bpsi), jnp.asarray(alt), mode_mult=mm,
+            n_points=200))
+        f32 = jnp.float32
+        v32 = np.asarray(ionogram_fast_xla(
+            jnp.asarray(freqs, f32), jnp.asarray(den, f32),
+            jnp.asarray(bmag, f32), jnp.asarray(bpsi, f32),
+            jnp.asarray(alt, f32), mode_mult=mm, n_points=200))
+        m = np.isfinite(v64) & np.isfinite(v32)
+        assert np.abs(v32[m] - v64[m]).max() < 0.05, mm
+
+
+def test_f32_analytic_tail_day_night(goldens, day_profile, night_profile):
+    """f32 fast path vs the f64 reference oracle on the real ionograms.
+
+    Regression pin for the analytic-margin reflection tail: with the
+    guard-only kernel these were 0.05–0.66 km; the analytic path holds
+    ≤ ~0.03 km on Day/Night × O/X, near-critical frequencies included.
+    The two gates under test: crossing-segment-only substitution
+    (eps ≤ emax) and the cummax-shadowed (E-peak plateau) exclusion.
+    """
+    freqs = goldens["vfo_freqs"]
     f32 = jnp.float32
-    v32 = np.asarray(ionogram_fast_xla(
-        jnp.asarray(freqs, f32), jnp.asarray(den, f32),
-        jnp.asarray(bmag, f32), jnp.asarray(bpsi, f32),
-        jnp.asarray(alt, f32), mode_mult=1.0, n_points=200))
-    m = np.isfinite(v64) & np.isfinite(v32)
-    # exclude the top two frequencies of each row (documented f32 tail)
-    for b in range(v64.shape[0]):
-        fin = np.where(np.isfinite(v64[b]))[0]
-        m[b, fin[-2:]] = False
-    assert np.abs(v32[m] - v64[m]).max() < 0.1
+    for name, prof in [("day", day_profile), ("night", night_profile)]:
+        for mm, mode in [(1.0, "O"), (-1.0, "X")]:
+            ref = goldens[f"vfo_{name}_{mode}_200"]
+            vh = np.asarray(ionogram_fast_xla(
+                jnp.asarray(freqs, f32),
+                jnp.asarray(prof["den"], f32)[None, :],
+                jnp.asarray(prof["bmag"], f32)[None, :],
+                jnp.asarray(prof["bpsi"], f32)[None, :],
+                jnp.asarray(prof["alt"], f32), mode_mult=mm,
+                n_points=200))[0]
+            assert np.array_equal(np.isnan(vh), np.isnan(ref)), (name, mode)
+            m = np.isfinite(ref)
+            assert np.abs(vh[m] - ref[m]).max() < 0.03, (name, mode)

@@ -127,18 +127,75 @@ class RefractiveField:
         self.grad1 = g1                  # d/dx or d/dphi
         self.fill_value_n = fill_value_n
         self.fill_value_grad = fill_value_grad
+        # Uniform grids (the overwhelmingly common case: linspace altitude /
+        # range axes) admit direct index arithmetic — floor((q-o)/d) — in
+        # place of searchsorted, which lowers to an O(log n)-depth
+        # while-structure per query on TPU and dominates the ray-ODE RHS
+        # cost. Detected statically at build time.
+        d0 = _np.diff(_np.asarray(self.c0))
+        d1 = _np.diff(_np.asarray(self.c1))
+        self._uniform = (bool(_np.allclose(d0, d0[0], rtol=1e-9, atol=0.0))
+                         and bool(_np.allclose(d1, d1[0], rtol=1e-9,
+                                               atol=0.0)))
+        self._o0 = float(_np.asarray(self.c0)[0])
+        self._o1 = float(_np.asarray(self.c1)[0])
+        self._inv_d0 = float(1.0 / d0[0])
+        self._inv_d1 = float(1.0 / d1[0])
+        # one stacked tensor so value_and_grad gathers all three fields per
+        # corner in a single gather op
+        self._stacked = jnp.stack([field, g0, g1]).reshape(3, -1)
+
+    def _locate(self, c0q, c1q):
+        """Shared cell locate: (iz, ix, tz, tx, inb) for query points."""
+        c0q, c1q = jnp.broadcast_arrays(jnp.asarray(c0q, dtype=float),
+                                        jnp.asarray(c1q, dtype=float))
+        nz, nx = self.field.shape
+        if self._uniform:
+            f0 = (c0q - self._o0) * self._inv_d0
+            f1 = (c1q - self._o1) * self._inv_d1
+            # NaN queries: park in cell 0 (masked by inb afterwards)
+            f0 = jnp.where(jnp.isnan(f0), 0.0, f0)
+            f1 = jnp.where(jnp.isnan(f1), 0.0, f1)
+            iz = jnp.clip(jnp.floor(f0).astype(jnp.int32), 0, nz - 2)
+            ix = jnp.clip(jnp.floor(f1).astype(jnp.int32), 0, nx - 2)
+            tz = f0 - iz
+            tx = f1 - ix
+        else:
+            iz = jnp.clip(jnp.searchsorted(self.c0, c0q, side="right") - 1,
+                          0, nz - 2)
+            ix = jnp.clip(jnp.searchsorted(self.c1, c1q, side="right") - 1,
+                          0, nx - 2)
+            tz = (c0q - self.c0[iz]) / (self.c0[iz + 1] - self.c0[iz])
+            tx = (c1q - self.c1[ix]) / (self.c1[ix + 1] - self.c1[ix])
+        inb = ((c0q >= self.c0[0]) & (c0q <= self.c0[-1])
+               & (c1q >= self.c1[0]) & (c1q <= self.c1[-1]))
+        return iz, ix, tz, tx, inb
+
+    def _corners(self, c0q, c1q):
+        """Locate + one batched 4-corner index set and weight set."""
+        iz, ix, tz, tx, inb = self._locate(c0q, c1q)
+        nx = self.field.shape[1]
+        idx = iz * nx + ix
+        idxs = jnp.stack([idx, idx + 1, idx + nx, idx + nx + 1])
+        w = jnp.stack([(1 - tz) * (1 - tx), (1 - tz) * tx,
+                       tz * (1 - tx), tz * tx])
+        return idxs, w, inb
 
     def value(self, c0q, c1q):
-        return bilinear(c0q, c1q, self.c0, self.c1, self.field,
-                        self.fill_value_n)
+        idxs, w, inb = self._corners(c0q, c1q)
+        corners = jnp.take(self.field.ravel(), idxs)     # [4, ...]
+        val = jnp.sum(w * corners, axis=0)
+        return jnp.where(inb, val, self.fill_value_n)
 
     def value_and_grad(self, c0q, c1q):
         """(n, dn/dc0, dn/dc1) at native coordinates (z,x) or (r,φ)."""
-        n = self.value(c0q, c1q)
-        g0 = bilinear(c0q, c1q, self.c0, self.c1, self.grad0,
-                      self.fill_value_grad)
-        g1 = bilinear(c0q, c1q, self.c0, self.c1, self.grad1,
-                      self.fill_value_grad)
+        idxs, w, inb = self._corners(c0q, c1q)
+        # one gather covering all 3 fields x 4 corners
+        corners = jnp.take(self._stacked, idxs, axis=1)  # [3, 4, ...]
+        val = jnp.sum(w[None] * corners, axis=1)         # [3, ...]
+        n = jnp.where(inb, val[0], self.fill_value_n)
+        g0 = jnp.where(inb, val[1], self.fill_value_grad)
+        g1 = jnp.where(inb, val[2], self.fill_value_grad)
         return n, g0, g1
 
 

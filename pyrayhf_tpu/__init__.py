@@ -35,7 +35,7 @@ from .edp import (derive_dependent_F1_parameters, epstein_layer,
                   reconstruct_density_1level, reconstruct_density_continuous,
                   valley_transition)
 from .retrieval import (minimize_parameters, model_VH, residual_VH,
-                        retrieve_gradient)
+                        retrieve_gradient, retrieve_gradient_batch)
 from .pallas_vh import ionogram_fast_xla, ionogram_pallas
 from . import edp, envgen, fields, geodesy, gradient, grid, igrf, io, \
     magnetoionic, parallel, profiling, retrieval, snell

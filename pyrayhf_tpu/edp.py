@@ -58,10 +58,16 @@ _CBUMP_B = 1.42459621
 
 
 def epstein_layer(Nm, hm, B, h):
-    """Symmetric Epstein layer 4·Nm·u/(1+u)², u = exp((h−hm)/B)."""
+    """Symmetric Epstein layer 4·Nm·u/(1+u)² = Nm·sech²(x/2), u = e^x.
+
+    The sech² form keeps every intermediate within float32 dynamic range:
+    TPU float64 is double-float emulation whose exponent range is f32's, so
+    the naive (1+u)² overflows to inf at |x| ≳ 88 and its JVP turns NaN at
+    |x| ≳ 44 — silently breaking gradient retrieval on TPU only.
+    """
     x = jnp.clip((h - hm) / B, -80.0, 80.0)
-    u = jnp.exp(x)
-    return 4.0 * Nm * u / (1.0 + u) ** 2
+    c = jnp.cosh(0.5 * x)                 # ≤ cosh(40) ≈ 1.2e17
+    return Nm / (c * c)
 
 
 def f2_topside(NmF2, hmF2, B_top, h):
@@ -70,8 +76,8 @@ def f2_topside(NmF2, hmF2, B_top, h):
     g, r = 0.125, 100.0
     H = B_top * (1.0 + r * g * dh / (r * B_top + g * dh))
     x = jnp.clip(dh / H, -80.0, 80.0)
-    u = jnp.exp(x)
-    return 4.0 * NmF2 * u / (1.0 + u) ** 2
+    c = jnp.cosh(0.5 * x)                 # sech² form: see epstein_layer
+    return NmF2 / (c * c)
 
 
 def f2_bottom_thickness(NmF2, hmF2, B_bot, h):
@@ -87,7 +93,12 @@ def f2_bottom_b0b1(NmF2, hmF2, B0, B1, h):
     """
     x = jnp.maximum(hmF2 - h, 0.0) / B0
     x_safe = jnp.maximum(x, 1e-30)
-    return NmF2 * jnp.exp(-x_safe ** B1) / jnp.cosh(x)
+    # 1/cosh(x) = 2e^(-x)/(1+e^(-2x)): every factor ≤ 1 for x ≥ 0, so the
+    # TPU double-float range (f32 exponents — see epstein_layer) is safe
+    # even when the optimiser explores small B0 (x ≈ 50+ overflows cosh²
+    # in the naive form's JVP).
+    sech = 2.0 * jnp.exp(-x) / (1.0 + jnp.exp(-2.0 * x))
+    return NmF2 * jnp.exp(-x_safe ** B1) * sech
 
 
 def valley_transition(h, hmE, hmF2):
@@ -97,7 +108,9 @@ def valley_transition(h, hmE, hmF2):
     PyIRI night profile to ~6e-4 (DEVNOTES.md).
     """
     delta = (hmF2 - hmE) / 10.0
-    sig = lambda t: 1.0 / (1.0 + jnp.exp(-t))
+    # tanh form of the logistic: bounded intermediates under TPU's
+    # double-float range (the exp form's JVP is NaN at t ≲ -44 there)
+    sig = lambda t: 0.5 * (1.0 + jnp.tanh(0.5 * t))
     s = sig((h - hmE - delta) / delta)
     s0 = sig(jnp.asarray(-1.0))
     s1 = sig((hmF2 - hmE - delta) / delta)
@@ -130,8 +143,8 @@ def _asym_ledge(h, hmF1, B_low, B_high):
     """Asymmetric unit bump peaked at hmF1 (the 1-level F1 ledge shape)."""
     B = jnp.where(h <= hmF1, B_low, B_high)
     x = jnp.clip((h - hmF1) / B, -80.0, 80.0)
-    u = jnp.exp(x)
-    return 4.0 * u / (1.0 + u) ** 2
+    c = jnp.cosh(0.5 * x)                 # sech² form: see epstein_layer
+    return 1.0 / (c * c)
 
 
 def reconstruct_density_1level(F2, F1, E, alt):

@@ -246,14 +246,19 @@ def _mu_mup_stable_tile(X, Y, psi_deg, mode_mult, eps_crit, eps_max):
         #   dDdY = (YL·Xm1²·(cosψ − YT·sinψ·YL/(β+½YT²))) / β
         # (derived from β−½YT² = s; both are O(Xm1) resp. O(Xm1²) with no
         # subtraction of near-equal quantities).
+        # Every Xm1 power is cancelled analytically (D = Xm1·(1+c·Xm1)
+        # exactly), leaving O(μβ)-scale denominators: quotient-rule AD
+        # squares the denominator, and (2μD²)² ~ 1e-39 underflows the TPU
+        # double-float (f32 exponent) range — finite μ' with NaN tangents,
+        # observed as every LM step silently rejected on TPU.
         cfac = jnp.where(b_ok, YL ** 2 / bsum_safe, 0.0)
-        termX_st = Xm1 * (-1.0 + cfac * (1.0 - 2.0 * Xm1)
-                          - YL ** 2 / beta_safe * (1.0 - Xm1)) \
-            / (1.0 + cfac * Xm1)
-        dmudX_st = termX_st / (2.0 * mu_safe * D_safe)
-        dDdY_st = YL * Xm1 ** 2 * (cosp - YT * sinp * YL / bsum_safe) \
-            / beta_safe
-        dmudY_st = (X * Xm1 * dDdY_st) / (2.0 * mu_safe * D_safe ** 2)
+        onepr = 1.0 + cfac * Xm1
+        T_st = (-1.0 + cfac * (1.0 - 2.0 * Xm1)
+                - YL ** 2 / beta_safe * (1.0 - Xm1))
+        dmudX_st = T_st / (2.0 * mu_safe * onepr ** 2)
+        q_st = cosp - YT * sinp * YL / bsum_safe
+        dmudY_st = X * YL * Xm1 * q_st / (2.0 * mu_safe * beta_safe
+                                          * onepr ** 2)
         dmudX = jnp.where(use_an, dmudX_st, dmudX)
         dmudY = jnp.where(use_an, dmudY_st, dmudY)
     mup = mu - (2.0 * X * dmudX + Y * dmudY)

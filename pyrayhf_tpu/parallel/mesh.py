@@ -34,7 +34,8 @@ from ..pallas_vh import ionogram_fast_xla
 from ..magnetoionic import find_X, find_Y, find_mu_mup_masked, mode_multiplier
 
 __all__ = ["ionogram_mesh", "synthesize_ionograms_sharded",
-           "vh_height_sharded", "retrieval_step_sharded"]
+           "vh_height_sharded", "retrieval_step_sharded",
+           "retrieve_gradient_batch_sharded"]
 
 
 def ionogram_mesh(devices=None, batch_axis=None):
@@ -183,3 +184,42 @@ def retrieval_step_sharded(theta, obs, freq, den_aux, mesh, lr=1e-2,
                    out_specs=(P("batch"), P("batch"), P("batch"), P()))
     hm, bb, nm, loss = fn(theta["hm"], theta["bb"], theta["nm"], obs)
     return {"hm": hm, "bb": bb, "nm": nm}, loss
+
+
+def retrieve_gradient_batch_sharded(F2, F1, E, f_in, vh_obs, alt, b_mag,
+                                    b_psi, mesh, mode="O", n_points=200,
+                                    bottom_type="B_bot", steps=25,
+                                    fit_nm=False, crit_margin=0.995):
+    """DP-sharded batched LM retrieval: [B, F] ionograms over the 'batch'
+    mesh axis.
+
+    The parallel Levenberg–Marquardt loop
+    (:func:`pyrayhf_tpu.retrieval.retrieve_gradient_batch`) is
+    embarrassingly parallel over the sample axis — per-sample jacobians,
+    damping, and 2×2/3×3 normal-equation solves — so placing the
+    observations and initial guesses with a ``P('batch', ...)`` sharding
+    lets GSPMD partition every LM iteration with zero collectives; the
+    chips only exchange data when the fitted results are gathered at the
+    end. B must be divisible by the axis size.
+    """
+    from ..retrieval import retrieve_gradient_batch
+
+    obs = jnp.atleast_2d(jnp.asarray(vh_obs, dtype=float))
+    B = obs.shape[0]
+    if B % mesh.shape["batch"]:
+        raise ValueError("B must be divisible by the 'batch' axis size")
+    obs = jax.device_put(obs, NamedSharding(mesh, P("batch", None)))
+
+    F2 = dict(F2)
+    keys = ["hm", "B_bot" if bottom_type == "B_bot" else "B0"]
+    if fit_nm:
+        keys.append("Nm")
+    for k in keys:
+        v = jnp.broadcast_to(jnp.asarray(F2[k], dtype=float).reshape(-1),
+                             (B,))
+        F2[k] = jax.device_put(v, NamedSharding(mesh, P("batch")))
+
+    return retrieve_gradient_batch(F2, F1, E, f_in, obs, alt, b_mag, b_psi,
+                                   mode=mode, n_points=n_points,
+                                   bottom_type=bottom_type, steps=steps,
+                                   fit_nm=fit_nm, crit_margin=crit_margin)

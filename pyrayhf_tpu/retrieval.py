@@ -16,6 +16,8 @@ PyIRI:
 """
 
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -23,10 +25,11 @@ import numpy as np
 from . import edp
 from .constants import G_P
 from .forward import vertical_forward_operator, vh_and_mask
+from .pallas_vh import ionogram_fast_xla
 from .magnetoionic import freq2den, mode_multiplier
 
 __all__ = ["model_VH", "residual_VH", "minimize_parameters",
-           "retrieve_gradient"]
+           "retrieve_gradient", "retrieve_gradient_batch"]
 
 
 def _scalar(x):
@@ -340,4 +343,216 @@ def retrieve_gradient(F2, F1, E, f_in, vh_obs, alt, b_mag, b_psi,
     vh_fit, EDP_fit = model_VH(F2_fit, dict(F1), dict(E), f_in, alt, b_mag,
                                b_psi, mode=mode, n_points=n_points,
                                bottom_type=bottom_type)
+    return vh_fit, EDP_fit, F2_fit, np.asarray(history)
+
+
+def _solve_small(A, b):
+    """Batched solve for the tiny LM normal equations.
+
+    Closed-form Cramer solves for the 2/3-parameter systems — TPU's
+    LuDecomposition custom-call has no f64 batched kernel, and an explicit
+    determinant solve is cheaper than LU at this size anyway.
+    """
+    n = A.shape[-1]
+    if n == 2:
+        det = A[..., 0, 0] * A[..., 1, 1] - A[..., 0, 1] * A[..., 1, 0]
+        det = jnp.where(det == 0.0, 1e-300, det)
+        x0 = (b[..., 0] * A[..., 1, 1] - b[..., 1] * A[..., 0, 1]) / det
+        x1 = (A[..., 0, 0] * b[..., 1] - A[..., 1, 0] * b[..., 0]) / det
+        return jnp.stack([x0, x1], axis=-1)
+    if n == 3:
+        c00 = A[..., 1, 1] * A[..., 2, 2] - A[..., 1, 2] * A[..., 2, 1]
+        c01 = A[..., 1, 2] * A[..., 2, 0] - A[..., 1, 0] * A[..., 2, 2]
+        c02 = A[..., 1, 0] * A[..., 2, 1] - A[..., 1, 1] * A[..., 2, 0]
+        det = (A[..., 0, 0] * c00 + A[..., 0, 1] * c01 + A[..., 0, 2] * c02)
+        det = jnp.where(det == 0.0, 1e-300, det)
+        c10 = A[..., 0, 2] * A[..., 2, 1] - A[..., 0, 1] * A[..., 2, 2]
+        c11 = A[..., 0, 0] * A[..., 2, 2] - A[..., 0, 2] * A[..., 2, 0]
+        c12 = A[..., 0, 1] * A[..., 2, 0] - A[..., 0, 0] * A[..., 2, 1]
+        c20 = A[..., 0, 1] * A[..., 1, 2] - A[..., 0, 2] * A[..., 1, 1]
+        c21 = A[..., 0, 2] * A[..., 1, 0] - A[..., 0, 0] * A[..., 1, 2]
+        c22 = A[..., 0, 0] * A[..., 1, 1] - A[..., 0, 1] * A[..., 1, 0]
+        x0 = (b[..., 0] * c00 + b[..., 1] * c10 + b[..., 2] * c20) / det
+        x1 = (b[..., 0] * c01 + b[..., 1] * c11 + b[..., 2] * c21) / det
+        x2 = (b[..., 0] * c02 + b[..., 1] * c12 + b[..., 2] * c22) / det
+        return jnp.stack([x0, x1, x2], axis=-1)
+    return jnp.linalg.solve(A, b[..., None])[..., 0]
+
+
+@partial(jax.jit, static_argnames=("mode", "n_points", "bottom_type",
+                                   "steps", "fit_nm", "crit_margin"))
+def _lm_batch_core(hm0, bb0, nm0, B_top, Es, P, B1_fix, f, obs, alt_j,
+                   bmag_j, bpsi_j, *, mode, n_points, bottom_type, steps,
+                   fit_nm, crit_margin):
+    """One XLA program: `steps` parallel LM iterations over [B] ionograms.
+
+    Per-sample damping (λ) with accept/reject via masks — a rejected sample
+    keeps its state and raises λ while its batch-mates proceed. Fixed step
+    count (no host round-trips inside the loop).
+    """
+    mm = mode_multiplier(mode)
+    obs_ok = jnp.isfinite(obs) & jnp.isfinite(f)[None, :]
+    hmE = Es["hm"]
+    B = obs.shape[0]
+    bmag_b = jnp.broadcast_to(bmag_j, (B, bmag_j.shape[-1]))
+    bpsi_b = jnp.broadcast_to(bpsi_j, (B, bpsi_j.shape[-1]))
+
+    # parameter vector layout matches retrieve_gradient's sorted-key order
+    x0 = jnp.stack([jnp.log(bb0), jnp.log(hm0)]
+                   + ([jnp.log(nm0)] if fit_nm else []), axis=1)   # [B, Pn]
+
+    def edp_s(x, nm0_s):
+        bb = jnp.exp(x[0])
+        hm = jnp.exp(x[1])
+        nm = jnp.exp(x[2]) if fit_nm else nm0_s
+        NmF1, _, hmF1, _ = edp.derive_dependent_F1_parameters(
+            P, nm, hm, bb, hmE)
+        if bottom_type == "B_bot":
+            EDP = edp.reconstruct_density_1level(
+                {"Nm": nm, "hm": hm, "B_bot": bb, "B_top": B_top},
+                {"Nm": NmF1, "hm": hmF1}, Es, alt_j)
+        else:
+            EDP = edp.reconstruct_density_continuous(
+                {"Nm": nm, "hm": hm, "B0": bb, "B1": B1_fix,
+                 "B_top": B_top}, {"P": P, "hm": hmF1}, Es, alt_j)
+        return EDP, nm
+
+    def forward_b(xb):
+        """[B, Pn] → (vh [B, F] NaN-for-escaped, nm [B]).
+
+        The whole batch goes through the gather-free sweep forward
+        (:func:`pyrayhf_tpu.pallas_vh.ionogram_fast_xla`) — one fused
+        program, fast on TPU, and cheap under forward-mode AD (reverse
+        mode through the per-sample parity operator materialised ~30 GB
+        of activations at B=256).
+        """
+        dens, nm = jax.vmap(edp_s)(xb, nm0)
+        vh = ionogram_fast_xla(f, dens, bmag_b, bpsi_b, alt_j,
+                               mode_mult=mm, n_points=n_points)
+        return vh, nm
+
+    def res_b(xb):
+        vh, nm = forward_b(xb)
+        valid = ~jnp.isnan(vh)
+        fo_model = jnp.sqrt(nm) * 8.97866275 / 1e6          # MHz
+        in_band = obs_ok & (f[None, :] < crit_margin * fo_model[:, None])
+        use = valid & in_band
+        r = jnp.where(use, obs - vh, 0.0)
+        return jnp.where(in_band & ~valid, 1e3, r)
+
+    n_par = x0.shape[1]
+    eyeP = jnp.eye(n_par)
+
+    def jac_b(xb):
+        """[B, F, Pn] via Pn forward-mode JVP sweeps (samples independent,
+        so one batched tangent per parameter covers the whole batch)."""
+        cols = [jax.jvp(res_b, (xb,),
+                        (jnp.broadcast_to(eyeP[k], xb.shape),))[1]
+                for k in range(n_par)]
+        return jnp.stack(cols, axis=-1)
+
+    def lm_step(state, _):
+        x, lam, cost = state
+        J = jac_b(x)                                        # [B, F, Pn]
+        JtJ = jnp.einsum("bfi,bfj->bij", J, J)
+        r = res_b(x)                                        # [B, F]
+        Jtr = jnp.einsum("bfi,bf->bi", J, r)
+        diag = jnp.maximum(jnp.diagonal(JtJ, axis1=1, axis2=2), 1e-12)
+
+        # inner damping retries (same semantics as retrieve_gradient's
+        # 8-try loop, vectorised: samples that accepted stop updating)
+        def try_lam(carry, _):
+            x_acc, lam, cost, done = carry
+            A = JtJ + (lam[:, None] * diag)[:, :, None] * eyeP[None]
+            delta = _solve_small(A, Jtr)
+            x_new = x - delta
+            cost_new = jnp.sum(res_b(x_new) ** 2, axis=1)
+            ok = ~done & jnp.isfinite(cost_new) & (cost_new < cost)
+            x_acc = jnp.where(ok[:, None], x_new, x_acc)
+            cost = jnp.where(ok, cost_new, cost)
+            lam = jnp.where(done, lam,
+                            jnp.where(ok, jnp.maximum(lam / 3.0, 1e-10),
+                                      jnp.minimum(lam * 10.0, 1e8)))
+            return (x_acc, lam, cost, done | ok), None
+
+        done0 = jnp.zeros(x.shape[0], dtype=bool)
+        (x, lam, cost, _), _ = jax.lax.scan(try_lam, (x, lam, cost, done0),
+                                            None, length=4)
+        return (x, lam, cost), cost
+
+    cost0 = jnp.sum(res_b(x0) ** 2, axis=1)
+    lam0 = jnp.full(x0.shape[0], 1e-2)
+    (x, _, _), history = jax.lax.scan(lm_step, (x0, lam0, cost0), None,
+                                      length=steps)
+
+    EDP_fit, nm_fit = jax.vmap(edp_s)(x, nm0)
+    vh_fit, _ = forward_b(x)
+    hm_fit = jnp.exp(x[:, 1])
+    bb_fit = jnp.exp(x[:, 0])
+    return vh_fit, EDP_fit, hm_fit, bb_fit, nm_fit, history
+
+
+def retrieve_gradient_batch(F2, F1, E, f_in, vh_obs, alt, b_mag, b_psi,
+                            mode="O", n_points=200, bottom_type="B_bot",
+                            steps=25, fit_nm=False, crit_margin=0.995):
+    """Batched gradient retrieval: [B, F] ionograms → [B] fits, one launch.
+
+    The serving-scale variant of :func:`retrieve_gradient`: every LM
+    iteration (vmapped exact jacobians, batched 3×3 normal-equation solves,
+    per-sample damping) runs inside a single jitted ``lax.scan`` — no host
+    round-trips, so wall clock is ~independent of how many ionograms share
+    the launch up to the chip's compute limit. The reference's lmfit loop
+    (ref ``library.py:672-825``) retrieves one ionogram per minimize call.
+
+    ``vh_obs`` is [B, F]; entries of ``F2`` may be scalars (shared initial
+    guess) or [B] arrays (per-sample). ``F1``/``E`` parameters and the
+    profile axes (``alt``, ``b_mag``, ``b_psi``) are shared across the
+    batch. Returns (vh_fit [B, F], EDP_fit [B, N], F2_fit dict of [B]
+    arrays, history [steps, B] squared-residual trace).
+    """
+    obs = jnp.atleast_2d(jnp.asarray(vh_obs, dtype=float))
+    B = obs.shape[0]
+    f = jnp.asarray(f_in, dtype=float)
+    alt_j = jnp.asarray(alt, dtype=float)
+    bmag_j = jnp.asarray(b_mag, dtype=float)
+    bpsi_j = jnp.asarray(b_psi, dtype=float)
+
+    def per_sample(v):
+        a = jnp.asarray(v, dtype=float).reshape(-1)
+        return jnp.broadcast_to(a, (B,)) if a.shape[0] in (1, B) else a
+
+    hm0 = per_sample(F2["hm"])
+    key2 = "B_bot" if bottom_type == "B_bot" else "B0"
+    bb0 = per_sample(F2[key2])
+
+    if fit_nm:
+        nm0 = per_sample(F2["Nm"])
+    else:
+        # per-sample NmF2 pin from the highest finite observed frequency
+        # (ref :760-778 semantics, vectorised over the batch)
+        obs_ok = jnp.isfinite(obs) & jnp.isfinite(f)[None, :]
+        fmax_hz = jnp.max(jnp.where(obs_ok, f[None, :], -jnp.inf),
+                          axis=1) * 1e6
+        if mode == "O":
+            nm0 = freq2den(fmax_hz) * 1.0001
+        else:
+            ind = jax.vmap(lambda h: jnp.argmin(jnp.abs(alt_j - h)))(hm0)
+            f_c = bmag_j[ind] * G_P
+            nm0 = freq2den(jnp.sqrt(fmax_hz ** 2 - fmax_hz * f_c)) * 1.0001
+
+    B_top = _scalar(F2["B_top"])
+    Es = {k: _scalar(E[k]) for k in ("Nm", "hm", "B_bot", "B_top")}
+    P = _scalar(F1["P"]) if "P" in F1 else jnp.asarray(0.0)
+    B1_fix = (_scalar(F2["B1"]) if bottom_type == "B0_B1"
+              else jnp.asarray(0.0))
+
+    vh_fit, EDP_fit, hm_fit, bb_fit, nm_fit, history = _lm_batch_core(
+        hm0, bb0, nm0, B_top, Es, P, B1_fix, f, obs, alt_j, bmag_j, bpsi_j,
+        mode=mode, n_points=n_points, bottom_type=bottom_type, steps=steps,
+        fit_nm=fit_nm, crit_margin=crit_margin)
+
+    F2_fit = dict(F2)
+    F2_fit["Nm"] = np.asarray(nm_fit)
+    F2_fit["hm"] = np.asarray(hm_fit)
+    F2_fit[key2] = np.asarray(bb_fit)
     return vh_fit, EDP_fit, F2_fit, np.asarray(history)

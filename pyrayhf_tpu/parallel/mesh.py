@@ -189,7 +189,8 @@ def retrieval_step_sharded(theta, obs, freq, den_aux, mesh, lr=1e-2,
 def retrieve_gradient_batch_sharded(F2, F1, E, f_in, vh_obs, alt, b_mag,
                                     b_psi, mesh, mode="O", n_points=200,
                                     bottom_type="B_bot", steps=25,
-                                    fit_nm=False, crit_margin=0.995):
+                                    fit_nm=False, crit_margin=0.995,
+                                    chunk_size=None):
     """DP-sharded batched LM retrieval: [B, F] ionograms over the 'batch'
     mesh axis.
 
@@ -219,7 +220,10 @@ def retrieve_gradient_batch_sharded(F2, F1, E, f_in, vh_obs, alt, b_mag,
                              (B,))
         F2[k] = jax.device_put(v, NamedSharding(mesh, P("batch")))
 
+    # chunking defaults off here: the mesh already divides per-launch work
+    # by the number of chips (pass chunk_size for very large per-chip B)
     return retrieve_gradient_batch(F2, F1, E, f_in, obs, alt, b_mag, b_psi,
                                    mode=mode, n_points=n_points,
                                    bottom_type=bottom_type, steps=steps,
-                                   fit_nm=fit_nm, crit_margin=crit_margin)
+                                   fit_nm=fit_nm, crit_margin=crit_margin,
+                                   chunk_size=chunk_size)

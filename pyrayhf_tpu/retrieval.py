@@ -494,7 +494,8 @@ def _lm_batch_core(hm0, bb0, nm0, B_top, Es, P, B1_fix, f, obs, alt_j,
 
 def retrieve_gradient_batch(F2, F1, E, f_in, vh_obs, alt, b_mag, b_psi,
                             mode="O", n_points=200, bottom_type="B_bot",
-                            steps=25, fit_nm=False, crit_margin=0.995):
+                            steps=25, fit_nm=False, crit_margin=0.995,
+                            chunk_size=64):
     """Batched gradient retrieval: [B, F] ionograms → [B] fits, one launch.
 
     The serving-scale variant of :func:`retrieve_gradient`: every LM
@@ -546,10 +547,27 @@ def retrieve_gradient_batch(F2, F1, E, f_in, vh_obs, alt, b_mag, b_psi,
     B1_fix = (_scalar(F2["B1"]) if bottom_type == "B0_B1"
               else jnp.asarray(0.0))
 
-    vh_fit, EDP_fit, hm_fit, bb_fit, nm_fit, history = _lm_batch_core(
-        hm0, bb0, nm0, B_top, Es, P, B1_fix, f, obs, alt_j, bmag_j, bpsi_j,
-        mode=mode, n_points=n_points, bottom_type=bottom_type, steps=steps,
-        fit_nm=fit_nm, crit_margin=crit_margin)
+    # chunk the batch axis across launches: one LM program for a large B
+    # is a single long device execution, and relayed/tunnelled TPU workers
+    # enforce a per-launch wall-time watchdog (observed: B=64 at ~45 s per
+    # launch fine, B=128 kills the worker). Chunks reuse the same compiled
+    # executable, so the only cost is launch overhead per chunk.
+    parts = []
+    for lo in range(0, B, chunk_size) if chunk_size else [0]:
+        sl = slice(lo, min(lo + chunk_size, B)) if chunk_size \
+            else slice(0, B)
+        parts.append(_lm_batch_core(
+            hm0[sl], bb0[sl], nm0[sl], B_top, Es, P, B1_fix, f, obs[sl],
+            alt_j, bmag_j, bpsi_j, mode=mode, n_points=n_points,
+            bottom_type=bottom_type, steps=steps, fit_nm=fit_nm,
+            crit_margin=crit_margin))
+    if len(parts) == 1:
+        vh_fit, EDP_fit, hm_fit, bb_fit, nm_fit, history = parts[0]
+    else:
+        vh_fit, EDP_fit, hm_fit, bb_fit, nm_fit = (
+            jnp.concatenate([p[i] for p in parts], axis=0)
+            for i in range(5))
+        history = jnp.concatenate([p[5] for p in parts], axis=1)
 
     F2_fit = dict(F2)
     F2_fit["Nm"] = np.asarray(nm_fit)

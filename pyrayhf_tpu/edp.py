@@ -112,7 +112,7 @@ def valley_transition(h, hmE, hmF2):
     # double-float range (the exp form's JVP is NaN at t ≲ -44 there)
     sig = lambda t: 0.5 * (1.0 + jnp.tanh(0.5 * t))
     s = sig((h - hmE - delta) / delta)
-    s0 = sig(jnp.asarray(-1.0))
+    s0 = sig(-1.0)   # python scalar: weak-typed, never promotes f32
     s1 = sig((hmF2 - hmE - delta) / delta)
     t2 = (s - s0) / (s1 - s0)
     return jnp.where(h <= hmE, 0.0, jnp.clip(t2, 0.0, 1.0))
@@ -159,7 +159,8 @@ def reconstruct_density_1level(F2, F1, E, alt):
     Construction: NeQuick topside above hmF2; below, E-Epstein +
     T2·F2-bottom-Epstein + an F1 ledge anchored so EDP(hmF1) == NmF1.
     """
-    h = jnp.asarray(alt, dtype=float)
+    # dtype-preserving: f32 inputs stay f32 (the batched-LM fast path)
+    h = jnp.asarray(alt)
     NmF2, hmF2 = F2["Nm"], F2["hm"]
     B_bot, B_top = F2["B_bot"], F2["B_top"]
     NmF1, hmF1 = F1["Nm"], F1["hm"]
@@ -173,8 +174,8 @@ def reconstruct_density_1level(F2, F1, E, alt):
 
     # ledge amplitude anchors the profile through (hmF1, NmF1)
     f2b_at_f1 = f2_bottom_thickness(NmF2, hmF2, B_bot, hmF1)
-    t2_at_f1 = valley_transition(jnp.asarray(hmF1, dtype=float), hmE, hmF2)
-    e_at_f1 = _e_layer(NmE, hmE, BEb, BEt, jnp.asarray(hmF1, dtype=float))
+    t2_at_f1 = valley_transition(jnp.asarray(hmF1), hmE, hmF2)
+    e_at_f1 = _e_layer(NmE, hmE, BEb, BEt, jnp.asarray(hmF1))
     amp = jnp.maximum(NmF1 - e_at_f1 - t2_at_f1 * f2b_at_f1, 0.0)
     B_low = _LEDGE_LOW_FRAC * (hmF1 - hmE)
     B_high = _LEDGE_HIGH_FRAC * jnp.maximum(hmF2 - hmF1, 1.0)
@@ -195,7 +196,8 @@ def reconstruct_density_continuous(F2, F1, E, alt):
     P-weighted bump multiplying the F2 bottomside, fit to the shipped Day
     profile (zero when P → 0, matching the Night profile).
     """
-    h = jnp.asarray(alt, dtype=float)
+    # dtype-preserving: f32 inputs stay f32 (the batched-LM fast path)
+    h = jnp.asarray(alt)
     NmF2, hmF2 = F2["Nm"], F2["hm"]
     B0, B1, B_top = F2["B0"], F2["B1"], F2["B_top"]
     P = F1.get("P", 0.0)

@@ -441,7 +441,7 @@ def _lm_batch_core(hm0, bb0, nm0, B_top, Es, P, B1_fix, f, obs, alt_j,
         return jnp.where(in_band & ~valid, 1e3, r)
 
     n_par = x0.shape[1]
-    eyeP = jnp.eye(n_par)
+    eyeP = jnp.eye(n_par, dtype=x0.dtype)
 
     def jac_b(xb):
         """[B, F, Pn] via Pn forward-mode JVP sweeps (samples independent,
@@ -481,7 +481,7 @@ def _lm_batch_core(hm0, bb0, nm0, B_top, Es, P, B1_fix, f, obs, alt_j,
         return (x, lam, cost), cost
 
     cost0 = jnp.sum(res_b(x0) ** 2, axis=1)
-    lam0 = jnp.full(x0.shape[0], 1e-2)
+    lam0 = jnp.full(x0.shape[0], 1e-2, dtype=x0.dtype)
     (x, _, _), history = jax.lax.scan(lm_step, (x0, lam0, cost0), None,
                                       length=steps)
 
@@ -495,7 +495,7 @@ def _lm_batch_core(hm0, bb0, nm0, B_top, Es, P, B1_fix, f, obs, alt_j,
 def retrieve_gradient_batch(F2, F1, E, f_in, vh_obs, alt, b_mag, b_psi,
                             mode="O", n_points=200, bottom_type="B_bot",
                             steps=25, fit_nm=False, crit_margin=0.995,
-                            chunk_size=64):
+                            chunk_size=64, dtype=None):
     """Batched gradient retrieval: [B, F] ionograms → [B] fits, one launch.
 
     The serving-scale variant of :func:`retrieve_gradient`: every LM
@@ -510,16 +510,27 @@ def retrieve_gradient_batch(F2, F1, E, f_in, vh_obs, alt, b_mag, b_psi,
     profile axes (``alt``, ``b_mag``, ``b_psi``) are shared across the
     batch. Returns (vh_fit [B, F], EDP_fit [B, N], F2_fit dict of [B]
     arrays, history [steps, B] squared-residual trace).
+
+    ``chunk_size`` splits the batch across launches (reusing one compiled
+    executable) — relayed TPU workers kill single executions that run too
+    long (observed: ~45 s fine, ~90 s fatal); ``None`` = one launch.
+
+    ``dtype`` selects the working precision (default: the x64 default
+    float). ``jnp.float32`` is much faster on TPU (f64 there is emulated
+    double-float); the analytic-margin forward holds ~0.02 km in f32, so
+    the attainable cost floor rises from ~1e-18 to roughly
+    (0.02 km)²·N_freq — ample for real ionogram noise levels.
     """
-    obs = jnp.atleast_2d(jnp.asarray(vh_obs, dtype=float))
+    dt = jnp.asarray(0.0, dtype=float).dtype if dtype is None else dtype
+    obs = jnp.atleast_2d(jnp.asarray(vh_obs, dtype=dt))
     B = obs.shape[0]
-    f = jnp.asarray(f_in, dtype=float)
-    alt_j = jnp.asarray(alt, dtype=float)
-    bmag_j = jnp.asarray(b_mag, dtype=float)
-    bpsi_j = jnp.asarray(b_psi, dtype=float)
+    f = jnp.asarray(f_in, dtype=dt)
+    alt_j = jnp.asarray(alt, dtype=dt)
+    bmag_j = jnp.asarray(b_mag, dtype=dt)
+    bpsi_j = jnp.asarray(b_psi, dtype=dt)
 
     def per_sample(v):
-        a = jnp.asarray(v, dtype=float).reshape(-1)
+        a = jnp.asarray(v, dtype=dt).reshape(-1)
         return jnp.broadcast_to(a, (B,)) if a.shape[0] in (1, B) else a
 
     hm0 = per_sample(F2["hm"])
@@ -541,11 +552,13 @@ def retrieve_gradient_batch(F2, F1, E, f_in, vh_obs, alt, b_mag, b_psi,
             f_c = bmag_j[ind] * G_P
             nm0 = freq2den(jnp.sqrt(fmax_hz ** 2 - fmax_hz * f_c)) * 1.0001
 
-    B_top = _scalar(F2["B_top"])
-    Es = {k: _scalar(E[k]) for k in ("Nm", "hm", "B_bot", "B_top")}
-    P = _scalar(F1["P"]) if "P" in F1 else jnp.asarray(0.0)
-    B1_fix = (_scalar(F2["B1"]) if bottom_type == "B0_B1"
-              else jnp.asarray(0.0))
+    B_top = jnp.asarray(_scalar(F2["B_top"]), dt)
+    Es = {k: jnp.asarray(_scalar(E[k]), dt)
+          for k in ("Nm", "hm", "B_bot", "B_top")}
+    P = jnp.asarray(_scalar(F1["P"]) if "P" in F1 else 0.0, dt)
+    B1_fix = jnp.asarray(_scalar(F2["B1"]) if bottom_type == "B0_B1"
+                         else 0.0, dt)
+    nm0 = jnp.asarray(nm0, dt)
 
     # chunk the batch axis across launches: one LM program for a large B
     # is a single long device execution, and relayed/tunnelled TPU workers

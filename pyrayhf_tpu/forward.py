@@ -36,13 +36,14 @@ __all__ = ["find_vh", "vertical_forward_operator",
            "vertical_forward_operator_batch", "vh_and_mask"]
 
 
-def find_vh(X, Y, bpsi, dh, alt_min, mode):
+def find_vh(X, Y, bpsi, dh, alt_min, mode, arithmetic="stable"):
     """Virtual height as the μ'-weighted vertical quadrature (ref :259-293).
 
     NaN rows (escaped rays) sum to 0 under ``nansum`` and are mapped back to
-    NaN, exactly like the reference.
+    NaN, exactly like the reference. ``arithmetic="reference"`` selects
+    bit-parity μ' evaluation (see :func:`find_mu_mup`).
     """
-    _, mup = find_mu_mup(X, Y, bpsi, mode)
+    _, mup = find_mu_mup(X, Y, bpsi, mode, arithmetic=arithmetic)
     # μ' ceiling: the 1e-6 km reflection backoff bounds the true μ' at the
     # last sample to ~3e5; in f32, 1-X underflows to 0 (μ'=inf) or to a
     # denormal (μ' = 2^31-ish) and a single such sample poisons the row by
@@ -54,8 +55,9 @@ def find_vh(X, Y, bpsi, dh, alt_min, mode):
     return ih + alt_min
 
 
-@partial(jax.jit, static_argnames=("mode_mult", "n_points"))
-def _forward_core(freq_mhz, den, bmag, bpsi, alt, mode_mult, n_points):
+@partial(jax.jit, static_argnames=("mode_mult", "n_points", "arithmetic"))
+def _forward_core(freq_mhz, den, bmag, bpsi, alt, mode_mult, n_points,
+                  arithmetic="stable"):
     """Fused single-profile forward operator ([N_freq] → [N_freq])."""
     freq_hz = jnp.asarray(freq_mhz, dtype=float) * 1e6
     rg = regrid_core(freq_hz, den, bmag, bpsi, alt,
@@ -63,20 +65,25 @@ def _forward_core(freq_mhz, den, bmag, bpsi, alt, mode_mult, n_points):
     aX = find_X(rg["den"], rg["freq"])
     aY = find_Y(rg["freq"], rg["bmag"])
     mode = "O" if mode_mult > 0 else "X"
-    return find_vh(aX, aY, rg["bpsi"], rg["dist"], jnp.min(alt), mode)
+    return find_vh(aX, aY, rg["bpsi"], rg["dist"], jnp.min(alt), mode,
+                   arithmetic=arithmetic)
 
 
 logger = logging.getLogger("pyrayhf_tpu")
 
 
 def vertical_forward_operator(freq, den, bmag, bpsi, alt,
-                              mode="O", n_points=200):
+                              mode="O", n_points=200, arithmetic="stable"):
     """Reference-parity API: virtual height [km] per frequency [MHz].
 
     Parameters match ref library.py:459-509 (freq in MHz, den in m^-3,
     bmag in T, bpsi in deg, alt in km; mode 'O'/'X'; n_points grid size).
     Mismatched profile-array shapes are logged (not raised), like the
     reference's logger.error at ref :486-488.
+
+    ``arithmetic="reference"`` reproduces the reference's μ' rounding
+    behaviour bit-for-bit near the reflection point (the default "stable"
+    path is closer to exact arithmetic there — see :func:`find_mu_mup`).
     """
     import numpy as _np
     shapes = {_np.shape(a) for a in (den, bmag, bpsi, alt)}
@@ -86,7 +93,8 @@ def vertical_forward_operator(freq, den, bmag, bpsi, alt,
     return _forward_core(jnp.asarray(freq), jnp.asarray(den),
                          jnp.asarray(bmag), jnp.asarray(bpsi),
                          jnp.asarray(alt),
-                         mode_mult=mode_multiplier(mode), n_points=n_points)
+                         mode_mult=mode_multiplier(mode), n_points=n_points,
+                         arithmetic=arithmetic)
 
 
 @partial(jax.jit, static_argnames=("mode_mult", "n_points"))

@@ -69,7 +69,7 @@ def _iso_mu_mup(X):
     return mu, mup
 
 
-def _magnetized_mu_mup(X, Y, bpsi_deg, mode_mult, sanitize):
+def _magnetized_mu_mup(X, Y, bpsi_deg, mode_mult, sanitize, naive_o=False):
     """Appleton–Hartree μ and analytic group index μ' (magnetised branch).
 
     Mirrors ref library.py:209-256 but branch-free.
@@ -78,6 +78,12 @@ def _magnetized_mu_mup(X, Y, bpsi_deg, mode_mult, sanitize):
     NumPy would (bit-parity mode). With ``sanitize=True`` every dangerous
     denominator/sqrt input is guarded by double-``where`` so reverse-mode AD
     through valid entries stays finite (gradient mode).
+
+    ``naive_o=True`` evaluates the O-mode branch with the reference's exact
+    expression sequence (D = (1−X) − ½YT² + β) instead of the
+    cancellation-free rewrite — bit-parity with the reference INCLUDING its
+    catastrophic-cancellation error at the backed-off reflection sample
+    (its f64 μ' there is ~8% off exact arithmetic; see test_magnetoionic).
     """
     psi = jnp.deg2rad(bpsi_deg)
     sinp = jnp.sin(psi)
@@ -89,7 +95,7 @@ def _magnetized_mu_mup(X, Y, bpsi_deg, mode_mult, sanitize):
     alpha = 0.25 * YT ** 4 + YL ** 2 * Xm1 ** 2
     beta = jnp.sqrt(alpha)
 
-    if mode_mult > 0:
+    if mode_mult > 0 and not naive_o:
         # O-mode: D = (1-X) - ½YT² + β suffers catastrophic cancellation as
         # X→1 (β → ½YT², D → 0⁺): the naive form loses all significance at
         # the backed-off reflection point and makes μ' there irreproducible
@@ -150,14 +156,23 @@ def _magnetized_mu_mup(X, Y, bpsi_deg, mode_mult, sanitize):
     return mu, mup, valid
 
 
-@partial(jax.jit, static_argnames=("mode",))
-def find_mu_mup(X, Y, bpsi, mode="O", *, y_tol=1e-12):
+@partial(jax.jit, static_argnames=("mode", "arithmetic"))
+def find_mu_mup(X, Y, bpsi, mode="O", *, y_tol=1e-12, arithmetic="stable"):
     """Phase (μ) and group (μ') refractive indices, reference-parity NaNs.
 
     Parameters mirror the reference (``library.py:161-256``): ``X``, ``Y``,
     ``bpsi`` [deg] broadcastable arrays; ``mode`` ∈ {'O','X'} (static).
     Returns (μ, μ') with NaN where the wave is evanescent/non-physical.
+
+    ``arithmetic`` (static): ``"stable"`` (default) evaluates the O-mode
+    branch with the cancellation-free factorisation (accurate to ~1e-7 at
+    the singular backed-off reflection sample where the reference's naive
+    form is ~8% off exact arithmetic); ``"reference"`` replicates the
+    reference's expression sequence bit-for-bit, rounding error included —
+    use it when exact numerical parity with PyRayHF outputs is required.
     """
+    if arithmetic not in ("stable", "reference"):
+        raise ValueError("arithmetic must be 'stable' or 'reference'")
     mm = mode_multiplier(mode)
     X = jnp.asarray(X, dtype=float)
     Y = jnp.asarray(Y, dtype=float)
@@ -165,7 +180,9 @@ def find_mu_mup(X, Y, bpsi, mode="O", *, y_tol=1e-12):
     X, Y, bpsi = jnp.broadcast_arrays(X, Y, bpsi)
 
     iso_mu, iso_mup = _iso_mu_mup(X)
-    mag_mu, mag_mup, _ = _magnetized_mu_mup(X, Y, bpsi, mm, sanitize=False)
+    mag_mu, mag_mup, _ = _magnetized_mu_mup(
+        X, Y, bpsi, mm, sanitize=False,
+        naive_o=(arithmetic == "reference"))
 
     unmag = jnp.nanmax(jnp.abs(Y)) < y_tol
     mu = jnp.where(unmag, iso_mu, mag_mu)

@@ -80,18 +80,21 @@ def _build_edp(F2, F1, E, alt, bottom_type):
 
 
 def model_VH(F2, F1, E, f_in, alt, b_mag, b_psi, mode="O", n_points=200,
-             bottom_type="B_bot"):
+             bottom_type="B_bot", arithmetic="stable"):
     """Virtual heights from layer parameters (ref :512-592).
 
     Returns (vh [N_freq], EDP [N_alt]). Unlike the reference, the input
     ``F1`` dict is NOT mutated; the derived F1 parameters are internal.
+    ``arithmetic="reference"`` gives bit-parity μ' near the reflection
+    point (see :func:`pyrayhf_tpu.forward.vertical_forward_operator`).
     """
     alt = jnp.asarray(alt, dtype=float)
     EDP, _ = _build_edp(F2, F1, E, alt, bottom_type)
     vh = vertical_forward_operator(jnp.asarray(f_in, dtype=float), EDP,
                                    jnp.asarray(b_mag, dtype=float),
                                    jnp.asarray(b_psi, dtype=float),
-                                   alt, mode=mode, n_points=n_points)
+                                   alt, mode=mode, n_points=n_points,
+                                   arithmetic=arithmetic)
     return vh, EDP
 
 

@@ -65,9 +65,10 @@ def test_e_bottom_exact_parity(day_profile, night_profile):
 def test_continuous_builder_vs_pyiri_profiles(day_profile, night_profile):
     """Full continuous builder vs the shipped PyIRI profiles.
 
-    Night (no F1): ≤2e-5 of peak. Day (F1 ledge approximated): ≤2% of peak.
+    Night (no F1): ≤2e-5 of peak. Day (Chebyshev-fit F1 ledge): ≤5e-4 of
+    peak (measured 2.5e-4; was 1.5% with the 4-parameter bump).
     """
-    for prof, tol in ((night_profile, 2e-5), (day_profile, 0.02)):
+    for prof, tol in ((night_profile, 2e-5), (day_profile, 5e-4)):
         F2 = _layer_scalars(prof["F2"])
         F1 = _layer_scalars(prof["F1"])
         E = _layer_scalars(prof["E"])
@@ -88,23 +89,30 @@ def test_derive_dependent_f1_golden():
 
 
 def test_model_vh_golden():
-    """Reference model_VH golden; our reconstructed builder holds 1e-5.
+    """Reference model_VH golden at the reference's own contract (rtol 1e-6,
+    test_core.py:275).
 
-    (The reference pins rtol=1e-6 against PyIRI itself; our EDP builder is a
-    reverse-engineered equivalent — see DEVNOTES.md for what is exact vs
-    calibrated.)
+    The EDP golden holds at ~1e-9 on the default path. The vh golden holds
+    at ~3e-9 with ``arithmetic="reference"`` (bit-parity μ' expression
+    sequence); the default "stable" path deviates by ≤ 4e-6 — entirely at
+    the singular backed-off reflection sample, where the reference's naive
+    f64 arithmetic is ~8% off exact (mpmath) and ours is within ~1e-7
+    (see test_magnetoionic.test_singular_sample_exact_arithmetic).
     """
     freq = np.array([3.0, 3.5, 3.7])
     alt = np.array([100.0, 200.0, 300.0])
     bmag = np.full(3, 5e-5)
     bpsi = np.full(3, 60.0)
+    vh_golden = [236.22215658, 304.53151596, 334.34853791]
+    edp_golden = [5.39526842e+10, 1.77861786e+11, 6.66833260e+11]
     vh, edp_out = model_VH(GOLDEN_F2, GOLDEN_F1, GOLDEN_E, freq, alt, bmag,
+                           bpsi, arithmetic="reference")
+    assert_allclose(np.asarray(vh), vh_golden, rtol=1e-6)
+    assert_allclose(np.asarray(edp_out), edp_golden, rtol=1e-6)
+    vh_s, edp_s = model_VH(GOLDEN_F2, GOLDEN_F1, GOLDEN_E, freq, alt, bmag,
                            bpsi)
-    assert_allclose(np.asarray(vh),
-                    [236.22215658, 304.53151596, 334.34853791], rtol=1e-5)
-    assert_allclose(np.asarray(edp_out),
-                    [5.39526842e+10, 1.77861786e+11, 6.66833260e+11],
-                    rtol=1e-5)
+    assert_allclose(np.asarray(vh_s), vh_golden, rtol=1e-5)
+    assert_allclose(np.asarray(edp_s), edp_golden, rtol=1e-6)
 
 
 def test_zero_residual_when_parameters_match():

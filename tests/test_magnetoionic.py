@@ -156,6 +156,66 @@ def test_jit_vs_eager_consistency():
                     equal_nan=True)
 
 
+def test_singular_sample_exact_arithmetic():
+    """Both arithmetic modes pinned at the model_VH golden's singular sample.
+
+    At the backed-off reflection point of the reference model_VH golden
+    (X = 1 − 7.3e-9, the last stretched-grid sample at 3.7 MHz), the
+    reference's naive f64 μ' is ~8% above exact arithmetic; our default
+    stable path is within ~1e-7. ``arithmetic="reference"`` must reproduce
+    the reference's value bit-for-bit (it feeds the rtol-1e-6 vh golden).
+    """
+    mpmath = pytest.importorskip("mpmath")
+    mp = mpmath.mp
+    mp.dps = 50
+    X = 0.9999999927033573
+    Y = 0.37827692527027026          # G_P * 5e-5 T / 3.7 MHz
+    psi = 60.0
+
+    Xm, Ym = mpmath.mpf(X), mpmath.mpf(Y)
+    psim = mpmath.radians(mpmath.mpf(psi))
+
+    def mu_exact(Xv, Yv):
+        YT, YL = Yv * mpmath.sin(psim), Yv * mpmath.cos(psim)
+        beta = mpmath.sqrt(mpmath.mpf(0.25) * YT ** 4
+                           + YL ** 2 * (1 - Xv) ** 2)
+        D = (1 - Xv) - mpmath.mpf(0.5) * YT ** 2 + beta
+        return mpmath.sqrt(1 - Xv * (1 - Xv) / D)
+
+    h = mpmath.mpf(10) ** -25
+    dmdX = (mu_exact(Xm + h, Ym) - mu_exact(Xm - h, Ym)) / (2 * h)
+    dmdY = (mu_exact(Xm, Ym + h) - mu_exact(Xm, Ym - h)) / (2 * h)
+    mup_exact = float(mu_exact(Xm, Ym) - (2 * Xm * dmdX + Ym * dmdY))
+
+    _, mup_stable = find_mu_mup(np.array([X]), np.array([Y]),
+                                np.array([psi]), "O")
+    _, mup_ref = find_mu_mup(np.array([X]), np.array([Y]), np.array([psi]),
+                             "O", arithmetic="reference")
+    assert abs(float(mup_stable[0]) / mup_exact - 1) < 1e-6
+    # "reference" mode must equal the reference's naive f64 expression
+    # sequence (ref library.py:209-256) on the same inputs — including its
+    # catastrophic-cancellation error (>5% off exact at this sample):
+    psir = np.deg2rad(np.float64(psi))
+    YT, YL = Y * np.sin(psir), Y * np.cos(psir)
+    Xm1 = 1.0 - np.float64(X)
+    beta = np.sqrt(0.25 * YT ** 4 + YL ** 2 * Xm1 ** 2)
+    D = Xm1 - 0.5 * YT ** 2 + beta
+    mu_n = np.sqrt(1.0 - X * Xm1 / D)
+    dbetadX = -YL ** 2 * Xm1 / beta
+    dDdX = -1.0 + dbetadX
+    dbetadY = 0.5 * (YT ** 3 * np.sin(psir)
+                     + 2.0 * YL * Xm1 ** 2 * np.cos(psir)) / beta
+    dDdY = -YT * np.sin(psir) + dbetadY
+    dmudY = (X * Xm1 * dDdY) / (2.0 * mu_n * D ** 2)
+    dmudX = (1.0 / (2.0 * mu_n * D)) * (2.0 * X - 1.0 + X * Xm1 / D * dDdX)
+    mup_naive = mu_n - (2.0 * X * dmudX + Y * dmudY)
+    # same expression sequence; XLA's FMA contraction perturbs the last ulp
+    # of the cancelling sum, amplified ~1e6x here — 1e-8 is the attainable
+    # "bit parity modulo fusion" bound at this singular sample
+    assert_allclose(float(mup_ref[0]), mup_naive, rtol=1e-8)
+    assert abs(float(mup_ref[0]) / mup_exact - 1) > 0.05
+
+
 def test_stable_o_mode_matches_extended_precision():
     """Near X→1 our cancellation-free O-mode form tracks 80-bit arithmetic.
 

@@ -3,15 +3,27 @@
 The reference configures everything through function kwargs with hard-coded
 defaults (SURVEY §5 'Config'): mode='O', n_points=200, stretched-grid
 sharpness 10, ODE tolerances, apex-refinement budgets. These dataclasses
-bundle the same knobs as hashable static objects that can be passed through
-``jax.jit`` static args; each maps 1:1 onto the kwargs of the corresponding
-public function, with identical defaults.
+bundle the same knobs as hashable static objects; the public entry points
+accept them via a ``config=`` kwarg (``vertical_forward_operator``,
+``ionogram_pallas``, ``minimize_parameters``, ``retrieve_gradient_batch``,
+the gradient tracers). Resolution order: an explicitly passed kwarg wins
+over the config field, which wins over the built-in default — so a config
+can be shared across calls and selectively overridden.
 """
 
 import dataclasses
 
 __all__ = ["OperatorConfig", "SnellConfig", "GradientTracerConfig",
            "RetrievalConfig"]
+
+
+def resolve(config, name, explicit, default):
+    """Explicit kwarg > config field > built-in default."""
+    if explicit is not None:
+        return explicit
+    if config is not None:
+        return getattr(config, name)
+    return default
 
 
 @dataclasses.dataclass(frozen=True)
@@ -26,22 +38,34 @@ class OperatorConfig:
 
 @dataclasses.dataclass(frozen=True)
 class SnellConfig:
-    """Layered Snell tracer knobs (ref :1096, :1460-1473)."""
+    """Layered Snell tracer knobs (ref :1096, :1460-1473).
+
+    ``dz_target_km``/``apex_boost``/``max_substeps`` mirror the reference's
+    spherical-tracer signature; the implementation integrates the apex with
+    an exact √-substitution, so they are accepted-but-unused there.
+    """
     mode: str = "O"
-    substeps: int = 64               # spherical regular-interval substeps
-    apex_substeps: int = 32          # √-substituted apex substeps
+    dz_target_km: float = 1.0
+    apex_boost: float = 200.0
+    max_substeps: int = 400
     R_E_km: float = 6371.0
 
 
 @dataclasses.dataclass(frozen=True)
 class GradientTracerConfig:
-    """Ray-ODE tracer knobs (ref :1278-1291, :2135-2145)."""
+    """Ray-ODE tracer knobs (ref :1278-1291, :2135-2145).
+
+    ``rtol``/``atol`` of None select fixed-step RK4; setting either turns
+    on the error-controlled Dormand–Prince 5(4) integrator.
+    """
     step_km: float = 1.0
     s_max_km: float = 5000.0
     z_ground_km: float = 0.0
     z_max_km: float = 1000.0
     x_min_km: float = -1e6
     x_max_km: float = 1e6
+    rtol: float = None
+    atol: float = None
 
 
 @dataclasses.dataclass(frozen=True)

@@ -49,6 +49,12 @@ def find_vh(X, Y, bpsi, dh, alt_min, mode, arithmetic="stable"):
     # denormal (μ' = 2^31-ish) and a single such sample poisons the row by
     # thousands of km. Values beyond the ceiling are unphysical artifacts —
     # treat them like the NaN escape samples. (f64 results are unaffected.)
+    # DEVIATION from the reference: the μ' ≤ 0 guard below also differs —
+    # the reference nansums whatever μ' it computed, so a profile yielding
+    # a (pathological) nonpositive μ' sample would diverge from bit parity
+    # even in f64. A physical group index is ≥ 1; nonpositive values only
+    # arise from the same rounding pathologies as the ceiling, so both
+    # guards share the escape-sample treatment.
     mup = jnp.where((mup > 0.0) & (mup <= _MUP_CEILING), mup, jnp.nan)
     ih = jnp.nansum(mup * dh, axis=1)
     ih = jnp.where(ih == 0.0, jnp.nan, ih)
@@ -73,18 +79,24 @@ logger = logging.getLogger("pyrayhf_tpu")
 
 
 def vertical_forward_operator(freq, den, bmag, bpsi, alt,
-                              mode="O", n_points=200, arithmetic="stable"):
+                              mode=None, n_points=None, arithmetic="stable",
+                              config=None):
     """Reference-parity API: virtual height [km] per frequency [MHz].
 
     Parameters match ref library.py:459-509 (freq in MHz, den in m^-3,
-    bmag in T, bpsi in deg, alt in km; mode 'O'/'X'; n_points grid size).
-    Mismatched profile-array shapes are logged (not raised), like the
-    reference's logger.error at ref :486-488.
+    bmag in T, bpsi in deg, alt in km; mode 'O'/'X' default 'O'; n_points
+    grid size default 200). Mismatched profile-array shapes are logged
+    (not raised), like the reference's logger.error at ref :486-488.
 
     ``arithmetic="reference"`` reproduces the reference's μ' rounding
     behaviour bit-for-bit near the reflection point (the default "stable"
     path is closer to exact arithmetic there — see :func:`find_mu_mup`).
+    ``config`` (an :class:`pyrayhf_tpu.config.OperatorConfig`) supplies
+    mode/n_points when they are not passed explicitly.
     """
+    from .config import resolve
+    mode = resolve(config, "mode", mode, "O")
+    n_points = resolve(config, "n_points", n_points, 200)
     import numpy as _np
     shapes = {_np.shape(a) for a in (den, bmag, bpsi, alt)}
     if len(shapes) > 1:
@@ -105,12 +117,16 @@ def _forward_batch_core(freq_mhz, den, bmag, bpsi, alt, mode_mult, n_points):
 
 
 def vertical_forward_operator_batch(freq, den, bmag, bpsi, alt,
-                                    mode="O", n_points=200):
+                                    mode=None, n_points=None, config=None):
     """Batched operator: profiles [B, N_alt] → ionograms [B, N_freq].
 
     ``alt`` may be [N_alt] (shared grid) or [B, N_alt].
     This is the unit that `pyrayhf_tpu.parallel` shards over device meshes.
+    ``config``: see :func:`vertical_forward_operator`.
     """
+    from .config import resolve
+    mode = resolve(config, "mode", mode, "O")
+    n_points = resolve(config, "n_points", n_points, 200)
     den = jnp.asarray(den)
     alt = jnp.asarray(alt)
     if alt.ndim == 1:

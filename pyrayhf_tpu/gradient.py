@@ -25,6 +25,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .constants import C_KM_S, R_E
 
@@ -96,6 +97,102 @@ def _integrate(rhs, y0, n_steps, ds, event_value):
     return ys, alive, status
 
 
+# Dormand–Prince 5(4) embedded pair (the same tableau scipy's RK45 uses).
+_DP_A = (
+    (1 / 5,),
+    (3 / 40, 9 / 40),
+    (44 / 45, -56 / 15, 32 / 9),
+    (19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729),
+    (9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656),
+    (35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84),
+)
+_DP_B5 = (35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0.0)
+_DP_B4 = (5179 / 57600, 0.0, 7571 / 16695, 393 / 640, -92097 / 339200,
+          187 / 2100, 1 / 40)
+
+
+def _dp45_step(rhs, y, h):
+    """One Dormand–Prince attempt: returns (y5, err_vec) for step size h."""
+    k = [rhs(y)]
+    for row in _DP_A:
+        acc = jnp.zeros_like(y)
+        for a, kk in zip(row, k):
+            acc = acc + a * kk
+        k.append(rhs(y + h * acc))
+    y5 = y
+    err = jnp.zeros_like(y)
+    for b5, b4, kk in zip(_DP_B5, _DP_B4, k):
+        y5 = y5 + h * b5 * kk
+        err = err + h * (b5 - b4) * kk
+    return y5, err
+
+
+def _integrate_adaptive(rhs, y0, n_attempts, s_max, h0, rtol, atol,
+                        h_max, event_value):
+    """Error-controlled DP45 with freeze-on-event semantics.
+
+    Same output contract as :func:`_integrate` but each scan iteration is an
+    embedded 5(4) ATTEMPT: rejected attempts shrink h and emit an unchanged
+    state (a zero-length path segment, harmless to the coordinate-diff
+    metrics); accepted attempts advance s and adapt h with the standard
+    0.9·err^(−1/5) controller. Integration freezes at s ≥ s_max or on the
+    first boundary event (with linear backtrack, like the fixed-step path).
+    """
+
+    def attempt(carry, _):
+        y, h, s, alive, status = carry
+        h_try = jnp.minimum(h, jnp.maximum(s_max - s, 1e-12))
+        y5, err = _dp45_step(rhs, y, h_try)
+        scale = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y5))
+        err_norm = jnp.max(jnp.abs(err) / scale)
+        ok_num = jnp.all(jnp.isfinite(y5))
+        accept = (err_norm <= 1.0) & ok_num
+
+        # PI-free step controller (scipy-style safety/limits)
+        fac = jnp.where(err_norm > 0.0,
+                        0.9 * err_norm ** -0.2, 5.0)
+        h_new = jnp.clip(h_try * jnp.clip(fac, 0.2, 5.0), 1e-9, h_max)
+
+        # renormalise direction slots on acceptance
+        v = y5[2:4]
+        vmag = jnp.linalg.norm(v)
+        v = jnp.where(vmag > 0, v / jnp.where(vmag > 0, vmag, 1.0), v)
+        y5 = y5.at[2:4].set(v)
+
+        ev_old = event_value(y)
+        ev_new = event_value(y5)
+        crossed = (ev_new <= 0.0) & (ev_old > 0.0)
+        any_cross = jnp.any(crossed) & alive & accept
+        j = jnp.argmax(crossed)
+        denom = ev_old[j] - ev_new[j]
+        t = jnp.where(denom != 0.0,
+                      ev_old[j] / jnp.where(denom != 0.0, denom, 1.0), 1.0)
+        t = jnp.clip(t, 0.0, 1.0)
+        y_cross = y + t * (y5 - y)
+
+        step_ok = alive & accept
+        y_next = jnp.where(step_ok,
+                           jnp.where(any_cross, y_cross, y5), y)
+        s_next = jnp.where(step_ok, s + h_try * jnp.where(any_cross, t, 1.0),
+                           s)
+        ground_hit = any_cross & (j == 0)
+        status = jnp.where(any_cross,
+                           jnp.where(ground_hit, _STATUS["ground"],
+                                     _STATUS["domain"]), status)
+        alive_next = alive & ~any_cross & (s_next < s_max)
+        return ((y_next, jnp.where(alive, h_new, h), s_next, alive_next,
+                 status), (y_next, alive_next))
+
+    init = (y0, jnp.asarray(h0, dtype=y0.dtype),
+            jnp.zeros((), dtype=y0.dtype), jnp.asarray(True),
+            jnp.asarray(_STATUS["length"]))
+    (_, _, _, _, status), (ys, alive) = jax.lax.scan(
+        attempt, init, None, length=n_attempts)
+    ys = jnp.concatenate([y0[None], ys], axis=0)
+    alive = jnp.concatenate([jnp.asarray(True)[None], alive])
+    return ys, alive, status
+
+
 def _path_metrics(x_path, z_path, ds_seg, mup_mid, status):
     group_path = jnp.nansum(ds_seg)
     valid = jnp.isfinite(mup_mid)
@@ -116,9 +213,12 @@ def _path_metrics(x_path, z_path, ds_seg, mup_mid, status):
             "x_apex_km": x_apex, "z_apex_km": z_apex}
 
 
-@partial(jax.jit, static_argnames=("n_and_grad", "mup_func", "n_steps"))
+@partial(jax.jit, static_argnames=("n_and_grad", "mup_func", "n_steps",
+                                   "adaptive"))
 def _cart_gradient_core(n_and_grad, mup_func, x0, z0, elevation_deg, ds,
-                        n_steps, z_ground, z_max, x_min, x_max):
+                        n_steps, z_ground, z_max, x_min, x_max,
+                        adaptive=False, rtol=1e-7, atol=1e-9,
+                        s_max=None, h_max=None):
     elev = jnp.deg2rad(elevation_deg)
     v0 = jnp.array([jnp.cos(elev), jnp.sin(elev)])
     v0 = v0 / jnp.linalg.norm(v0)
@@ -139,7 +239,11 @@ def _cart_gradient_core(n_and_grad, mup_func, x0, z0, elevation_deg, ds,
         return jnp.array([y[1] - z_ground - 1e-3, z_max - y[1],
                           y[0] - x_min, x_max - y[0]])
 
-    ys, alive, status = _integrate(rhs, y0, n_steps, ds, events)
+    if adaptive:
+        ys, alive, status = _integrate_adaptive(
+            rhs, y0, n_steps, s_max, ds, rtol, atol, h_max, events)
+    else:
+        ys, alive, status = _integrate(rhs, y0, n_steps, ds, events)
     x_path, z_path = ys[:, 0], ys[:, 1]
     dx = jnp.diff(x_path)
     dz = jnp.diff(z_path)
@@ -154,25 +258,54 @@ def _cart_gradient_core(n_and_grad, mup_func, x0, z0, elevation_deg, ds,
 
 
 def trace_ray_cartesian_gradient(n_and_grad, mup_func, x0_km, z0_km,
-                                 elevation_deg, s_max_km=5000.0, *,
-                                 step_km=1.0, z_ground_km=0.0,
-                                 z_min_km=-1.0, z_max_km=1000.0,
-                                 x_min_km=-1e6, x_max_km=1e6,
+                                 elevation_deg, s_max_km=None, *,
+                                 step_km=None, z_ground_km=None,
+                                 z_min_km=-1.0, z_max_km=None,
+                                 x_min_km=None, x_max_km=None,
                                  rtol=None, atol=None, max_step_km=None,
-                                 renormalize_every=None):
+                                 renormalize_every=None, config=None):
     """2-D Cartesian ray-ODE trace; API-parity with ref :1271-1457.
 
-    ``rtol``/``atol``/``max_step_km``/``renormalize_every`` are accepted for
-    API compatibility; the integrator is fixed-step RK4 of size ``step_km``
-    (use a smaller step instead of tolerances).
+    With ``rtol``/``atol`` given (the reference's defaults are 1e-7/1e-9),
+    the integrator is an error-controlled embedded Dormand–Prince 5(4) —
+    the same pair scipy's RK45 uses — with per-attempt accept/reject inside
+    one ``lax.scan`` (``step_km`` is the initial step, ``max_step_km`` the
+    cap). With both None it is fixed-step RK4 of size ``step_km``
+    (default 1 km). ``renormalize_every`` is accepted for API
+    compatibility (the direction is renormalised every accepted step,
+    strictly better conditioned). A
+    :class:`pyrayhf_tpu.config.GradientTracerConfig` passed as ``config``
+    supplies any geometry/tolerance knob not given explicitly.
     """
-    del rtol, atol, renormalize_every, z_min_km
-    if max_step_km is not None:
-        step_km = min(step_km, float(max_step_km))
+    from .config import resolve
+    s_max_km = resolve(config, "s_max_km", s_max_km, 5000.0)
+    step_km = resolve(config, "step_km", step_km, 1.0)
+    z_ground_km = resolve(config, "z_ground_km", z_ground_km, 0.0)
+    z_max_km = resolve(config, "z_max_km", z_max_km, 1000.0)
+    x_min_km = resolve(config, "x_min_km", x_min_km, -1e6)
+    x_max_km = resolve(config, "x_max_km", x_max_km, 1e6)
+    rtol = resolve(config, "rtol", rtol, None)
+    atol = resolve(config, "atol", atol, None)
+    del renormalize_every, z_min_km
     if mup_func is None:
         raise ValueError(
             "mup_func must be provided, build it with build_mup_function.")
-    n_steps = int(round(float(s_max_km) / float(step_km)))
+    adaptive = rtol is not None or atol is not None
+    if adaptive:
+        n_steps = 2 * int(round(float(s_max_km) / float(step_km)))
+        kw = dict(adaptive=True,
+                  rtol=jnp.asarray(1e-7 if rtol is None else rtol,
+                                   dtype=float),
+                  atol=jnp.asarray(1e-9 if atol is None else atol,
+                                   dtype=float),
+                  s_max=jnp.asarray(s_max_km, dtype=float),
+                  h_max=jnp.asarray(np.inf if max_step_km is None
+                                    else max_step_km, dtype=float))
+    else:
+        if max_step_km is not None:
+            step_km = min(step_km, float(max_step_km))
+        n_steps = int(round(float(s_max_km) / float(step_km)))
+        kw = {}
     out = _cart_gradient_core(n_and_grad, mup_func,
                               jnp.asarray(x0_km, dtype=float),
                               jnp.asarray(z0_km, dtype=float),
@@ -181,7 +314,7 @@ def trace_ray_cartesian_gradient(n_and_grad, mup_func, x0_km, z0_km,
                               jnp.asarray(z_ground_km, dtype=float),
                               jnp.asarray(z_max_km, dtype=float),
                               jnp.asarray(x_min_km, dtype=float),
-                              jnp.asarray(x_max_km, dtype=float))
+                              jnp.asarray(x_max_km, dtype=float), **kw)
     code = int(out.pop("status_code"))
     out["status"] = {v: k for k, v in _STATUS.items()}[code]
     out["t"] = None
@@ -206,9 +339,12 @@ def trace_rays_cartesian_gradient(n_and_grad, mup_func, x0_km, z0_km,
             jnp.asarray(elevation_deg, dtype=float))
 
 
-@partial(jax.jit, static_argnames=("n_and_grad_rphi", "mup_func", "n_steps"))
+@partial(jax.jit, static_argnames=("n_and_grad_rphi", "mup_func", "n_steps",
+                                   "adaptive"))
 def _sph_gradient_core(n_and_grad_rphi, mup_func, x0, z0, elevation_deg, ds,
-                       n_steps, re, z_ground, r_max, phi_min, phi_max):
+                       n_steps, re, z_ground, r_max, phi_min, phi_max,
+                       adaptive=False, rtol=1e-7, atol=1e-9,
+                       s_max=None, h_max=None):
     r0 = re + z0
     phi0 = x0 / re
     elev = jnp.deg2rad(elevation_deg)
@@ -233,7 +369,11 @@ def _sph_gradient_core(n_and_grad_rphi, mup_func, x0, z0, elevation_deg, ds,
         return jnp.array([y[0] - (re + z_ground) - 1e-3, r_max - y[0],
                           y[1] - phi_min, phi_max - y[1]])
 
-    ys, alive, status = _integrate(rhs, y0, n_steps, ds, events)
+    if adaptive:
+        ys, alive, status = _integrate_adaptive(
+            rhs, y0, n_steps, s_max, ds, rtol, atol, h_max, events)
+    else:
+        ys, alive, status = _integrate(rhs, y0, n_steps, ds, events)
     r_path, phi_path = ys[:, 0], ys[:, 1]
     x_path = re * phi_path
     z_path = r_path - re
@@ -253,21 +393,46 @@ def _sph_gradient_core(n_and_grad_rphi, mup_func, x0, z0, elevation_deg, ds,
 
 def trace_ray_spherical_gradient(n_and_grad_rphi, mup_func, x0_km, z0_km,
                                  elevation_deg, s_max_km=6000.0, *,
-                                 R_E=None, z_ground_km=0.0, r_max_km=None,
+                                 R_E=None, z_ground_km=None, r_max_km=None,
                                  phi_min=-jnp.pi, phi_max=jnp.pi,
-                                 step_km=1.0, rtol=None, atol=None,
-                                 max_step_km=2.0, renormalize_every=None):
-    """2-D spherical ray-ODE trace; API-parity with ref :2128-2337."""
-    del rtol, atol, renormalize_every
+                                 step_km=None, rtol=None, atol=None,
+                                 max_step_km=2.0, renormalize_every=None,
+                                 config=None):
+    """2-D spherical ray-ODE trace; API-parity with ref :2128-2337.
+
+    ``rtol``/``atol`` select the error-controlled Dormand–Prince 5(4)
+    integrator (see :func:`trace_ray_cartesian_gradient`); both None runs
+    fixed-step RK4 of size ``step_km`` (default 1 km, capped by
+    ``max_step_km``). ``config`` supplies step/ground/tolerance knobs.
+    """
+    from .config import resolve
+    z_ground_km = resolve(config, "z_ground_km", z_ground_km, 0.0)
+    step_km = resolve(config, "step_km", step_km, 1.0)
+    rtol = resolve(config, "rtol", rtol, None)
+    atol = resolve(config, "atol", atol, None)
+    del renormalize_every
     if mup_func is None:
         raise ValueError("mup_func must be provided — build it with "
                          "build_mup_function(..., geometry='spherical').")
     re = globals()["R_E"] if R_E is None else float(R_E)
     if r_max_km is None:
         r_max_km = re + 1200.0
-    if max_step_km is not None:
-        step_km = min(step_km, float(max_step_km))
-    n_steps = int(round(float(s_max_km) / float(step_km)))
+    adaptive = rtol is not None or atol is not None
+    if adaptive:
+        n_steps = 2 * int(round(float(s_max_km) / float(step_km)))
+        kw = dict(adaptive=True,
+                  rtol=jnp.asarray(1e-7 if rtol is None else rtol,
+                                   dtype=float),
+                  atol=jnp.asarray(1e-9 if atol is None else atol,
+                                   dtype=float),
+                  s_max=jnp.asarray(s_max_km, dtype=float),
+                  h_max=jnp.asarray(np.inf if max_step_km is None
+                                    else max_step_km, dtype=float))
+    else:
+        if max_step_km is not None:
+            step_km = min(step_km, float(max_step_km))
+        n_steps = int(round(float(s_max_km) / float(step_km)))
+        kw = {}
     out = _sph_gradient_core(n_and_grad_rphi, mup_func,
                              jnp.asarray(x0_km, dtype=float),
                              jnp.asarray(z0_km, dtype=float),
@@ -277,7 +442,7 @@ def trace_ray_spherical_gradient(n_and_grad_rphi, mup_func, x0_km, z0_km,
                              jnp.asarray(z_ground_km, dtype=float),
                              jnp.asarray(r_max_km, dtype=float),
                              jnp.asarray(phi_min, dtype=float),
-                             jnp.asarray(phi_max, dtype=float))
+                             jnp.asarray(phi_max, dtype=float), **kw)
     code = int(out.pop("status_code"))
     out["status"] = {v: k for k, v in _STATUS.items()}[code]
     out["t"] = None

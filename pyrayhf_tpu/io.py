@@ -30,10 +30,19 @@ def load_input(file_path):
         return pickle.load(f)
 
 
+# Key separator for flattened nested dicts. A unit separator (0x1f) cannot
+# appear in sane keys — '.'-joining silently mis-nests keys that themselves
+# contain dots (e.g. a frequency label '2.5').
+_SEP = "\x1f"
+
+
 def _flatten(prefix, obj, out):
     if isinstance(obj, dict):
         for k, v in obj.items():
-            _flatten(f"{prefix}.{k}" if prefix else str(k), v, out)
+            if _SEP in str(k):
+                raise ValueError(f"checkpoint key {k!r} contains the "
+                                 "reserved separator U+001F")
+            _flatten(f"{prefix}{_SEP}{k}" if prefix else str(k), v, out)
     else:
         out[prefix] = np.asarray(obj)
 
@@ -50,7 +59,7 @@ def load_checkpoint(file_path):
     data = np.load(file_path, allow_pickle=False)
     out = {}
     for key in data.files:
-        parts = key.split(".")
+        parts = key.split(_SEP)
         d = out
         for p in parts[:-1]:
             d = d.setdefault(p, {})

@@ -363,15 +363,24 @@ def _kernel(jhi_ref, mult_ref, dmult_ref, omm_ref, seg_ref, span_ref,
     out_ref[0, 0, 0, :] = out_ref[0, 0, 0, :] + partial_ih
 
 
-def ionogram_pallas(freq_mhz, den, bmag, bpsi, alt, mode_mult=1.0,
-                    n_points=200, p_chunk=512, interpret=False, f_tile=32):
+def ionogram_pallas(freq_mhz, den, bmag, bpsi, alt, mode_mult=None,
+                    n_points=None, p_chunk=None, interpret=False, f_tile=32,
+                    config=None):
     """Fused TPU ionogram synthesis: [B, N_alt] profiles → [B, F] vh.
 
     Same discretisation as :func:`pyrayhf_tpu.forward
     .vertical_forward_operator_batch` (docstring caveats re f32 tails).
     When ``alt`` is a concrete uniformly spaced grid the kernel takes a
     cheaper sweep path (no per-segment edge loads).
+    ``config`` (an :class:`pyrayhf_tpu.config.OperatorConfig`) supplies
+    mode (as ±1 mode_mult), n_points and p_chunk when not explicit.
     """
+    from .config import resolve
+    if mode_mult is None:
+        mode_mult = (1.0 if resolve(config, "mode", None, "O") == "O"
+                     else -1.0)
+    n_points = resolve(config, "n_points", n_points, 200)
+    p_chunk = resolve(config, "p_chunk", p_chunk, 512)
     inv_dalt = None
     if not isinstance(alt, jax.core.Tracer):
         a = np.asarray(alt, dtype=np.float64)

@@ -51,6 +51,11 @@ def ionogram_mesh(devices=None, batch_axis=None):
         batch_axis = n
         freq_axis = 1
     else:
+        if batch_axis <= 0 or n % batch_axis:
+            raise ValueError(
+                f"batch_axis={batch_axis} must be a positive divisor of "
+                f"the device count ({n}); an uneven split would drop "
+                "devices from the mesh")
         freq_axis = n // batch_axis
     import numpy as np
     dev_array = np.asarray(devices).reshape(batch_axis, freq_axis)

@@ -135,16 +135,32 @@ def _pin_NmF2(f_in, alt, b_mag, old_hmf2, mode):
 
 
 def minimize_parameters(F2, F1, E, f_in0, vh_obs0, alt, b_mag, b_psi,
-                        method="brute", percent_sigma=20.0, step=1.0,
-                        mode="O", n_points=200, bottom_type="B_bot"):
+                        method=None, percent_sigma=None, step=None,
+                        mode=None, n_points=None, bottom_type=None,
+                        config=None):
     """Fit hmF2 and B_bot (or B0) to observed VH (ref :672-825).
 
-    lmfit-brute grid semantics (``arange(min, max, step)`` per axis) but the
-    entire grid of forward operators runs as one vmapped XLA program.
-    ``method='levenberg-marquardt'`` delegates to :func:`retrieve_gradient`
-    (exact-jacobian LM — strictly stronger than lmfit's finite-difference
-    version). Returns (vh_fit, EDP_fit, F2_fit).
+    ``method='brute'``: lmfit-brute grid semantics (``arange(min, max,
+    step)`` per axis) but the entire grid of forward operators runs as one
+    vmapped XLA program. ``method='powell'``: scipy Powell line search
+    within the (old ± sigma) bounds, like the reference's lmfit
+    pass-through (ref :794-798), driving jitted on-device cost
+    evaluations. ``method='levenberg-marquardt'`` delegates to
+    :func:`retrieve_gradient` (exact-jacobian LM — strictly stronger than
+    lmfit's finite-difference version). Returns (vh_fit, EDP_fit, F2_fit).
+
+    Defaults mirror the reference (method='brute', percent_sigma=20,
+    step=1, mode='O', n_points=200, bottom_type='B_bot'); a
+    :class:`pyrayhf_tpu.config.RetrievalConfig` passed as ``config``
+    supplies any knob not given explicitly.
     """
+    from .config import resolve
+    method = resolve(config, "method", method, "brute")
+    percent_sigma = resolve(config, "percent_sigma", percent_sigma, 20.0)
+    step = resolve(config, "step", step, 1.0)
+    mode = resolve(config, "mode", mode, "O")
+    n_points = resolve(config, "n_points", n_points, 200)
+    bottom_type = resolve(config, "bottom_type", bottom_type, "B_bot")
     if method in ("levenberg-marquardt", "leastsq"):
         if bottom_type != "B_bot":
             raise ValueError("levenberg-marquardt retrieval supports B_bot")
@@ -152,11 +168,9 @@ def minimize_parameters(F2, F1, E, f_in0, vh_obs0, alt, b_mag, b_psi,
             F2, F1, E, f_in0, vh_obs0, alt, b_mag, b_psi, mode=mode,
             n_points=n_points, bottom_type=bottom_type)
         return vh_fit, EDP_fit, F2_fit
-    if method not in ("brute",):
+    if method not in ("brute", "powell"):
         raise ValueError(
-            "method must be 'brute' or 'levenberg-marquardt' (the "
-            "reference's 'powell' relied on lmfit; use the vmapped brute "
-            "grid or gradient LM instead)")
+            "method must be 'brute', 'powell' or 'levenberg-marquardt'")
     if bottom_type == "B_bot" and F2.get("B_bot") is None:
         raise ValueError("B_bot is not provided in F, but bottom_type is "
                          "B_bot")
@@ -180,12 +194,6 @@ def minimize_parameters(F2, F1, E, f_in0, vh_obs0, alt, b_mag, b_psi,
 
     Nm_new = _pin_NmF2(jnp.asarray(f_in), alt, b_mag, old_hmf2, mode)
 
-    hm_grid = np.arange(old_hmf2 - sigma_hmf2, old_hmf2 + sigma_hmf2, step)
-    b_grid = np.arange(old_b - sigma_b, old_b + sigma_b, step)
-    HM, BB = np.meshgrid(hm_grid, b_grid, indexing="ij")
-    hm_flat = jnp.asarray(HM.ravel())
-    b_flat = jnp.asarray(BB.ravel())
-
     def cost(hm, b):
         params = {"NmF2": Nm_new, "hmF2": hm, key2: b}
         if bottom_type == "B0_B1":
@@ -195,10 +203,36 @@ def minimize_parameters(F2, F1, E, f_in0, vh_obs0, alt, b_mag, b_psi,
                         n_points=n_points, bottom_type=bottom_type)
         return jnp.sum(r * r)
 
-    costs = jax.jit(jax.vmap(cost))(hm_flat, b_flat)
-    best = int(jnp.argmin(costs))
-    hm_opt = float(hm_flat[best])
-    b_opt = float(b_flat[best])
+    if method == "powell":
+        # the reference forwards method='powell' to lmfit → scipy Powell
+        # line search with (old ± sigma) parameter bounds (ref :781-798);
+        # here scipy drives jitted on-device cost evaluations directly
+        from scipy.optimize import minimize as _sp_minimize
+        cost_j = jax.jit(cost)
+        res = _sp_minimize(
+            lambda z: float(cost_j(z[0], z[1])),
+            x0=np.array([old_hmf2, old_b]), method="Powell",
+            bounds=[(old_hmf2 - sigma_hmf2, old_hmf2 + sigma_hmf2),
+                    (old_b - sigma_b, old_b + sigma_b)])
+        hm_opt, b_opt = float(res.x[0]), float(res.x[1])
+    else:
+        # lmfit-brute grid semantics: arange(min, max, brute_step) per axis;
+        # a sigma smaller than the step would yield an EMPTY grid (tiny
+        # percent_sigma or small B_bot) — fall back to the initial value
+        hm_grid = np.arange(old_hmf2 - sigma_hmf2, old_hmf2 + sigma_hmf2,
+                            step)
+        b_grid = np.arange(old_b - sigma_b, old_b + sigma_b, step)
+        if hm_grid.size == 0:
+            hm_grid = np.array([old_hmf2])
+        if b_grid.size == 0:
+            b_grid = np.array([old_b])
+        HM, BB = np.meshgrid(hm_grid, b_grid, indexing="ij")
+        hm_flat = jnp.asarray(HM.ravel())
+        b_flat = jnp.asarray(BB.ravel())
+        costs = jax.jit(jax.vmap(cost))(hm_flat, b_flat)
+        best = int(jnp.argmin(costs))
+        hm_opt = float(hm_flat[best])
+        b_opt = float(b_flat[best])
 
     F2_fit = dict(F2)
     F2_fit["Nm"] = np.full_like(np.asarray(F2["Nm"], dtype=float),
@@ -496,9 +530,10 @@ def _lm_batch_core(hm0, bb0, nm0, B_top, Es, P, B1_fix, f, obs, alt_j,
 
 
 def retrieve_gradient_batch(F2, F1, E, f_in, vh_obs, alt, b_mag, b_psi,
-                            mode="O", n_points=200, bottom_type="B_bot",
-                            steps=25, fit_nm=False, crit_margin=0.995,
-                            chunk_size=64, dtype=None):
+                            mode=None, n_points=None, bottom_type=None,
+                            steps=None, fit_nm=False, crit_margin=None,
+                            chunk_size=64, dtype=None,
+                            checkpoint_path=None, config=None):
     """Batched gradient retrieval: [B, F] ionograms → [B] fits, one launch.
 
     The serving-scale variant of :func:`retrieve_gradient`: every LM
@@ -523,7 +558,24 @@ def retrieve_gradient_batch(F2, F1, E, f_in, vh_obs, alt, b_mag, b_psi,
     double-float); the analytic-margin forward holds ~0.02 km in f32, so
     the attainable cost floor rises from ~1e-18 to roughly
     (0.02 km)²·N_freq — ample for real ionogram noise levels.
+
+    ``checkpoint_path`` enables chunk-granular resume for long batched
+    inversions (SURVEY §5 checkpoint row): after each completed chunk the
+    fitted state is persisted via :func:`pyrayhf_tpu.io.save_checkpoint`;
+    if the file already exists, completed chunks are loaded instead of
+    recomputed, reproducing the uninterrupted fit exactly. The file is
+    removed on successful completion.
+
+    A :class:`pyrayhf_tpu.config.RetrievalConfig` passed as ``config``
+    supplies mode/n_points/bottom_type/steps (``lm_steps``)/``crit_margin``
+    when not given explicitly.
     """
+    from .config import resolve
+    mode = resolve(config, "mode", mode, "O")
+    n_points = resolve(config, "n_points", n_points, 200)
+    bottom_type = resolve(config, "bottom_type", bottom_type, "B_bot")
+    steps = resolve(config, "lm_steps", steps, 25)
+    crit_margin = resolve(config, "crit_margin", crit_margin, 0.995)
     dt = jnp.asarray(0.0, dtype=float).dtype if dtype is None else dtype
     obs = jnp.atleast_2d(jnp.asarray(vh_obs, dtype=dt))
     B = obs.shape[0]
@@ -568,15 +620,51 @@ def retrieve_gradient_batch(F2, F1, E, f_in, vh_obs, alt, b_mag, b_psi,
     # enforce a per-launch wall-time watchdog (observed: B=64 at ~45 s per
     # launch fine, B=128 kills the worker). Chunks reuse the same compiled
     # executable, so the only cost is launch overhead per chunk.
+    slices = ([slice(lo, min(lo + chunk_size, B))
+               for lo in range(0, B, chunk_size)] if chunk_size
+              else [slice(0, B)])
+
+    ckpt = None
+    if checkpoint_path is not None:
+        import os
+        from . import io as _io
+        if os.path.exists(checkpoint_path):
+            ckpt = _io.load_checkpoint(checkpoint_path)
+            meta = ckpt["meta"]
+            if (int(meta["B"]) != B or int(meta["steps"]) != steps
+                    or int(meta["n_chunks"]) != len(slices)):
+                raise ValueError(
+                    f"checkpoint {checkpoint_path} was written for a "
+                    f"different retrieval configuration (B={int(meta['B'])},"
+                    f" steps={int(meta['steps'])},"
+                    f" n_chunks={int(meta['n_chunks'])})")
+        else:
+            ckpt = {"meta": {"B": B, "steps": steps,
+                             "n_chunks": len(slices), "chunks_done": 0},
+                    "chunks": {}}
+
+    _PART_KEYS = ("vh_fit", "EDP_fit", "hm", "bb", "nm", "history")
     parts = []
-    for lo in range(0, B, chunk_size) if chunk_size else [0]:
-        sl = slice(lo, min(lo + chunk_size, B)) if chunk_size \
-            else slice(0, B)
-        parts.append(_lm_batch_core(
+    for ci, sl in enumerate(slices):
+        if ckpt is not None and ci < int(ckpt["meta"]["chunks_done"]):
+            c = ckpt["chunks"][str(ci)]
+            parts.append(tuple(jnp.asarray(c[k], dt) for k in _PART_KEYS))
+            continue
+        out = _lm_batch_core(
             hm0[sl], bb0[sl], nm0[sl], B_top, Es, P, B1_fix, f, obs[sl],
             alt_j, bmag_j, bpsi_j, mode=mode, n_points=n_points,
             bottom_type=bottom_type, steps=steps, fit_nm=fit_nm,
-            crit_margin=crit_margin))
+            crit_margin=crit_margin)
+        parts.append(out)
+        if ckpt is not None:
+            ckpt["chunks"][str(ci)] = {
+                k: np.asarray(v) for k, v in zip(_PART_KEYS, out)}
+            ckpt["meta"]["chunks_done"] = ci + 1
+            _io.save_checkpoint(ckpt, checkpoint_path)
+    if ckpt is not None:
+        import os
+        if os.path.exists(checkpoint_path):
+            os.remove(checkpoint_path)
     if len(parts) == 1:
         vh_fit, EDP_fit, hm_fit, bb_fit, nm_fit, history = parts[0]
     else:

@@ -297,15 +297,22 @@ def _snell_spherical_core(f0_hz, elevation_deg, alt, ne, babs, bpsi,
 
 
 def trace_ray_spherical_snells(f0_Hz, elevation_deg, alt_km, Ne, Babs, bpsi,
-                               mode="O", *, dz_target_km=1.0, apex_boost=200.0,
-                               max_substeps=400, R_E=None):
+                               mode=None, *, dz_target_km=1.0,
+                               apex_boost=200.0, max_substeps=400, R_E=None,
+                               config=None):
     """Spherical-Earth layered Snell trace; API-parity with ref :1460-1713.
 
     ``dz_target_km``/``apex_boost``/``max_substeps`` are accepted for API
     compatibility but unused: the apex interval is integrated with an exact
     √-substitution (see module docstring) instead of adaptive substeps.
+    A :class:`pyrayhf_tpu.config.SnellConfig` passed as ``config`` supplies
+    ``mode`` (default 'O') and ``R_E_km`` when not given explicitly.
     """
     del dz_target_km, apex_boost, max_substeps
+    from .config import resolve
+    mode = resolve(config, "mode", mode, "O")
+    if R_E is None and config is not None:
+        R_E = config.R_E_km
     re = globals()["R_E"] if R_E is None else float(R_E)
     return _snell_spherical_core(jnp.asarray(f0_Hz, dtype=float),
                                  jnp.asarray(elevation_deg, dtype=float),

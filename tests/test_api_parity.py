@@ -1,5 +1,6 @@
 """API-surface parity: every reference component has a public counterpart."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 from numpy.testing import assert_allclose
@@ -88,6 +89,40 @@ def test_configs_are_hashable_static():
     assert cfg.n_points == 400
     with pytest.raises(Exception):
         cfg.n_points = 5          # frozen
+
+
+def test_operator_config_wiring(day_profile):
+    """config= supplies mode/n_points; explicit kwargs win over it."""
+    d = day_profile
+    freqs = np.arange(2.0, 14.0, 1.0)
+    args = (freqs, d["den"], d["bmag"], d["bpsi"], d["alt"])
+    cfg = prt.OperatorConfig(mode="X", n_points=300)
+    via_cfg = np.asarray(prt.vertical_forward_operator(*args, config=cfg))
+    explicit = np.asarray(prt.vertical_forward_operator(
+        *args, mode="X", n_points=300))
+    np.testing.assert_array_equal(via_cfg, explicit)
+    # explicit kwarg overrides the config field
+    override = np.asarray(prt.vertical_forward_operator(
+        *args, mode="O", config=cfg))
+    o_mode = np.asarray(prt.vertical_forward_operator(
+        *args, mode="O", n_points=300))
+    np.testing.assert_array_equal(override, o_mode)
+    m = np.isfinite(via_cfg) & np.isfinite(override)
+    assert np.abs(via_cfg[m] - override[m]).max() > 0.1   # X differs from O
+
+    # batch + pallas paths accept the same config
+    b = np.asarray(prt.vertical_forward_operator_batch(
+        freqs, d["den"][None, :], d["bmag"][None, :], d["bpsi"][None, :],
+        d["alt"], config=cfg))[0]
+    np.testing.assert_array_equal(b, via_cfg)
+    from pyrayhf_tpu.pallas_vh import ionogram_fast_xla, ionogram_pallas
+    p = np.asarray(ionogram_pallas(
+        jnp.asarray(freqs), jnp.asarray(d["den"])[None, :],
+        jnp.asarray(d["bmag"])[None, :], jnp.asarray(d["bpsi"])[None, :],
+        jnp.asarray(d["alt"]), interpret=True, config=cfg))[0]
+    assert np.array_equal(np.isnan(p), np.isnan(via_cfg))
+    mm = np.isfinite(via_cfg)
+    assert np.abs(p[mm] - via_cfg[mm]).max() < 1e-6
 
 
 def test_minimize_parameters_lm_method(day_profile):

@@ -262,6 +262,80 @@ def test_gradient_retrieval_b0b1(day_profile):
     assert abs(float(np.ravel(F2_fit["B0"])[0]) / F2_truth["B0"] - 1) < 0.05
 
 
+def test_retrieve_gradient_batch_kill_and_resume(day_profile, tmp_path,
+                                                 monkeypatch):
+    """A killed batched retrieval resumes from its chunk checkpoint and
+    reproduces the uninterrupted fit exactly (SURVEY §5 checkpoint row)."""
+    import jax.numpy as jnp
+    from pyrayhf_tpu import retrieval as rt
+    from pyrayhf_tpu.magnetoionic import freq2den
+
+    d = day_profile
+    F1 = _layer_scalars(d["F1"])
+    E = _layer_scalars(d["E"])
+    freq = np.arange(2.0, 13.51, 0.5)
+    alt = np.arange(80.0, 700.0, 2.0)
+    bmag = np.full(alt.size, 3e-5)
+    bpsi = np.full(alt.size, 70.0)
+    nm_truth = float(freq2den(13.5e6)) * 1.0001
+    rng = np.random.default_rng(3)
+    B = 4
+    hms = rng.uniform(290.0, 340.0, B)
+    bbs = rng.uniform(40.0, 50.0, B)
+    obs = np.stack([np.asarray(model_VH(
+        {"Nm": nm_truth, "hm": hms[b], "B_bot": bbs[b], "B_top": 40.0},
+        F1, E, freq, alt, bmag, bpsi)[0]) for b in range(B)])
+    F2_guess = {"Nm": nm_truth, "hm": hms * 0.97, "B_bot": bbs * 1.05,
+                "B_top": 40.0}
+    kw = dict(steps=5, chunk_size=2, dtype=jnp.float32)
+    ckpt = tmp_path / "lm_state.npz"
+
+    # uninterrupted run (no checkpoint file)
+    ref = rt.retrieve_gradient_batch(F2_guess, F1, E, freq, obs, alt,
+                                     bmag, bpsi, **kw)
+
+    # "kill" the process after the first chunk: the second core launch dies
+    real_core = rt._lm_batch_core
+    calls = {"n": 0}
+
+    def dying_core(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated kill")
+        return real_core(*a, **k)
+
+    monkeypatch.setattr(rt, "_lm_batch_core", dying_core)
+    with pytest.raises(RuntimeError, match="simulated kill"):
+        rt.retrieve_gradient_batch(F2_guess, F1, E, freq, obs, alt, bmag,
+                                   bpsi, checkpoint_path=str(ckpt), **kw)
+    monkeypatch.setattr(rt, "_lm_batch_core", real_core)
+    assert ckpt.exists()
+
+    # resume: chunk 0 loads from the checkpoint, chunk 1 computes fresh
+    res = rt.retrieve_gradient_batch(F2_guess, F1, E, freq, obs, alt, bmag,
+                                     bpsi, checkpoint_path=str(ckpt), **kw)
+    assert not ckpt.exists()     # removed on success
+    for a, b in zip(ref[:2], res[:2]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for k in ("hm", "B_bot", "Nm"):
+        np.testing.assert_array_equal(ref[2][k], res[2][k])
+    np.testing.assert_array_equal(ref[3], res[3])
+
+    # config-mismatch guard
+    ckpt2 = tmp_path / "lm_state2.npz"
+    monkeypatch.setattr(rt, "_lm_batch_core", dying_core)
+    calls["n"] = 0  # first chunk completes (checkpoint written), second dies
+    with pytest.raises(RuntimeError):
+        rt.retrieve_gradient_batch(F2_guess, F1, E, freq, obs, alt, bmag,
+                                   bpsi, checkpoint_path=str(ckpt2), **kw)
+    monkeypatch.setattr(rt, "_lm_batch_core", real_core)
+    with pytest.raises(ValueError, match="different retrieval"):
+        rt.retrieve_gradient_batch(
+            F2_guess, F1, E, freq, obs, alt, bmag, bpsi,
+            checkpoint_path=str(ckpt2), steps=7, chunk_size=2,
+            dtype=jnp.float32)
+
+
 def test_retrieve_gradient_batch_f32(day_profile):
     """The f32 fast path recovers the same fits as f64 (serving dtype).
 
@@ -338,3 +412,52 @@ def test_retrieve_gradient_batch_recovers(day_profile):
     # cost history is per-sample and monotone non-increasing
     assert hist.shape == (15, B)
     assert np.all(np.diff(hist, axis=0) <= 1e-9)
+
+
+def test_minimize_parameters_powell(day_profile):
+    """method='powell' (scipy Powell over jitted costs) recovers truth.
+
+    API parity: the reference forwards any lmfit method through
+    (ref library.py:794-798); 'powell' was the one non-brute method its
+    tutorials use.
+    """
+    d = day_profile
+    F2 = _layer_scalars(d["F2"])
+    F1 = _layer_scalars(d["F1"])
+    E = _layer_scalars(d["E"])
+    freq = np.arange(2.0, 13.51, 0.25)
+    alt = np.arange(80.0, 700.0, 0.5)
+    from pyrayhf_tpu.magnetoionic import freq2den
+    nm_truth = float(freq2den(13.5e6)) * 1.0001
+    F2_truth = dict(F2, Nm=nm_truth, hm=F2["hm"] - 12.0,
+                    B_bot=F2["B_bot"] + 4.0)
+    bmag = np.full(alt.size, 3e-5)
+    bpsi = np.full(alt.size, 70.0)
+    vh_obs, _ = model_VH(F2_truth, F1, E, freq, alt, bmag, bpsi)
+    vh_fit, edp_fit, F2_fit = minimize_parameters(
+        F2, F1, E, freq, np.asarray(vh_obs), alt, bmag, bpsi,
+        method="powell", percent_sigma=10.0)
+    # continuous optimizer: tighter than the 2-km brute grid
+    assert abs(float(np.ravel(F2_fit["hm"])[0]) - F2_truth["hm"]) <= 2.0
+    assert abs(float(np.ravel(F2_fit["B_bot"])[0])
+               - F2_truth["B_bot"]) <= 2.0
+
+
+def test_minimize_parameters_empty_grid_falls_back(day_profile):
+    """A sigma smaller than the brute step yields a 1-point grid, not an
+    opaque argmin error (ADVICE retrieval.py:180)."""
+    d = day_profile
+    F2 = _layer_scalars(d["F2"])
+    F1 = _layer_scalars(d["F1"])
+    E = _layer_scalars(d["E"])
+    freq = np.arange(3.0, 10.01, 0.5)
+    alt = np.arange(80.0, 700.0, 2.0)
+    bmag = np.full(alt.size, 3e-5)
+    bpsi = np.full(alt.size, 70.0)
+    vh_obs, _ = model_VH(F2, F1, E, freq, alt, bmag, bpsi)
+    # percent_sigma tiny: old*percent/100 << step -> empty arange
+    vh_fit, edp_fit, F2_fit = minimize_parameters(
+        F2, F1, E, freq, np.asarray(vh_obs), alt, bmag, bpsi,
+        percent_sigma=0.001, step=5.0)
+    assert np.isclose(float(np.ravel(F2_fit["hm"])[0]), F2["hm"])
+    assert np.isclose(float(np.ravel(F2_fit["B_bot"])[0]), F2["B_bot"])

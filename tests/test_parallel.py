@@ -132,3 +132,18 @@ def test_batched_lm_sharded_matches_unsharded(mesh8):
     # cost floor)
     assert np.all(hist_s[-1] <= hist_s[0])
     assert np.mean(hist_s[-1] < 0.9 * hist_s[0]) >= 0.5
+
+
+def test_ionogram_mesh_validates_batch_axis():
+    """Non-divisor batch_axis raises a descriptive error, not a numpy
+    reshape failure (ADVICE mesh.py:54)."""
+    import jax
+    import pytest
+    from pyrayhf_tpu.parallel import ionogram_mesh
+    devices = jax.devices()[:8]
+    with pytest.raises(ValueError, match="divisor"):
+        ionogram_mesh(devices, batch_axis=3)
+    with pytest.raises(ValueError, match="divisor"):
+        ionogram_mesh(devices, batch_axis=0)
+    mesh = ionogram_mesh(devices, batch_axis=4)
+    assert dict(mesh.shape) == {"batch": 4, "freq": 2}

@@ -281,3 +281,68 @@ def test_gradient_parity_x_mode(goldens):
         rel = np.abs(ours[both] - ref[both]) / np.maximum(np.abs(ref[both]),
                                                           1e-9)
         assert rel.max() < 0.01, (el, rel)
+
+
+def test_gradient_adaptive_honors_tolerances(goldens):
+    """rtol/atol select the embedded DP5(4) error-controlled integrator.
+
+    (a) With the reference's defaults (rtol 1e-7/atol 1e-9) and a coarse
+    initial step, the adaptive trace matches the scipy-RK45 oracle within
+    1.5% on every metric; (b) tightening the tolerance never degrades the
+    deviation from a fine fixed-step reference (error control is live).
+    """
+    alt = goldens["gauss_alt"]
+    x_grid = goldens["gauss_x_grid"]
+    nag = build_refractive_index_interpolator_cartesian(
+        alt, x_grid, goldens["gauss_mu_field"])
+    mupf = build_mup_function(mup_field=goldens["gauss_mup_field"],
+                              x_grid=x_grid, z_grid=alt,
+                              geometry="cartesian")
+    keys = ["group_path_km", "group_delay_sec", "ground_range_km",
+            "x_apex_km", "z_apex_km"]
+    kw = dict(z_max_km=600.0, x_min_km=0.0, x_max_km=1000.0)
+    for j, el in enumerate(goldens["snell_elevs"]):
+        r = trace_ray_cartesian_gradient(
+            nag, mupf, 0.0, 0.0, float(el), 4000.0, step_km=5.0,
+            rtol=1e-7, atol=1e-9, max_step_km=5.0, **kw)
+        ours = np.array([float(r[k]) for k in keys])
+        ref = goldens["grad_cart_O"][j]
+        both = np.isfinite(ours) & np.isfinite(ref)
+        assert np.array_equal(np.isfinite(ours), np.isfinite(ref)), el
+        rel = np.abs(ours[both] - ref[both]) / np.maximum(
+            np.abs(ref[both]), 1e-9)
+        assert rel.max() < 0.015, (el, rel)
+
+    # (b) error control: loose vs tight tolerance vs a fine fixed-step ref
+    el = 35.0
+    fine = trace_ray_cartesian_gradient(nag, mupf, 0.0, 0.0, el, 4000.0,
+                                        step_km=0.25, **kw)
+    gp_fine = float(fine["group_path_km"])
+
+    def dev(rtol):
+        r = trace_ray_cartesian_gradient(
+            nag, mupf, 0.0, 0.0, el, 4000.0, step_km=10.0, rtol=rtol,
+            atol=1e-9, max_step_km=50.0, **kw)
+        return abs(float(r["group_path_km"]) - gp_fine)
+
+    assert dev(1e-8) <= dev(1e-2) + 1e-6
+
+    # spherical adaptive path vs oracle
+    nag_s = build_refractive_index_interpolator_spherical(
+        alt, x_grid, goldens["gauss_mu_field"])
+    mupf_s = build_mup_function(mup_field=goldens["gauss_mup_field"],
+                                x_grid=x_grid, z_grid=alt,
+                                geometry="spherical")
+    for j, el in enumerate(goldens["snell_elevs"]):
+        r = trace_ray_spherical_gradient(
+            nag_s, mupf_s, 0.0, 0.0, float(el), 4000.0, step_km=2.0,
+            rtol=1e-7, atol=1e-9, max_step_km=2.0,
+            r_max_km=6371.0 + 600.0, phi_min=-0.1,
+            phi_max=1000.0 / 6371.0)
+        ours = np.array([float(r[k]) for k in keys])
+        ref = goldens["grad_sph_O"][j]
+        both = np.isfinite(ours) & np.isfinite(ref)
+        assert np.array_equal(np.isfinite(ours), np.isfinite(ref)), el
+        rel = np.abs(ours[both] - ref[both]) / np.maximum(
+            np.abs(ref[both]), 1e-9)
+        assert rel.max() < 0.015, (el, rel)

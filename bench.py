@@ -87,6 +87,31 @@ def main():
     log(f"O-mode 200pt fused kernel: B={B} F={F} time/launch={dt*1e3:.2f} ms"
         f" -> {evals_per_sec:.3e} vh evals/s")
 
+    if on_tpu and day is not None:
+        # X-mode 20k-point stretched grid, batched (the README's heavy
+        # config; per-chunk sweep bounds make the dense near-reflection
+        # chunks nearly free)
+        Bx = 32
+        argsx32 = (jnp.asarray(freqs, dtype),
+                   jnp.asarray(np.broadcast_to(day["den"],
+                                               (Bx, alt.size)), dtype),
+                   jnp.asarray(np.broadcast_to(day["bmag"],
+                                               (Bx, alt.size)), dtype),
+                   jnp.asarray(np.broadcast_to(day["bpsi"],
+                                               (Bx, alt.size)), dtype),
+                   jnp.asarray(alt, dtype))
+        fnx = partial(ionogram_pallas, mode_mult=-1.0, n_points=20000)
+        out = fnx(*argsx32)
+        _ = np.asarray(jnp.ravel(out)[0])
+        t0 = time.perf_counter()
+        for _ in range(5):
+            out = fnx(*argsx32)
+        _ = np.asarray(jnp.ravel(out)[0])
+        dtx = (time.perf_counter() - t0) / 5
+        log(f"X-mode 20000pt fused kernel (f32): B={Bx} F={F} "
+            f"time/launch={dtx*1e3:.2f} ms -> {dtx/Bx*1e3:.2f} ms/profile"
+            f" ({Bx*F/dtx:.3e} vh evals/s)")
+
     # ---- accuracy: on-device parity table vs f64 reference goldens ----
     # Day+Night × O+X × {200, 20k} × {pallas, fast_xla} in the fast dtype
     # (f32), plus the BASELINE f64 X-20k pin. On real TPU this validates

@@ -275,9 +275,9 @@ def _mu_mup_stable_tile(X, Y, psi_deg, mode_mult, eps_crit, eps_max):
     return mup, ok
 
 
-def _kernel(jhi_ref, mult_ref, dmult_ref, omm_ref, seg_ref, span_ref,
-            slope_ref, emax_ref, freq_ref, out_ref, *, mode_mult, n_seg,
-            last_chunk, last_idx, n_ftiles, inv_dalt=None):
+def _kernel(jlo_ref, jhi_ref, mult_ref, dmult_ref, omm_ref, seg_ref,
+            span_ref, slope_ref, emax_ref, freq_ref, out_ref, *, mode_mult,
+            n_seg, last_chunk, last_idx, n_ftiles, n_chunks, inv_dalt=None):
     b = pl.program_id(0)
     ft = pl.program_id(1)
     pc = pl.program_id(2)
@@ -296,19 +296,29 @@ def _kernel(jhi_ref, mult_ref, dmult_ref, omm_ref, seg_ref, span_ref,
 
     f_pad = span.shape[0]
     shape = (f_pad, mult.shape[0])
-    d_acc = jnp.full(shape, seg_ref[0, 0, 2], dtype=new_alt.dtype)
-    bm_acc = jnp.full(shape, seg_ref[0, 0, 4], dtype=new_alt.dtype)
-    bp_acc = jnp.full(shape, seg_ref[0, 0, 6], dtype=new_alt.dtype)
+    # Per-(profile, f-tile, point-chunk) sweep bounds. The stretched grid
+    # is sorted, so a chunk's points span a narrow altitude band: segments
+    # fully below it are saturated (tt == 1) and are folded into the
+    # accumulator INIT (the profile value at node j_lo), segments above
+    # j_hi contribute nothing. Total sweep work collapses from
+    # P_pad × j_hi to ~p_chunk × j_hi across all chunks — the win grows
+    # with n_chunks (8–40× on the X-mode 20k grid).
+    cell = (b * n_ftiles + ft) * n_chunks + pc
+    j_lo = jlo_ref[cell]
+    j_hi = jnp.minimum(jhi_ref[cell], n_seg - 1)
+    d_acc = jnp.full(shape, seg_ref[0, j_lo, 2], dtype=new_alt.dtype)
+    bm_acc = jnp.full(shape, seg_ref[0, j_lo, 4], dtype=new_alt.dtype)
+    bp_acc = jnp.full(shape, seg_ref[0, j_lo, 6], dtype=new_alt.dtype)
 
     if inv_dalt is not None:
         # uniform altitude grid: segment edges are j·Δ, so the hat argument
         # is pos − j with pos precomputed once — no per-segment scalar loads
-        # for the edge coordinates; 4x unrolled to amortise loop overhead
+        # for the edge coordinates; 16x unrolled to amortise loop overhead
         pos = new_alt * jnp.asarray(inv_dalt, new_alt.dtype)
 
         def body(q, carry):
             d, bm, bp = carry
-            j0 = q * 16
+            j0 = j_lo + q * 16
             for u in range(16):
                 j = j0 + u
                 tt = jnp.clip(pos - j.astype(pos.dtype), 0.0, 1.0)
@@ -316,10 +326,17 @@ def _kernel(jhi_ref, mult_ref, dmult_ref, omm_ref, seg_ref, span_ref,
                 bm = bm + tt * seg_ref[0, j, 5]
                 bp = bp + tt * seg_ref[0, j, 7]
             return d, bm, bp
+
+        # padded to a multiple of 16 for the unrolled body; extra segments
+        # beyond the table are avoided because seg is padded 16 rows and
+        # j_hi <= n_seg-1 (tt there multiplies a zero field delta)
+        trips = jnp.maximum(j_hi - j_lo + 15, 0) // 16
+        d_acc, bm_acc, bp_acc = jax.lax.fori_loop(
+            0, trips, body, (d_acc, bm_acc, bp_acc))
     else:
         def body(q, carry):
             d, bm, bp = carry
-            j0 = q * 4
+            j0 = j_lo + q * 4
             for u in range(4):
                 j = j0 + u
                 a_j = seg_ref[0, j, 0]
@@ -330,21 +347,10 @@ def _kernel(jhi_ref, mult_ref, dmult_ref, omm_ref, seg_ref, span_ref,
                 bp = bp + tt * seg_ref[0, j, 7]
             return d, bm, bp
 
-    # segments above every reflection height of this (profile, freq-tile)
-    # contribute nothing (tt == 0); bound the sweep by the precomputed top
-    # index — low-frequency tiles reflect low and sweep far fewer segments
-    j_hi = jnp.minimum(jhi_ref[b * n_ftiles + ft], n_seg - 1)
-    if inv_dalt is not None:
-        # padded to a multiple of 4 for the unrolled body; extra segments
-        # beyond the table are avoided because seg is padded one row and
-        # j_hi <= n_seg-1 (tt there multiplies a zero field delta)
-        trips = (j_hi + 15) // 16
+        # 4x unroll; overrun rows land in the zero padding (tt * 0)
+        trips = jnp.maximum(j_hi - j_lo + 3, 0) // 4
         d_acc, bm_acc, bp_acc = jax.lax.fori_loop(
             0, trips, body, (d_acc, bm_acc, bp_acc))
-    else:
-        # 4x unroll; overrun rows land in the zero padding (tt * 0)
-        d_acc, bm_acc, bp_acc = jax.lax.fori_loop(
-            0, (j_hi + 3) // 4, body, (d_acc, bm_acc, bp_acc))
 
     f = freq_ref[0, 0, 0, :][:, None]            # [f_tile, 1]
     X = d_acc * (CP * CP) / (f * f)
@@ -436,20 +442,39 @@ def _ionogram_pallas(freq_mhz, den, bmag, bpsi, alt, mode_mult=1.0,
     emax_p = jnp.zeros((B, 1, F_pad), dtype).at[:, 0, :F].set(emax)
     freq_p = jnp.ones((1, 1, F_pad), dtype).at[0, 0, :F].set(freq_hz)
 
-    # pad the segment table with zero rows so the 4x-unrolled sweep may
-    # read (harmlessly) up to 3 rows past its bound
+    # pad the segment table with zero rows so the 16x-unrolled sweep may
+    # read (harmlessly) up to 15 rows past its bound
     seg = jnp.concatenate(
         [seg, jnp.zeros((B, 16, 8), seg.dtype)], axis=1)
     N_tab = N + 16
 
-    # per-(profile, frequency-tile) sweep bound: highest profile node any
-    # stretched grid in the tile reaches
+    # Per-(profile, f-tile, point-chunk) sweep bounds. The stretched-grid
+    # points are sorted, so chunk c spans altitudes
+    # [span·mult[c·pc], span·mult[(c+1)·pc−1]]: segments fully below are
+    # saturated (folded into the accumulator init at node j_lo inside the
+    # kernel), segments above contribute nothing (j_hi).
     n_ftiles = F_pad // f_tile
     alt_rel = seg[:, :N, 0]
     span_t = span_p[:, 0, :].reshape(B, n_ftiles, f_tile)
     max_span = jnp.max(span_t, axis=2)                     # [B, n_ftiles]
-    j_hi = jnp.sum(alt_rel[:, None, :] < max_span[:, :, None],
-                   axis=2).astype(jnp.int32).reshape(B * n_ftiles)
+    # min span over VALID rows only (escaped rows carry span ≈ 0 and would
+    # destroy the lower bound; their sweep output is masked downstream)
+    valid_p = jnp.zeros((B, F_pad), bool).at[:, :F].set(valid)
+    valid_t = valid_p.reshape(B, n_ftiles, f_tile)
+    span_big = jnp.where(valid_t, span_t, jnp.inf)
+    min_span = jnp.min(span_big, axis=2)                   # [B, n_ftiles]
+
+    c_ids = np.arange(n_chunks)
+    mult_lo = mult_p[c_ids * p_chunk]                      # first real point
+    mult_hi = mult_p[np.minimum((c_ids + 1) * p_chunk, P) - 1]
+    pos_min = min_span[:, :, None] * jnp.asarray(mult_lo, dtype)[None, None]
+    pos_max = max_span[:, :, None] * jnp.asarray(mult_hi, dtype)[None, None]
+    # (all-invalid tiles: inf·0 = nan → comparisons False → j_lo = 0)
+    j_lo = jnp.sum(alt_rel[:, None, None, 1:] <= pos_min[..., None],
+                   axis=3).astype(jnp.int32)
+    j_lo = jnp.minimum(j_lo, N - 1).reshape(B * n_ftiles * n_chunks)
+    j_hi = jnp.sum(alt_rel[:, None, None, :] < pos_max[..., None],
+                   axis=3).astype(jnp.int32).reshape(B * n_ftiles * n_chunks)
 
     span_b = span_p.reshape(B, n_ftiles, 1, f_tile)
     slope_b = slope_p.reshape(B, n_ftiles, 1, f_tile)
@@ -457,42 +482,42 @@ def _ionogram_pallas(freq_mhz, den, bmag, bpsi, alt, mode_mult=1.0,
     freq_b = freq_p.reshape(1, n_ftiles, 1, f_tile)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(B, n_ftiles, n_chunks),
         in_specs=[
-            pl.BlockSpec((1, p_chunk), lambda b, f, c, jh: (0, c),
+            pl.BlockSpec((1, p_chunk), lambda b, f, c, jl, jh: (0, c),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, p_chunk), lambda b, f, c, jh: (0, c),
+            pl.BlockSpec((1, p_chunk), lambda b, f, c, jl, jh: (0, c),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, p_chunk), lambda b, f, c, jh: (0, c),
+            pl.BlockSpec((1, p_chunk), lambda b, f, c, jl, jh: (0, c),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N_tab, 8), lambda b, f, c, jh: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, f_tile),
-                         lambda b, f, c, jh: (b, f, 0, 0),
+            pl.BlockSpec((1, N_tab, 8), lambda b, f, c, jl, jh: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1, f_tile),
-                         lambda b, f, c, jh: (b, f, 0, 0),
+                         lambda b, f, c, jl, jh: (b, f, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1, f_tile),
-                         lambda b, f, c, jh: (b, f, 0, 0),
+                         lambda b, f, c, jl, jh: (b, f, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1, f_tile),
-                         lambda b, f, c, jh: (0, f, 0, 0),
+                         lambda b, f, c, jl, jh: (b, f, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, f_tile),
+                         lambda b, f, c, jl, jh: (0, f, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, 1, f_tile),
-                               lambda b, f, c, jh: (b, f, 0, 0),
+                               lambda b, f, c, jl, jh: (b, f, 0, 0),
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
         partial(_kernel, mode_mult=mode_mult, n_seg=N,
                 last_chunk=(P - 1) // p_chunk, last_idx=(P - 1) % p_chunk,
-                n_ftiles=n_ftiles, inv_dalt=inv_dalt),
+                n_ftiles=n_ftiles, n_chunks=n_chunks, inv_dalt=inv_dalt),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, n_ftiles, 1, f_tile), dtype),
         interpret=interpret,
-    )(j_hi, mult_j, dmult_j, omm_j, seg.reshape(B, N_tab, 8), span_b,
+    )(j_lo, j_hi, mult_j, dmult_j, omm_j, seg.reshape(B, N_tab, 8), span_b,
       slope_b, emax_b, freq_b)
 
     ih = out.reshape(B, F_pad)[:, :F]

@@ -277,107 +277,117 @@ def _mu_mup_stable_tile(X, Y, psi_deg, mode_mult, eps_crit, eps_max):
 
 def _kernel(jlo_ref, jhi_ref, mult_ref, dmult_ref, omm_ref, seg_ref,
             span_ref, slope_ref, emax_ref, freq_ref, out_ref, *, mode_mult,
-            n_seg, last_chunk, last_idx, n_ftiles, n_chunks, inv_dalt=None):
+            n_seg, last_chunk, last_idx, n_ftiles, n_chunks, b_tile,
+            inv_dalt=None):
     b = pl.program_id(0)
     ft = pl.program_id(1)
     pc = pl.program_id(2)
-    span = span_ref[0, 0, 0, :]                 # [f_tile], = crit - alt0
     mult = mult_ref[0, :]                       # [P_chunk]
     dmult = dmult_ref[0, :]
     omm = omm_ref[0, :]                         # 1 − mult, formed in f64
+    f = freq_ref[0, 0, 0, :][:, None]           # [f_tile, 1]
 
-    # altitudes relative to alt0 (segment table is stored in the same frame)
-    new_alt = span[:, None] * mult[None, :]              # [F_pad, P_chunk]
-    dh = span[:, None] * dmult[None, :]
-    # trailing backoff cell carries dh = 1e-6 (reference quirk)
-    p_ids = jax.lax.broadcasted_iota(jnp.int32, new_alt.shape, 1)
-    is_last = (pc == last_chunk) & (p_ids == last_idx)
-    dh = jnp.where(is_last, jnp.asarray(_DH_BACKOFF, dh.dtype), dh)
+    # ``b_tile`` profiles share one grid cell: the per-cell fixed cost
+    # (grid scheduling, block bookkeeping) is ~half the cell time at the
+    # O-200 workload, so amortising it across profiles buys real latency.
+    for bi in range(b_tile):
+        span = span_ref[bi, 0, 0, :]            # [f_tile], = crit - alt0
 
-    f_pad = span.shape[0]
-    shape = (f_pad, mult.shape[0])
-    # Per-(profile, f-tile, point-chunk) sweep bounds. The stretched grid
-    # is sorted, so a chunk's points span a narrow altitude band: segments
-    # fully below it are saturated (tt == 1) and are folded into the
-    # accumulator INIT (the profile value at node j_lo), segments above
-    # j_hi contribute nothing. Total sweep work collapses from
-    # P_pad × j_hi to ~p_chunk × j_hi across all chunks — the win grows
-    # with n_chunks (8–40× on the X-mode 20k grid).
-    cell = (b * n_ftiles + ft) * n_chunks + pc
-    j_lo = jlo_ref[cell]
-    j_hi = jnp.minimum(jhi_ref[cell], n_seg - 1)
-    d_acc = jnp.full(shape, seg_ref[0, j_lo, 2], dtype=new_alt.dtype)
-    bm_acc = jnp.full(shape, seg_ref[0, j_lo, 4], dtype=new_alt.dtype)
-    bp_acc = jnp.full(shape, seg_ref[0, j_lo, 6], dtype=new_alt.dtype)
+        # altitudes relative to alt0 (segment table in the same frame)
+        new_alt = span[:, None] * mult[None, :]          # [F_pad, P_chunk]
+        dh = span[:, None] * dmult[None, :]
+        # trailing backoff cell carries dh = 1e-6 (reference quirk)
+        p_ids = jax.lax.broadcasted_iota(jnp.int32, new_alt.shape, 1)
+        is_last = (pc == last_chunk) & (p_ids == last_idx)
+        dh = jnp.where(is_last, jnp.asarray(_DH_BACKOFF, dh.dtype), dh)
 
-    if inv_dalt is not None:
-        # uniform altitude grid: segment edges are j·Δ, so the hat argument
-        # is pos − j with pos precomputed once — no per-segment scalar loads
-        # for the edge coordinates; 16x unrolled to amortise loop overhead
-        pos = new_alt * jnp.asarray(inv_dalt, new_alt.dtype)
+        f_pad = span.shape[0]
+        shape = (f_pad, mult.shape[0])
+        # Per-(profile, f-tile, point-chunk) sweep bounds. The stretched
+        # grid is sorted, so a chunk's points span a narrow altitude band:
+        # segments fully below it are saturated (tt == 1) and are folded
+        # into the accumulator INIT (the profile value at node j_lo),
+        # segments above j_hi contribute nothing. Total sweep work
+        # collapses from P_pad × j_hi to ~p_chunk × j_hi across all
+        # chunks — the win grows with n_chunks (the X-mode 20k grid has
+        # 40 of them).
+        cell = ((b * b_tile + bi) * n_ftiles + ft) * n_chunks + pc
+        j_lo = jlo_ref[cell]
+        j_hi = jnp.minimum(jhi_ref[cell], n_seg - 1)
+        d_acc = jnp.full(shape, seg_ref[bi, j_lo, 2], dtype=new_alt.dtype)
+        bm_acc = jnp.full(shape, seg_ref[bi, j_lo, 4], dtype=new_alt.dtype)
+        bp_acc = jnp.full(shape, seg_ref[bi, j_lo, 6], dtype=new_alt.dtype)
 
-        def body(q, carry):
-            d, bm, bp = carry
-            j0 = j_lo + q * 16
-            for u in range(16):
-                j = j0 + u
-                tt = jnp.clip(pos - j.astype(pos.dtype), 0.0, 1.0)
-                d = d + tt * seg_ref[0, j, 3]
-                bm = bm + tt * seg_ref[0, j, 5]
-                bp = bp + tt * seg_ref[0, j, 7]
-            return d, bm, bp
+        if inv_dalt is not None:
+            # uniform altitude grid: segment edges are j·Δ, so the hat
+            # argument is pos − j with pos precomputed once — no
+            # per-segment scalar loads for the edge coordinates; 16x
+            # unrolled to amortise loop overhead
+            pos = new_alt * jnp.asarray(inv_dalt, new_alt.dtype)
 
-        # padded to a multiple of 16 for the unrolled body; extra segments
-        # beyond the table are avoided because seg is padded 16 rows and
-        # j_hi <= n_seg-1 (tt there multiplies a zero field delta)
-        trips = jnp.maximum(j_hi - j_lo + 15, 0) // 16
-        d_acc, bm_acc, bp_acc = jax.lax.fori_loop(
-            0, trips, body, (d_acc, bm_acc, bp_acc))
-    else:
-        def body(q, carry):
-            d, bm, bp = carry
-            j0 = j_lo + q * 4
-            for u in range(4):
-                j = j0 + u
-                a_j = seg_ref[0, j, 0]
-                inv = seg_ref[0, j, 1]
-                tt = jnp.clip((new_alt - a_j) * inv, 0.0, 1.0)
-                d = d + tt * seg_ref[0, j, 3]
-                bm = bm + tt * seg_ref[0, j, 5]
-                bp = bp + tt * seg_ref[0, j, 7]
-            return d, bm, bp
+            def body(q, carry, j_lo=j_lo, bi=bi, pos=pos):
+                d, bm, bp = carry
+                j0 = j_lo + q * 16
+                for u in range(16):
+                    j = j0 + u
+                    tt = jnp.clip(pos - j.astype(pos.dtype), 0.0, 1.0)
+                    d = d + tt * seg_ref[bi, j, 3]
+                    bm = bm + tt * seg_ref[bi, j, 5]
+                    bp = bp + tt * seg_ref[bi, j, 7]
+                return d, bm, bp
 
-        # 4x unroll; overrun rows land in the zero padding (tt * 0)
-        trips = jnp.maximum(j_hi - j_lo + 3, 0) // 4
-        d_acc, bm_acc, bp_acc = jax.lax.fori_loop(
-            0, trips, body, (d_acc, bm_acc, bp_acc))
+            # padded to a multiple of 16 for the unrolled body; extra
+            # segments beyond the table land in the zero padding (seg is
+            # padded 16 rows and j_hi <= n_seg-1)
+            trips = jnp.maximum(j_hi - j_lo + 15, 0) // 16
+            d_acc, bm_acc, bp_acc = jax.lax.fori_loop(
+                0, trips, body, (d_acc, bm_acc, bp_acc))
+        else:
+            def body(q, carry, j_lo=j_lo, bi=bi, new_alt=new_alt):
+                d, bm, bp = carry
+                j0 = j_lo + q * 4
+                for u in range(4):
+                    j = j0 + u
+                    a_j = seg_ref[bi, j, 0]
+                    inv = seg_ref[bi, j, 1]
+                    tt = jnp.clip((new_alt - a_j) * inv, 0.0, 1.0)
+                    d = d + tt * seg_ref[bi, j, 3]
+                    bm = bm + tt * seg_ref[bi, j, 5]
+                    bp = bp + tt * seg_ref[bi, j, 7]
+                return d, bm, bp
 
-    f = freq_ref[0, 0, 0, :][:, None]            # [f_tile, 1]
-    X = d_acc * (CP * CP) / (f * f)
-    Y = bm_acc * G_P / f
-    # analytic cutoff margin: slope * (distance below the reflection height)
-    slope_t = slope_ref[0, 0, 0, :][:, None]
-    emax_t = emax_ref[0, 0, 0, :][:, None]
-    eps = slope_t * (span[:, None] * omm[None, :] + _DH_BACKOFF)
-    mup, ok = _mu_mup_stable_tile(X, Y, bp_acc, mode_mult, eps, emax_t)
-    partial_ih = jnp.sum(jnp.where(ok, mup * dh, 0.0), axis=1)   # [F_pad]
+            # 4x unroll; overrun rows land in the zero padding (tt * 0)
+            trips = jnp.maximum(j_hi - j_lo + 3, 0) // 4
+            d_acc, bm_acc, bp_acc = jax.lax.fori_loop(
+                0, trips, body, (d_acc, bm_acc, bp_acc))
 
-    @pl.when(pc == 0)
-    def _():
-        out_ref[0, 0, 0, :] = jnp.zeros_like(partial_ih)
+        X = d_acc * (CP * CP) / (f * f)
+        Y = bm_acc * G_P / f
+        # analytic cutoff margin: slope × distance below reflection height
+        slope_t = slope_ref[bi, 0, 0, :][:, None]
+        emax_t = emax_ref[bi, 0, 0, :][:, None]
+        eps = slope_t * (span[:, None] * omm[None, :] + _DH_BACKOFF)
+        mup, ok = _mu_mup_stable_tile(X, Y, bp_acc, mode_mult, eps, emax_t)
+        partial_ih = jnp.sum(jnp.where(ok, mup * dh, 0.0), axis=1)
 
-    out_ref[0, 0, 0, :] = out_ref[0, 0, 0, :] + partial_ih
+        @pl.when(pc == 0)
+        def _(bi=bi, partial_ih=partial_ih):
+            out_ref[bi, 0, 0, :] = jnp.zeros_like(partial_ih)
+
+        out_ref[bi, 0, 0, :] = out_ref[bi, 0, 0, :] + partial_ih
 
 
 def ionogram_pallas(freq_mhz, den, bmag, bpsi, alt, mode_mult=None,
                     n_points=None, p_chunk=None, interpret=False, f_tile=32,
-                    config=None):
+                    b_tile=4, config=None):
     """Fused TPU ionogram synthesis: [B, N_alt] profiles → [B, F] vh.
 
     Same discretisation as :func:`pyrayhf_tpu.forward
     .vertical_forward_operator_batch` (docstring caveats re f32 tails).
     When ``alt`` is a concrete uniformly spaced grid the kernel takes a
-    cheaper sweep path (no per-segment edge loads).
+    cheaper sweep path (no per-segment edge loads). ``b_tile`` profiles
+    share one grid cell (amortises per-cell overhead; falls back to the
+    largest divisor of the batch).
     ``config`` (an :class:`pyrayhf_tpu.config.OperatorConfig`) supplies
     mode (as ±1 mode_mult), n_points and p_chunk when not explicit.
     """
@@ -387,6 +397,10 @@ def ionogram_pallas(freq_mhz, den, bmag, bpsi, alt, mode_mult=None,
                      else -1.0)
     n_points = resolve(config, "n_points", n_points, 200)
     p_chunk = resolve(config, "p_chunk", p_chunk, 512)
+    b_tile = max(int(b_tile), 1)
+    B = np.shape(den)[0]
+    while B % b_tile:
+        b_tile -= 1
     inv_dalt = None
     if not isinstance(alt, jax.core.Tracer):
         a = np.asarray(alt, dtype=np.float64)
@@ -396,14 +410,16 @@ def ionogram_pallas(freq_mhz, den, bmag, bpsi, alt, mode_mult=None,
     return _ionogram_pallas(freq_mhz, den, bmag, bpsi, alt,
                             mode_mult=mode_mult, n_points=n_points,
                             p_chunk=p_chunk, interpret=interpret,
-                            f_tile=f_tile, inv_dalt=inv_dalt)
+                            f_tile=f_tile, b_tile=b_tile,
+                            inv_dalt=inv_dalt)
 
 
 @partial(jax.jit, static_argnames=("mode_mult", "n_points", "p_chunk",
-                                   "interpret", "f_tile", "inv_dalt"))
+                                   "interpret", "f_tile", "b_tile",
+                                   "inv_dalt"))
 def _ionogram_pallas(freq_mhz, den, bmag, bpsi, alt, mode_mult=1.0,
                      n_points=200, p_chunk=512, interpret=False, f_tile=32,
-                     inv_dalt=None):
+                     b_tile=1, inv_dalt=None):
     freq_hz = (jnp.asarray(freq_mhz, dtype=den.dtype) * 1e6)
     den = jnp.asarray(den)
     B, N = den.shape
@@ -483,7 +499,7 @@ def _ionogram_pallas(freq_mhz, den, bmag, bpsi, alt, mode_mult=1.0,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(B, n_ftiles, n_chunks),
+        grid=(B // b_tile, n_ftiles, n_chunks),
         in_specs=[
             pl.BlockSpec((1, p_chunk), lambda b, f, c, jl, jh: (0, c),
                          memory_space=pltpu.VMEM),
@@ -491,29 +507,31 @@ def _ionogram_pallas(freq_mhz, den, bmag, bpsi, alt, mode_mult=1.0,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, p_chunk), lambda b, f, c, jl, jh: (0, c),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N_tab, 8), lambda b, f, c, jl, jh: (b, 0, 0),
+            pl.BlockSpec((b_tile, N_tab, 8),
+                         lambda b, f, c, jl, jh: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, f_tile),
+            pl.BlockSpec((b_tile, 1, 1, f_tile),
                          lambda b, f, c, jl, jh: (b, f, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, f_tile),
+            pl.BlockSpec((b_tile, 1, 1, f_tile),
                          lambda b, f, c, jl, jh: (b, f, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, f_tile),
+            pl.BlockSpec((b_tile, 1, 1, f_tile),
                          lambda b, f, c, jl, jh: (b, f, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1, f_tile),
                          lambda b, f, c, jl, jh: (0, f, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, 1, f_tile),
+        out_specs=pl.BlockSpec((b_tile, 1, 1, f_tile),
                                lambda b, f, c, jl, jh: (b, f, 0, 0),
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
         partial(_kernel, mode_mult=mode_mult, n_seg=N,
                 last_chunk=(P - 1) // p_chunk, last_idx=(P - 1) % p_chunk,
-                n_ftiles=n_ftiles, n_chunks=n_chunks, inv_dalt=inv_dalt),
+                n_ftiles=n_ftiles, n_chunks=n_chunks, b_tile=b_tile,
+                inv_dalt=inv_dalt),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, n_ftiles, 1, f_tile), dtype),
         interpret=interpret,

@@ -66,9 +66,11 @@ def climatology_parameters(year, month, day, UT, lat, lon, F107):
     cos_chi = jnp.cos(jnp.deg2rad(chi))
     cos_eff = jnp.clip(cos_chi, 0.0, 1.0)
 
-    # E layer: Davies (1990) foE relation, with a small night floor
+    # E layer: Davies (1990) foE relation, with a night floor calibrated to
+    # the reference's shipped PyIRI point (foE = 0.70 MHz at χ=167°,
+    # F107=204 — tests/test_envgen.py::test_climatology_vs_pyiri_points)
     foE = 0.9 * ((180.0 + 1.44 * F107) * jnp.maximum(cos_eff, 1e-4)) ** 0.25
-    foE = jnp.maximum(foE, 0.4)
+    foE = jnp.maximum(foE, 0.7)
     E = {"Nm": edp.NM_PER_MHZ2 * foE ** 2, "fo": foE,
          "hm": jnp.full_like(foE, 110.0),
          "B_bot": jnp.full_like(foE, 5.0), "B_top": jnp.full_like(foE, 7.0),

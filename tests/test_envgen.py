@@ -121,3 +121,46 @@ def test_time_launch_and_cost():
     assert dt > 0
     c = operator_cost(4, 175, 200, 620)
     assert c["points"] == 4 * 175 * 200
+
+
+def test_climatology_vs_pyiri_points(day_profile, night_profile):
+    """Validate the analytic climatology against real PyIRI output.
+
+    The reference's shipped pickles carry the PyIRI layer-parameter dicts
+    at two (location, local-time) points — the only external climatology
+    ground truth available without PyIRI's coefficient databases. This
+    pins the measured agreement (and documents the known gaps):
+
+    * foE: ≤ 2% by day; night floor calibrated to the PyIRI point;
+    * day foF2 within 20%, hmF2 within 20% (smooth zenith model vs CCIR);
+    * night foF2 deliberately NOT asserted: the point sits in the
+      equatorial evening anomaly (PyIRI: 13.9 MHz at local midnight),
+      which no solar-zenith parametrisation reproduces — documented
+      limitation (envgen.py module docstring).
+    """
+    from pyrayhf_tpu.envgen import climatology_parameters
+
+    def at(prof):
+        F2, F1, E = climatology_parameters(
+            prof["year"], prof["month"], prof["day"], prof["UT"],
+            prof["tlat"], prof["tlon"], prof["F107"])
+        sc = lambda v: float(np.ravel(v)[0])
+        return ({k: sc(v) for k, v in F2.items()},
+                {k: sc(v) for k, v in F1.items()},
+                {k: sc(v) for k, v in E.items()})
+
+    ref = lambda d: {k: float(np.ravel(v)[0]) for k, v in d.items()}
+
+    F2d, F1d, Ed = at(day_profile)
+    rF2d, rF1d, rEd = (ref(day_profile[k]) for k in ("F2", "F1", "E"))
+    assert abs(Ed["fo"] / rEd["fo"] - 1) < 0.02          # Davies foE, day
+    assert abs(Ed["solzen"] - rEd["solzen"]) < 1.0       # zenith angle
+    assert abs(F2d["fo"] / rF2d["fo"] - 1) < 0.20        # day foF2
+    assert abs(F2d["hm"] / rF2d["hm"] - 1) < 0.20        # day hmF2
+    assert 0.5 < F1d["P"] <= 1.0 and rF1d["P"] > 0.5     # F1 present by day
+
+    F2n, F1n, En = at(night_profile)
+    rF2n, rF1n, rEn = (ref(night_profile[k]) for k in ("F2", "F1", "E"))
+    assert abs(En["fo"] - rEn["fo"]) < 0.2               # night foE floor
+    assert F1n["P"] == 0.0 and rF1n["P"] < 0.01          # no F1 at night
+    assert abs(F2n["hm"] / rF2n["hm"] - 1) < 0.25        # night hmF2

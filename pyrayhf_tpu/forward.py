@@ -117,24 +117,56 @@ def _forward_batch_core(freq_mhz, den, bmag, bpsi, alt, mode_mult, n_points):
 
 
 def vertical_forward_operator_batch(freq, den, bmag, bpsi, alt,
-                                    mode=None, n_points=None, config=None):
+                                    mode=None, n_points=None, config=None,
+                                    engine="auto"):
     """Batched operator: profiles [B, N_alt] → ionograms [B, N_freq].
 
     ``alt`` may be [N_alt] (shared grid) or [B, N_alt].
     This is the unit that `pyrayhf_tpu.parallel` shards over device meshes.
     ``config``: see :func:`vertical_forward_operator`.
+
+    ``engine`` selects the implementation:
+
+    * ``"parity"`` — the searchsorted/gather regrid path, numerically
+      closest to the reference (slow on TPU: gathers);
+    * ``"pallas"`` — the fused VMEM kernel (TPU only; requires a shared
+      [N_alt] grid);
+    * ``"xla"`` — the gather-free segment-sweep fallback of the kernel
+      (any backend; requires a shared grid);
+    * ``"auto"`` (default) — ``"pallas"`` on TPU when the grid is shared,
+      else ``"parity"``. The fast engines agree with parity to < 1e-6 km
+      in f64 (they evaluate the same discretisation; the near-reflection
+      tail uses the analytic-margin factorisation, which is *closer* to
+      exact arithmetic — tests/test_pallas.py).
     """
     from .config import resolve
     mode = resolve(config, "mode", mode, "O")
     n_points = resolve(config, "n_points", n_points, 200)
     den = jnp.asarray(den)
     alt = jnp.asarray(alt)
-    if alt.ndim == 1:
+    mm = mode_multiplier(mode)
+    shared_grid = alt.ndim == 1
+    if engine == "auto":
+        on_tpu = jax.devices()[0].platform == "tpu"
+        engine = "pallas" if (on_tpu and shared_grid) else "parity"
+    if engine in ("pallas", "xla"):
+        if not shared_grid:
+            raise ValueError(
+                f"engine={engine!r} requires a shared 1-D altitude grid "
+                "(per-profile [B, N_alt] grids need engine='parity')")
+        from .pallas_vh import ionogram_fast_xla, ionogram_pallas
+        impl = ionogram_pallas if engine == "pallas" else ionogram_fast_xla
+        return impl(jnp.asarray(freq), den, jnp.asarray(bmag),
+                    jnp.asarray(bpsi), alt, mode_mult=mm,
+                    n_points=n_points)
+    if engine != "parity":
+        raise ValueError("engine must be 'auto', 'parity', 'pallas' "
+                         "or 'xla'")
+    if shared_grid:
         alt = jnp.broadcast_to(alt, den.shape)
     return _forward_batch_core(jnp.asarray(freq), den, jnp.asarray(bmag),
                                jnp.asarray(bpsi), alt,
-                               mode_mult=mode_multiplier(mode),
-                               n_points=n_points)
+                               mode_mult=mm, n_points=n_points)
 
 
 @partial(jax.jit, static_argnames=("mode_mult", "n_points"))

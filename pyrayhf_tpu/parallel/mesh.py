@@ -63,13 +63,21 @@ def ionogram_mesh(devices=None, batch_axis=None):
 
 
 def synthesize_ionograms_sharded(freq, den, bmag, bpsi, alt, mesh,
-                                 mode="O", n_points=200):
+                                 mode="O", n_points=200, engine="xla",
+                                 interpret=False):
     """Batched ionogram synthesis sharded over a (batch, freq) mesh.
 
     ``den``/``bmag``/``bpsi``: [B, N_alt] profile stacks (B divisible by the
     'batch' axis), ``alt``: [N_alt] shared grid, ``freq``: [F] MHz
     (F divisible by the 'freq' axis). Returns [B, F] virtual heights laid
     out (batch, freq) over the mesh.
+
+    ``engine="xla"`` (default) runs the gather-free sweep under GSPMD
+    (XLA partitions it; portable to any backend). ``engine="pallas"``
+    runs the fused VMEM kernel per shard via ``shard_map`` — the
+    TPU-production path (``interpret=True`` for CPU-mesh testing). Both
+    are pure data parallelism: zero collectives; the [B, F] output stays
+    sharded (batch, freq).
     """
     mm = mode_multiplier(mode)
     freq = jnp.asarray(freq, dtype=float)
@@ -82,12 +90,29 @@ def synthesize_ionograms_sharded(freq, den, bmag, bpsi, alt, mesh,
     freq_sharding = NamedSharding(mesh, P("freq"))
     out_sharding = NamedSharding(mesh, P("batch", "freq"))
 
-    @partial(jax.jit, out_shardings=out_sharding)
-    def run(freq, den, bmag, bpsi, alt):
-        # gather-free fast path (matches the parity operator to ~5e-9 km in
-        # f64; see pallas_vh.ionogram_fast_xla)
-        return ionogram_fast_xla(freq, den, bmag, bpsi, alt,
-                                 mode_mult=mm, n_points=n_points)
+    if engine == "pallas":
+        from ..pallas_vh import ionogram_pallas
+
+        @jax.jit
+        @partial(jax.shard_map, mesh=mesh,
+                 in_specs=(P("freq"), P("batch", None), P("batch", None),
+                           P("batch", None), P(None)),
+                 out_specs=P("batch", "freq"),
+                 # pallas_call does not declare varying-mesh-axes metadata
+                 check_vma=False)
+        def run(freq, den, bmag, bpsi, alt):
+            return ionogram_pallas(freq, den, bmag, bpsi, alt,
+                                   mode_mult=mm, n_points=n_points,
+                                   interpret=interpret)
+    elif engine == "xla":
+        @partial(jax.jit, out_shardings=out_sharding)
+        def run(freq, den, bmag, bpsi, alt):
+            # gather-free fast path (matches the parity operator to
+            # ~5e-9 km in f64; see pallas_vh.ionogram_fast_xla)
+            return ionogram_fast_xla(freq, den, bmag, bpsi, alt,
+                                     mode_mult=mm, n_points=n_points)
+    else:
+        raise ValueError("engine must be 'xla' or 'pallas'")
 
     freq = jax.device_put(freq, freq_sharding)
     den = jax.device_put(den, prof_sharding)

@@ -106,3 +106,32 @@ def test_vh_and_mask_matches_parity(day_profile):
     assert np.isfinite(vh).all()
     assert np.array_equal(valid, np.isfinite(vh_ref))
     assert_allclose(vh[valid], vh_ref[valid], rtol=1e-12)
+
+
+def test_batch_engine_selection(day_profile):
+    """engine='xla'/'parity' agree; bad engine and shape combos raise."""
+    import pytest
+    d = day_profile
+    freqs = np.arange(2.0, 14.0, 1.0)
+    B = 3
+    dens = np.linspace(0.8, 1.2, B)[:, None] * d["den"][None, :]
+    bmag = np.broadcast_to(d["bmag"], (B, d["alt"].size))
+    bpsi = np.broadcast_to(d["bpsi"], (B, d["alt"].size))
+    par = np.asarray(vertical_forward_operator_batch(
+        freqs, dens, bmag, bpsi, d["alt"], engine="parity"))
+    xla = np.asarray(vertical_forward_operator_batch(
+        freqs, dens, bmag, bpsi, d["alt"], engine="xla"))
+    assert np.array_equal(np.isnan(par), np.isnan(xla))
+    m = np.isfinite(par)
+    assert np.abs(par[m] - xla[m]).max() < 1e-6
+    # auto on CPU == parity
+    auto = np.asarray(vertical_forward_operator_batch(
+        freqs, dens, bmag, bpsi, d["alt"]))
+    np.testing.assert_array_equal(auto, par)
+    with pytest.raises(ValueError, match="engine"):
+        vertical_forward_operator_batch(freqs, dens, bmag, bpsi, d["alt"],
+                                        engine="nope")
+    with pytest.raises(ValueError, match="shared 1-D"):
+        vertical_forward_operator_batch(
+            freqs, dens, bmag, bpsi,
+            np.broadcast_to(d["alt"], dens.shape), engine="xla")

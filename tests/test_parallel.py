@@ -147,3 +147,31 @@ def test_ionogram_mesh_validates_batch_axis():
         ionogram_mesh(devices, batch_axis=0)
     mesh = ionogram_mesh(devices, batch_axis=4)
     assert dict(mesh.shape) == {"batch": 4, "freq": 2}
+
+
+def test_sharded_pallas_engine_matches_xla(mesh8):
+    """engine='pallas' (fused kernel per shard via shard_map) == 'xla'.
+
+    Validates the TPU-production composition pallas_call-inside-shard_map
+    on the 8-virtual-device mesh (interpret mode on CPU).
+    """
+    import numpy as np
+    from pyrayhf_tpu.parallel import synthesize_ionograms_sharded
+
+    B, F, N = 8, 8, 96
+    alt = np.linspace(90.0, 550.0, N)
+    rng = np.random.default_rng(5)
+    hms = rng.uniform(250.0, 330.0, B)
+    den = 2e12 * np.exp(-(alt[None, :] - hms[:, None]) ** 2 / (2 * 55.0 ** 2))
+    bmag = np.full((B, N), 3.2e-5)
+    bpsi = np.full((B, N), 65.0)
+    freqs = np.arange(2.0, 10.0, 1.0)
+
+    xla = np.asarray(synthesize_ionograms_sharded(
+        freqs, den, bmag, bpsi, alt, mesh8, n_points=64, engine="xla"))
+    pal = np.asarray(synthesize_ionograms_sharded(
+        freqs, den, bmag, bpsi, alt, mesh8, n_points=64, engine="pallas",
+        interpret=True))
+    assert np.array_equal(np.isnan(pal), np.isnan(xla))
+    m = np.isfinite(xla)
+    assert np.abs(pal[m] - xla[m]).max() < 1e-9

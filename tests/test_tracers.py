@@ -346,3 +346,45 @@ def test_gradient_adaptive_honors_tolerances(goldens):
         rel = np.abs(ours[both] - ref[both]) / np.maximum(
             np.abs(ref[both]), 1e-9)
         assert rel.max() < 0.015, (el, rel)
+
+
+def test_rays_rhs_matches_inlined_tracer_rhs(goldens):
+    """The standalone RHS forms (rays.py) equal the tracers' inlined RHS.
+
+    Guards against drift between the public building blocks and the fused
+    integrators (they encode the same Haselgrove equations).
+    """
+    from pyrayhf_tpu import rays
+
+    alt = goldens["gauss_alt"]
+    x_grid = goldens["gauss_x_grid"]
+    nag = build_refractive_index_interpolator_cartesian(
+        alt, x_grid, goldens["gauss_mu_field"])
+    nag_s = build_refractive_index_interpolator_spherical(
+        alt, x_grid, goldens["gauss_mu_field"])
+
+    rng = np.random.default_rng(11)
+    for _ in range(5):
+        x = rng.uniform(50.0, 900.0)
+        z = rng.uniform(50.0, 500.0)
+        th = rng.uniform(0.1, 1.4)
+        y = np.array([x, z, np.cos(th), np.sin(th)])
+        d_pub = np.asarray(rays.ray_rhs_cartesian(0.0, y, nag))
+
+        # inlined form, reconstructed exactly as gradient.py evaluates it
+        n, dndx, dndz = (float(v) for v in nag(y[0], y[1]))
+        gdv = dndx * y[2] + dndz * y[3]
+        d_inl = np.array([y[2], y[3], (dndx - gdv * y[2]) / n,
+                          (dndz - gdv * y[3]) / n])
+        np.testing.assert_allclose(d_pub, d_inl, rtol=1e-12)
+
+        r = 6371.0 + z
+        ys = np.array([r, x / 6371.0, np.sin(th), np.cos(th)])
+        d_pub_s = np.asarray(rays.rhs_spherical(0.0, ys, nag_s))
+        mu, mu_r, mu_phi = (float(v) for v in nag_s(ys[1], ys[0]))
+        gdv = mu_r * ys[2] + (mu_phi / r) * ys[3]
+        d_inl_s = np.array([
+            ys[2], ys[3] / r,
+            (mu_r - gdv * ys[2]) / mu + ys[3] ** 2 / r,
+            ((mu_phi / r) - gdv * ys[3]) / mu - ys[2] * ys[3] / r])
+        np.testing.assert_allclose(d_pub_s, d_inl_s, rtol=1e-12)

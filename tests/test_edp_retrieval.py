@@ -461,3 +461,40 @@ def test_minimize_parameters_empty_grid_falls_back(day_profile):
         percent_sigma=0.001, step=5.0)
     assert np.isclose(float(np.ravel(F2_fit["hm"])[0]), F2["hm"])
     assert np.isclose(float(np.ravel(F2_fit["B_bot"])[0]), F2["B_bot"])
+
+
+def test_retrieve_gradient_batch_retry_keeps_better(day_profile):
+    """retry pass: forcing retries (retry_cost=0) never worsens any fit."""
+    import jax.numpy as jnp
+    from pyrayhf_tpu.magnetoionic import freq2den
+    from pyrayhf_tpu.retrieval import retrieve_gradient_batch
+
+    d = day_profile
+    F1 = _layer_scalars(d["F1"])
+    E = _layer_scalars(d["E"])
+    freq = np.arange(2.0, 13.51, 0.5)
+    alt = np.arange(80.0, 700.0, 2.0)
+    bmag = np.full(alt.size, 3e-5)
+    bpsi = np.full(alt.size, 70.0)
+    nm_truth = float(freq2den(13.5e6)) * 1.0001
+    rng = np.random.default_rng(9)
+    B = 3
+    hms = rng.uniform(290.0, 340.0, B)
+    bbs = rng.uniform(40.0, 50.0, B)
+    obs = np.stack([np.asarray(model_VH(
+        {"Nm": nm_truth, "hm": hms[b], "B_bot": bbs[b], "B_top": 40.0},
+        F1, E, freq, alt, bmag, bpsi)[0]) for b in range(B)])
+    F2_guess = {"Nm": nm_truth, "hm": hms * 0.97, "B_bot": bbs * 1.05,
+                "B_top": 40.0}
+    kw = dict(steps=5, chunk_size=None, dtype=jnp.float32)
+    base = retrieve_gradient_batch(F2_guess, F1, E, freq, obs, alt, bmag,
+                                   bpsi, retries=0, **kw)
+    forced = retrieve_gradient_batch(F2_guess, F1, E, freq, obs, alt, bmag,
+                                     bpsi, retries=1, retry_cost=0.0, **kw)
+    # every sample's final cost is <= the no-retry fit's
+    assert np.all(np.asarray(forced[3])[-1]
+                  <= np.asarray(base[3])[-1] + 1e-6)
+    assert np.asarray(forced[0]).shape == obs.shape
+    assert np.asarray(forced[1]).shape == (B, alt.size)
+    for k in ("hm", "B_bot", "Nm"):
+        assert np.asarray(forced[2][k]).shape == (B,)

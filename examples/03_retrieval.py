@@ -43,12 +43,17 @@ def main():
     _, _, F2_b = prt.minimize_parameters(F2_in, F1, E, freqs, vh_obs, alt,
                                          bmag, bpsi, percent_sigma=10.0,
                                          step=2.0)
+    _, _, F2_p = prt.minimize_parameters(F2_in, F1, E, freqs, vh_obs, alt,
+                                         bmag, bpsi, method="powell",
+                                         percent_sigma=10.0)
     _, _, F2_g, hist = prt.retrieve_gradient(F2_in, F1, E, freqs, vh_obs,
                                              alt, bmag, bpsi)
-    print(f"{'param':>6} {'truth':>10} {'brute':>10} {'gradient-LM':>12}")
+    print(f"{'param':>6} {'truth':>10} {'brute':>10} {'powell':>10} "
+          f"{'gradient-LM':>12}")
     for k in ("hm", "B_bot"):
         print(f"{k:>6} {F2_truth[k]:10.3f} "
               f"{float(np.ravel(F2_b[k])[0]):10.3f} "
+              f"{float(np.ravel(F2_p[k])[0]):10.3f} "
               f"{float(np.ravel(F2_g[k])[0]):12.3f}")
     print(f"LM converged in {len(hist)} iterations "
           f"(cost {hist[0]:.2e} -> {hist[-1]:.2e})")

@@ -135,3 +135,49 @@ def test_batch_engine_selection(day_profile):
         vertical_forward_operator_batch(
             freqs, dens, bmag, bpsi,
             np.broadcast_to(d["alt"], dens.shape), engine="xla")
+
+
+def test_operator_edge_profiles():
+    """Degenerate profiles: engines agree and NaN semantics hold.
+
+    Edge battery: zero density (all rays escape), foF2 below the lowest
+    probed frequency, density peak at the very first node (the flat-extend
+    regrid keeps nothing), and a deep E-peak/valley (cummax shadowing).
+    """
+    from pyrayhf_tpu.forward import vh_and_mask
+    from pyrayhf_tpu.pallas_vh import ionogram_fast_xla
+
+    alt = np.linspace(90.0, 500.0, 120)
+    freqs = np.arange(2.0, 12.0, 1.0)
+    bmag = np.full(alt.size, 3e-5)
+    bpsi = np.full(alt.size, 60.0)
+
+    profiles = {
+        "zero-density": np.zeros(alt.size),
+        "foF2-below-band": 1e10 * np.exp(-(alt - 250.0) ** 2 / 5e3),
+        "peak-at-first-node": 2e12 * np.exp(-(alt - 90.0) ** 2 / 8e3),
+        "deep-valley": (1.5e11 * np.exp(-(alt - 105.0) ** 2 / 50.0)
+                        + 2e12 * np.exp(-(alt - 300.0) ** 2 / 7e3)),
+    }
+    for name, den in profiles.items():
+        par = np.asarray(vertical_forward_operator(
+            freqs, den, bmag, bpsi, alt))
+        fast = np.asarray(ionogram_fast_xla(
+            jnp.asarray(freqs), jnp.asarray(den)[None, :],
+            jnp.asarray(bmag)[None, :], jnp.asarray(bpsi)[None, :],
+            jnp.asarray(alt)))[0]
+        vh_m, ok = vh_and_mask(jnp.asarray(freqs), jnp.asarray(den),
+                               jnp.asarray(bmag), jnp.asarray(bpsi),
+                               jnp.asarray(alt), mode_mult=1.0)
+        ok = np.asarray(ok)
+        # masked validity == parity finiteness == fast-path finiteness
+        assert np.array_equal(np.isfinite(par), ok), name
+        assert np.array_equal(np.isfinite(par), np.isfinite(fast)), name
+        m = np.isfinite(par)
+        if m.any():
+            assert np.abs(par[m] - fast[m]).max() < 1e-6, name
+            assert np.all(par[m] > alt[0]), name
+            np.testing.assert_allclose(np.asarray(vh_m)[m], par[m],
+                                       rtol=1e-9)
+        if name in ("zero-density", "foF2-below-band"):
+            assert not m.any(), name

@@ -31,7 +31,7 @@ def main():
     log(f"device: {dev} platform={dev.platform}")
     on_tpu = dev.platform == "tpu"
 
-    from pyrayhf_tpu.forward import _forward_batch_core, _forward_core
+    from pyrayhf_tpu.forward import _forward_batch_core
     from pyrayhf_tpu.pallas_vh import ionogram_fast_xla, ionogram_pallas
 
     # ---- workload: README O-mode config batched over a profile stack ----

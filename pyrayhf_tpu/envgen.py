@@ -23,7 +23,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import edp
-from .geodesy import great_circle_point, calculate_gcd, azimuth_between_points, earth_radius_at_latitude
+from .geodesy import (azimuth_between_points, calculate_gcd,
+                      earth_radius_at_latitude, great_circle_point)
 from .igrf import calculate_magnetic_field
 from .io import save_to_file
 

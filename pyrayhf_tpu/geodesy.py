@@ -69,7 +69,8 @@ def oblique_to_vertical(range_km, group_path_km, freq_oblique_mhz, R_E_km=R_E):
 
 
 def earth_radius_at_latitude(latitude):
-    """Oblate-spheroid Earth radius [km] at geodetic latitude (ref :2745-2772)."""
+    """Oblate-spheroid Earth radius [km] at geodetic latitude
+    (ref :2745-2772)."""
     lat = jnp.deg2rad(latitude)
     a = 6378.137
     b = 6356.7523142
@@ -92,7 +93,7 @@ def calculate_gcd(lon0, lat0, lon1, lat1):
 
 
 def azimuth_between_points(lon1_deg, lat1_deg, lon2_deg, lat2_deg):
-    """Forward azimuth [deg, 0..360) from point 1 to point 2 (ref :2833-2863)."""
+    """Forward azimuth [deg, 0..360) from point 1 to 2 (ref :2833-2863)."""
     lat1 = jnp.deg2rad(lat1_deg)
     lon1 = jnp.deg2rad(lon1_deg)
     lat2 = jnp.deg2rad(lat2_deg)

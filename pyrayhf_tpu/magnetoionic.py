@@ -1,12 +1,15 @@
 """Appleton–Hartree magnetoionic core, branch-free for TPU/XLA.
 
-Re-designs the reference magnetoionic layer (``find_X``/``find_Y``/``find_mu_mup``,
-``/root/reference/PyRayHF/library.py:120-256``) as pure, fused ``jnp`` functions:
+Re-designs the reference magnetoionic layer (``find_X``/``find_Y``/
+``find_mu_mup``, ``/root/reference/PyRayHF/library.py:120-256``) as pure,
+fused ``jnp`` functions:
 
-* no boolean-index mutation — NaN semantics are expressed with ``jnp.where`` so the
-  whole chain stays a single XLA fusion and is ``vmap``/``grad``/``jit`` compatible;
-* a *masked* variant returns finite values plus a validity mask with all dangerous
-  denominators sanitised (double-``where``), so ``jax.grad`` through the operator
+* no boolean-index mutation — NaN semantics are expressed with
+  ``jnp.where`` so the whole chain stays a single XLA fusion and is
+  ``vmap``/``grad``/``jit`` compatible;
+* a *masked* variant returns finite values plus a validity mask with all
+  dangerous denominators sanitised (double-``where``), so ``jax.grad``
+  through the operator
   never produces NaN cotangents for escaped rays;
 * the O/X mode switch is a ±1 float (static), not a string comparison per call.
 
@@ -36,12 +39,12 @@ def den2freq(density):
 
 
 def freq2den(frequency):
-    """Plasma frequency [Hz] → plasma density [m^-3]. (ref library.py:100-117)"""
+    """Plasma frequency [Hz] → density [m^-3]. (ref library.py:100-117)"""
     return (frequency / CP) ** 2
 
 
 def find_X(n_e, f):
-    """X = (f_N / f)^2, the squared plasma-to-wave frequency ratio. (ref :120-137)"""
+    """X = (f_N / f)^2, squared plasma-to-wave ratio. (ref :120-137)"""
     return den2freq(n_e) ** 2 / f ** 2
 
 

@@ -43,7 +43,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .constants import CP, G_P
-from .grid import smooth_nonuniform_grid
 from .magnetoionic import _magnetized_mu_mup
 
 __all__ = ["ionogram_pallas", "ionogram_fast_xla", "prepare_profile_tables"]

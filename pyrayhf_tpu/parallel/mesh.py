@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..forward import _forward_core, vh_and_mask
+from ..forward import vh_and_mask
 from ..pallas_vh import ionogram_fast_xla
 from ..magnetoionic import find_X, find_Y, find_mu_mup_masked, mode_multiplier
 

@@ -59,7 +59,7 @@ def night_profile():
 
 @pytest.fixture(scope="session")
 def goldens():
-    """Dict of reference-oracle golden arrays (generated by tools/gen_reference_goldens.py)."""
+    """Reference-oracle golden arrays (tools/gen_reference_goldens.py)."""
     path = GOLDEN_DIR / "reference_goldens.npz"
     if not path.exists():
         pytest.skip("reference goldens not generated")

@@ -115,7 +115,7 @@ def test_operator_config_wiring(day_profile):
         freqs, d["den"][None, :], d["bmag"][None, :], d["bpsi"][None, :],
         d["alt"], config=cfg))[0]
     np.testing.assert_array_equal(b, via_cfg)
-    from pyrayhf_tpu.pallas_vh import ionogram_fast_xla, ionogram_pallas
+    from pyrayhf_tpu.pallas_vh import ionogram_pallas
     p = np.asarray(ionogram_pallas(
         jnp.asarray(freqs), jnp.asarray(d["den"])[None, :],
         jnp.asarray(d["bmag"])[None, :], jnp.asarray(d["bpsi"])[None, :],

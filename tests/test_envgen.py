@@ -1,15 +1,14 @@
 """IGRF, climatology input generation, IO, and profiling-utility tests."""
 
 import numpy as np
-import pytest
 from numpy.testing import assert_allclose
 
 from pyrayhf_tpu import igrf
-from pyrayhf_tpu.envgen import (climatology_parameters, find_mean_gradient_error,
+from pyrayhf_tpu.envgen import (climatology_parameters,
+                                find_mean_gradient_error,
                                 generate_input_1D, generate_input_2D,
                                 solar_zenith_angle)
-from pyrayhf_tpu.io import (load_checkpoint, load_input, save_checkpoint,
-                            save_to_file)
+from pyrayhf_tpu.io import load_checkpoint, load_input, save_checkpoint
 
 
 def test_igrf_dipole_magnitudes():

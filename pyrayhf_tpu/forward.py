@@ -133,11 +133,14 @@ def vertical_forward_operator_batch(freq, den, bmag, bpsi, alt,
       [N_alt] grid);
     * ``"xla"`` — the gather-free segment-sweep fallback of the kernel
       (any backend; requires a shared grid);
-    * ``"auto"`` (default) — ``"pallas"`` on TPU when the grid is shared,
-      else ``"parity"``. The fast engines agree with parity to < 1e-6 km
-      in f64 (they evaluate the same discretisation; the near-reflection
-      tail uses the analytic-margin factorisation, which is *closer* to
-      exact arithmetic — tests/test_pallas.py).
+    * ``"auto"`` (default) — ``"xla"`` on TPU when the grid is shared
+      (fast AND differentiable — ``pallas_call`` has no autodiff rule, so
+      auto never silently breaks ``jax.grad`` through the operator), else
+      ``"parity"``. Pass ``engine="pallas"`` explicitly for the peak
+      forward-only throughput. The fast engines agree with parity to
+      < 1e-6 km in f64 (same discretisation; the near-reflection tail
+      uses the analytic-margin factorisation, which is *closer* to exact
+      arithmetic — tests/test_pallas.py).
     """
     from .config import resolve
     mode = resolve(config, "mode", mode, "O")
@@ -148,7 +151,7 @@ def vertical_forward_operator_batch(freq, den, bmag, bpsi, alt,
     shared_grid = alt.ndim == 1
     if engine == "auto":
         on_tpu = jax.devices()[0].platform == "tpu"
-        engine = "pallas" if (on_tpu and shared_grid) else "parity"
+        engine = "xla" if (on_tpu and shared_grid) else "parity"
     if engine in ("pallas", "xla"):
         if not shared_grid:
             raise ValueError(

@@ -146,12 +146,22 @@ def _integrate_adaptive(rhs, y0, n_attempts, s_max, h0, rtol, atol,
         scale = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y5))
         err_norm = jnp.max(jnp.abs(err) / scale)
         ok_num = jnp.all(jnp.isfinite(y5))
+        # a non-finite attempt (NaN μ-gradient region; or atol=0 with a
+        # zero state component) must SHRINK the step like scipy's RK45,
+        # not take the err==0 growth branch of the controller
+        err_norm = jnp.where(jnp.isfinite(err_norm) & ok_num, err_norm,
+                             jnp.inf)
         accept = (err_norm <= 1.0) & ok_num
 
-        # PI-free step controller (scipy-style safety/limits)
+        # PI-free step controller (scipy-style safety/limits);
+        # err_norm = inf → fac 0 → clipped to the 0.2 shrink floor
         fac = jnp.where(err_norm > 0.0,
                         0.9 * err_norm ** -0.2, 5.0)
         h_new = jnp.clip(h_try * jnp.clip(fac, 0.2, 5.0), 1e-9, h_max)
+        # an attempt that is non-finite even at the minimum step size can
+        # never succeed — freeze the ray (matches _integrate's bad-RHS
+        # freeze semantics)
+        dead = ~ok_num & (h_try <= 2e-9)
 
         # renormalise direction slots on acceptance
         v = y5[2:4]
@@ -179,7 +189,7 @@ def _integrate_adaptive(rhs, y0, n_attempts, s_max, h0, rtol, atol,
         status = jnp.where(any_cross,
                            jnp.where(ground_hit, _STATUS["ground"],
                                      _STATUS["domain"]), status)
-        alive_next = alive & ~any_cross & (s_next < s_max)
+        alive_next = alive & ~any_cross & (s_next < s_max) & ~dead
         return ((y_next, jnp.where(alive, h_new, h), s_next, alive_next,
                  status), (y_next, alive_next))
 
@@ -392,7 +402,7 @@ def _sph_gradient_core(n_and_grad_rphi, mup_func, x0, z0, elevation_deg, ds,
 
 
 def trace_ray_spherical_gradient(n_and_grad_rphi, mup_func, x0_km, z0_km,
-                                 elevation_deg, s_max_km=6000.0, *,
+                                 elevation_deg, s_max_km=None, *,
                                  R_E=None, z_ground_km=None, r_max_km=None,
                                  phi_min=-jnp.pi, phi_max=jnp.pi,
                                  step_km=None, rtol=None, atol=None,
@@ -403,9 +413,15 @@ def trace_ray_spherical_gradient(n_and_grad_rphi, mup_func, x0_km, z0_km,
     ``rtol``/``atol`` select the error-controlled Dormand–Prince 5(4)
     integrator (see :func:`trace_ray_cartesian_gradient`); both None runs
     fixed-step RK4 of size ``step_km`` (default 1 km, capped by
-    ``max_step_km``). ``config`` supplies step/ground/tolerance knobs.
+    ``max_step_km``). ``config`` supplies the arc-length budget
+    (``s_max_km``), step and ground/tolerance knobs; the Cartesian-plane
+    bounds fields (z_max/x_min/x_max) have no spherical analogue — use
+    ``r_max_km``/``phi_min``/``phi_max``. Without a config the default
+    arc budget is 6000 km (vs 5000 in the dataclass, matching the
+    reference's longer spherical default).
     """
     from .config import resolve
+    s_max_km = resolve(config, "s_max_km", s_max_km, 6000.0)
     z_ground_km = resolve(config, "z_ground_km", z_ground_km, 0.0)
     step_km = resolve(config, "step_km", step_km, 1.0)
     rtol = resolve(config, "rtol", rtol, None)

@@ -48,18 +48,40 @@ def _flatten(prefix, obj, out):
 
 
 def save_checkpoint(state, file_path):
-    """Persist a (nested-dict) pytree of arrays to a flat .npz file."""
+    """Persist a (nested-dict) pytree of arrays to a flat .npz file.
+
+    The write is atomic (temp file + ``os.replace``): a kill landing
+    mid-save — the exact scenario checkpoints exist for — leaves the
+    previous checkpoint intact rather than a truncated zip.
+    """
+    import os
     flat = {}
     _flatten("", state, flat)
-    np.savez_compressed(file_path, **flat)
+    tmp = f"{file_path}.tmp.{os.getpid()}"
+    try:
+        np.savez_compressed(tmp, **flat)
+        # numpy appends .npz when the name lacks it
+        if not os.path.exists(tmp) and os.path.exists(tmp + ".npz"):
+            tmp = tmp + ".npz"
+        os.replace(tmp, file_path)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
 
 
 def load_checkpoint(file_path):
-    """Inverse of :func:`save_checkpoint` — rebuilds the nested dict."""
+    """Inverse of :func:`save_checkpoint` — rebuilds the nested dict.
+
+    Files written by the early '.'-separated flatten format (before the
+    U+001F separator) are detected and split on '.' as a best effort.
+    """
     data = np.load(file_path, allow_pickle=False)
+    legacy = (data.files and not any(_SEP in k for k in data.files)
+              and any("." in k for k in data.files))
+    sep = "." if legacy else _SEP
     out = {}
     for key in data.files:
-        parts = key.split(_SEP)
+        parts = key.split(sep)
         d = out
         for p in parts[:-1]:
             d = d.setdefault(p, {})

@@ -638,20 +638,26 @@ def retrieve_gradient_batch(F2, F1, E, f_in, vh_obs, alt, b_mag, b_psi,
     if checkpoint_path is not None:
         import os
         from . import io as _io
+        # the FULL configuration must match for chunk reuse to be sound —
+        # a resume under different physics would silently mix results
+        cfg_now = {"B": B, "steps": steps, "n_chunks": len(slices),
+                   "n_points": n_points, "mode_O": int(mode == "O"),
+                   "bottom_B_bot": int(bottom_type == "B_bot"),
+                   "fit_nm": int(bool(fit_nm)),
+                   "crit_margin_e6": int(round(crit_margin * 1e6)),
+                   "dtype_itemsize": int(np.dtype(dt).itemsize)}
         if os.path.exists(checkpoint_path):
             ckpt = _io.load_checkpoint(checkpoint_path)
             meta = ckpt["meta"]
-            if (int(meta["B"]) != B or int(meta["steps"]) != steps
-                    or int(meta["n_chunks"]) != len(slices)):
+            mismatch = [k for k, v in cfg_now.items()
+                        if int(meta.get(k, -1)) != int(v)]
+            if mismatch:
                 raise ValueError(
                     f"checkpoint {checkpoint_path} was written for a "
-                    f"different retrieval configuration (B={int(meta['B'])},"
-                    f" steps={int(meta['steps'])},"
-                    f" n_chunks={int(meta['n_chunks'])})")
+                    f"different retrieval configuration (mismatched: "
+                    f"{mismatch})")
         else:
-            ckpt = {"meta": {"B": B, "steps": steps,
-                             "n_chunks": len(slices), "chunks_done": 0},
-                    "chunks": {}}
+            ckpt = {"meta": dict(cfg_now, chunks_done=0), "chunks": {}}
 
     _PART_KEYS = ("vh_fit", "EDP_fit", "hm", "bb", "nm", "history")
     parts = []
@@ -676,63 +682,52 @@ def retrieve_gradient_batch(F2, F1, E, f_in, vh_obs, alt, b_mag, b_psi,
         if os.path.exists(checkpoint_path):
             os.remove(checkpoint_path)
 
-    # retry stalled samples (final cost above threshold) from a perturbed
-    # initial guess; keep the better of the two fits per sample
-    if retries and len(parts) > 0:
-        vh_c = jnp.concatenate([p[0] for p in parts], axis=0) \
-            if len(parts) > 1 else parts[0][0]
-        cost_f = np.array(jnp.concatenate([p[5][-1] for p in parts])
-                          if len(parts) > 1 else parts[0][5][-1])
-        hm_c = np.concatenate([np.asarray(p[2]) for p in parts])
-        bb_c = np.concatenate([np.asarray(p[3]) for p in parts])
-        nm_c = np.concatenate([np.asarray(p[4]) for p in parts])
-        edp_c = jnp.concatenate([p[1] for p in parts], axis=0) \
-            if len(parts) > 1 else parts[0][1]
-        hist_c = jnp.concatenate([p[5] for p in parts], axis=1) \
-            if len(parts) > 1 else parts[0][5]
-        hm0_n, bb0_n = np.asarray(hm0), np.asarray(bb0)
-        for attempt in range(int(retries)):
-            bad = np.nonzero(cost_f > retry_cost)[0]
-            if bad.size == 0:
-                break
-            # pad the stalled set to a small fixed size (bounds the number
-            # of distinct compiled batch shapes)
-            pad_to = 1 << max(int(np.ceil(np.log2(bad.size))), 0)
-            idx = np.concatenate([bad, np.full(pad_to - bad.size, bad[0],
-                                               dtype=bad.dtype)])
-            fac = 1.0 + 0.1 * (attempt + 1)
-            r = _lm_batch_core(
-                jnp.asarray(hm0_n[idx] * fac, dt),
-                jnp.asarray(bb0_n[idx] / fac, dt),
-                nm0[idx], B_top, Es, P, B1_fix, f, obs[idx],
-                alt_j, bmag_j, bpsi_j, mode=mode, n_points=n_points,
-                bottom_type=bottom_type, steps=steps, fit_nm=fit_nm,
-                crit_margin=crit_margin)
-            r_cost = np.asarray(r[5][-1])
-            for k, i in enumerate(bad):
-                if r_cost[k] < cost_f[i]:
-                    vh_c = vh_c.at[i].set(r[0][k])
-                    edp_c = edp_c.at[i].set(r[1][k])
-                    hm_c[i] = float(r[2][k])
-                    bb_c[i] = float(r[3][k])
-                    nm_c[i] = float(r[4][k])
-                    hist_c = hist_c.at[:, i].set(r[5][:, k])
-                    cost_f[i] = r_cost[k]
-        F2_fit = dict(F2)
-        F2_fit["Nm"] = nm_c
-        F2_fit["hm"] = hm_c
-        F2_fit[key2] = bb_c
-        return vh_c, edp_c, F2_fit, np.asarray(hist_c)
+    # single assembly path: merge the chunk results, then (optionally)
+    # retry stalled samples from a perturbed initial guess, keeping the
+    # better of the two fits per sample
     if len(parts) == 1:
-        vh_fit, EDP_fit, hm_fit, bb_fit, nm_fit, history = parts[0]
+        vh_c, edp_c = parts[0][0], parts[0][1]
+        hist_c = parts[0][5]
     else:
-        vh_fit, EDP_fit, hm_fit, bb_fit, nm_fit = (
-            jnp.concatenate([p[i] for p in parts], axis=0)
-            for i in range(5))
-        history = jnp.concatenate([p[5] for p in parts], axis=1)
+        vh_c = jnp.concatenate([p[0] for p in parts], axis=0)
+        edp_c = jnp.concatenate([p[1] for p in parts], axis=0)
+        hist_c = jnp.concatenate([p[5] for p in parts], axis=1)
+    hm_c = np.concatenate([np.asarray(p[2]) for p in parts])
+    bb_c = np.concatenate([np.asarray(p[3]) for p in parts])
+    nm_c = np.concatenate([np.asarray(p[4]) for p in parts])
+    cost_f = np.array(hist_c[-1])
+
+    hm0_n, bb0_n = np.asarray(hm0), np.asarray(bb0)
+    for attempt in range(int(retries)):
+        bad = np.nonzero(cost_f > retry_cost)[0]
+        if bad.size == 0:
+            break
+        # pad the stalled set to a small fixed size (bounds the number
+        # of distinct compiled batch shapes)
+        pad_to = 1 << max(int(np.ceil(np.log2(bad.size))), 0)
+        idx = np.concatenate([bad, np.full(pad_to - bad.size, bad[0],
+                                           dtype=bad.dtype)])
+        fac = 1.0 + 0.1 * (attempt + 1)
+        r = _lm_batch_core(
+            jnp.asarray(hm0_n[idx] * fac, dt),
+            jnp.asarray(bb0_n[idx] / fac, dt),
+            nm0[idx], B_top, Es, P, B1_fix, f, obs[idx],
+            alt_j, bmag_j, bpsi_j, mode=mode, n_points=n_points,
+            bottom_type=bottom_type, steps=steps, fit_nm=fit_nm,
+            crit_margin=crit_margin)
+        r_cost = np.asarray(r[5][-1])
+        for k, i in enumerate(bad):
+            if r_cost[k] < cost_f[i]:
+                vh_c = vh_c.at[i].set(r[0][k])
+                edp_c = edp_c.at[i].set(r[1][k])
+                hm_c[i] = float(r[2][k])
+                bb_c[i] = float(r[3][k])
+                nm_c[i] = float(r[4][k])
+                hist_c = hist_c.at[:, i].set(r[5][:, k])
+                cost_f[i] = r_cost[k]
 
     F2_fit = dict(F2)
-    F2_fit["Nm"] = np.asarray(nm_fit)
-    F2_fit["hm"] = np.asarray(hm_fit)
-    F2_fit[key2] = np.asarray(bb_fit)
-    return vh_fit, EDP_fit, F2_fit, np.asarray(history)
+    F2_fit["Nm"] = nm_c
+    F2_fit["hm"] = hm_c
+    F2_fit[key2] = bb_c
+    return vh_c, edp_c, F2_fit, np.asarray(hist_c)

@@ -163,3 +163,21 @@ def test_climatology_vs_pyiri_points(day_profile, night_profile):
     assert abs(En["fo"] - rEn["fo"]) < 0.2               # night foE floor
     assert F1n["P"] == 0.0 and rF1n["P"] < 0.01          # no F1 at night
     assert abs(F2n["hm"] / rF2n["hm"] - 1) < 0.25        # night hmF2
+
+
+def test_checkpoint_atomic_and_legacy(tmp_path):
+    """Atomic overwrite leaves no temp files; legacy '.'-keyed files load."""
+    import os
+    p = str(tmp_path / "state.npz")
+    save_checkpoint({"a": {"b": np.arange(3)}}, p)
+    save_checkpoint({"a": {"b": np.arange(5)}}, p)   # overwrite in place
+    back = load_checkpoint(p)
+    assert_allclose(back["a"]["b"], np.arange(5))
+    assert [f for f in os.listdir(tmp_path) if "tmp" in f] == []
+    # legacy format: keys flattened with '.' (pre-U+001F separator)
+    pleg = str(tmp_path / "legacy.npz")
+    np.savez_compressed(pleg, **{"F2.hm": np.array([300.0]),
+                                 "step": np.array(3)})
+    leg = load_checkpoint(pleg)
+    assert_allclose(leg["F2"]["hm"], [300.0])
+    assert int(leg["step"]) == 3

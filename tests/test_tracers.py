@@ -388,3 +388,31 @@ def test_rays_rhs_matches_inlined_tracer_rhs(goldens):
             (mu_r - gdv * ys[2]) / mu + ys[3] ** 2 / r,
             ((mu_phi / r) - gdv * ys[3]) / mu - ys[2] * ys[3] / r])
         np.testing.assert_allclose(d_pub_s, d_inl_s, rtol=1e-12)
+
+
+def test_gradient_adaptive_nan_region_freezes():
+    """A NaN μ-gradient region shrinks the step and freezes the ray.
+
+    Regression: a non-finite DP5(4) attempt used to take the err==0
+    GROWTH branch of the step controller (NaN err_norm), so the ray
+    hammered the NaN zone with an ever-growing step instead of stopping.
+    """
+    from pyrayhf_tpu.fields import (build_mup_function,
+                                    build_refractive_index_interpolator_cartesian as build_cart)
+    z = np.linspace(0.0, 600.0, 121)
+    x = np.linspace(0.0, 1000.0, 41)
+    mu = np.ones((z.size, x.size))
+    mu[z > 300.0, :] = np.nan          # evanescent zone with NaN μ
+    nag = build_cart(z, x, mu)
+    mupf = build_mup_function(mup_field=np.ones_like(mu), x_grid=x,
+                              z_grid=z, geometry="cartesian")
+    r = trace_ray_cartesian_gradient(
+        nag, mupf, 0.0, 10.0, 80.0, 2000.0, step_km=5.0,
+        rtol=1e-7, atol=1e-9, max_step_km=50.0,
+        z_max_km=600.0, x_min_km=0.0, x_max_km=1000.0)
+    zpath = np.asarray(r["z"])
+    # the ray must stop at the NaN boundary (within the gradient stencil),
+    # not shoot through or return NaN coordinates
+    assert np.all(np.isfinite(zpath))
+    assert zpath.max() < 320.0
+    assert not bool(np.asarray(r["alive"])[-1])

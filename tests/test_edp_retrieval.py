@@ -498,3 +498,42 @@ def test_retrieve_gradient_batch_retry_keeps_better(day_profile):
     assert np.asarray(forced[1]).shape == (B, alt.size)
     for k in ("hm", "B_bot", "Nm"):
         assert np.asarray(forced[2][k]).shape == (B,)
+
+
+def test_retrieval_x_mode_pinning_and_recovery(day_profile):
+    """X-mode retrieval: NmF2 pinned from the X+Y=1 cutoff (ref :770-778).
+
+    Truth is constructed so the pinning rule inverts exactly: with
+    foF2 = sqrt(f_max^2 - f_max*f_c), the X-mode cutoff equals f_max, so
+    the top observed frequency reflects marginally and the pin recovers
+    the true NmF2. Brute then recovers the perturbed hmF2/B_bot.
+    """
+    from pyrayhf_tpu.constants import G_P
+    from pyrayhf_tpu.magnetoionic import freq2den
+
+    d = day_profile
+    F1 = _layer_scalars(d["F1"])
+    E = _layer_scalars(d["E"])
+    freq = np.arange(3.0, 12.01, 0.25)
+    alt = np.arange(80.0, 700.0, 0.25)
+    bmag_v = 4e-5
+    bmag = np.full(alt.size, bmag_v)
+    bpsi = np.full(alt.size, 60.0)
+    f_max = freq[-1] * 1e6
+    f_c = bmag_v * G_P
+    nm_truth = float(freq2den(np.sqrt(f_max ** 2 - f_max * f_c))) * 1.0001
+
+    hm_t, bb_t = 320.0, 46.0
+    F2_truth = {"Nm": nm_truth, "hm": hm_t, "B_bot": bb_t, "B_top": 40.0}
+    vh_obs, _ = model_VH(F2_truth, F1, E, freq, alt, bmag, bpsi, mode="X")
+    vh_obs = np.asarray(vh_obs)
+    assert np.isfinite(vh_obs[-1])       # the pin frequency reflects
+
+    F2_guess = dict(F2_truth, hm=hm_t - 10.0, B_bot=bb_t + 4.0)
+    vh_fit, edp_fit, F2_fit = minimize_parameters(
+        F2_guess, F1, E, freq, vh_obs, alt, bmag, bpsi, mode="X",
+        percent_sigma=8.0, step=2.0)
+    # the pin reproduced the true NmF2 (within the 1.0001 margin algebra)
+    assert abs(float(np.ravel(F2_fit["Nm"])[0]) / nm_truth - 1) < 1e-3
+    assert abs(float(np.ravel(F2_fit["hm"])[0]) - hm_t) <= 4.0
+    assert abs(float(np.ravel(F2_fit["B_bot"])[0]) - bb_t) <= 2.5

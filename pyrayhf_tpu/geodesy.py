@@ -25,7 +25,7 @@ def vertical_to_magnetic_angle(inclination_deg):
 
 
 def adjust_longitude(lon, mode="to180"):
-    """Wrap longitudes to (-180, 180] ('to180') or [0, 360) ('to360')."""
+    """Wrap longitudes to [-180, 180) ('to180') or [0, 360) ('to360')."""
     lon = jnp.asarray(lon, dtype=float)
     if mode == "to180":
         return (lon + 180.0) % 360.0 - 180.0

@@ -70,3 +70,37 @@ def test_great_circle_roundtrip():
     az_back = np.asarray(azimuth_between_points(np.full(3, tlon),
                                                 np.full(3, tlat), rlon, rlat))
     assert_allclose(az_back, np.full(3, az), rtol=1e-8)
+
+
+def test_adjust_longitude_wrap():
+    from pyrayhf_tpu.geodesy import adjust_longitude
+    import pytest
+    np.testing.assert_allclose(
+        np.asarray(adjust_longitude(np.array([-190.0, 190.0, 180.0, 0.0]))),
+        [170.0, -170.0, -180.0, 0.0])   # half-open [-180, 180)
+    np.testing.assert_allclose(
+        np.asarray(adjust_longitude(np.array([-10.0, 370.0]), "to360")),
+        [350.0, 10.0])
+    with pytest.raises(ValueError):
+        adjust_longitude(0.0, "bad")
+
+
+def test_interp_exact_edge_semantics():
+    """np.interp parity: exact-node hits, edge clamps, NaN queries."""
+    from pyrayhf_tpu.interp import interp_exact
+    xp = np.array([0.0, 1.0, 2.5, 7.0])
+    fp = np.array([10.0, 20.0, -5.0, 3.0])
+    q = np.array([-1.0, 0.0, 0.5, 1.0, 2.5, 3.0, 7.0, 9.0, np.nan])
+    ours = np.asarray(interp_exact(q, xp, fp))
+    ref = np.interp(q, xp, fp)
+    np.testing.assert_allclose(ours[:-1], ref[:-1], rtol=1e-15)
+    assert np.isnan(ours[-1])
+
+
+def test_dipole_field_matches_degree1():
+    from pyrayhf_tpu.igrf import dipole_field, igrf_field, IGRF13_2020_N3
+    c1 = {"g": IGRF13_2020_N3["g"][:2, :2], "h": IGRF13_2020_N3["h"][:2, :2]}
+    a = dipole_field(30.0, 40.0, 200.0)
+    b = igrf_field(30.0, 40.0, 200.0, coeffs=c1)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(float(x), float(y), rtol=1e-12)

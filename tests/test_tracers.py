@@ -416,3 +416,89 @@ def test_gradient_adaptive_nan_region_freezes():
     assert np.all(np.isfinite(zpath))
     assert zpath.max() < 320.0
     assert not bool(np.asarray(r["alive"])[-1])
+
+
+def test_spherical_batched_fans_match_single(goldens, day_profile):
+    """Batched spherical fans (Snell + gradient) equal per-ray calls."""
+    from pyrayhf_tpu.gradient import trace_rays_spherical_gradient
+    from pyrayhf_tpu.snell import trace_rays_spherical_snells
+
+    d = day_profile
+    f0s = np.array([6e6, 10e6])
+    els = np.array([35.0, 65.0])
+    out = trace_rays_spherical_snells(f0s, els, d["alt"], d["den"],
+                                      d["bmag"], d["bpsi"], "O")
+    for i, f0 in enumerate(f0s):
+        for j, el in enumerate(els):
+            single = trace_ray_spherical_snells(
+                f0, el, d["alt"], d["den"], d["bmag"], d["bpsi"], "O")
+            for k in ["group_path_km", "group_delay_sec",
+                      "ground_range_km"]:
+                np.testing.assert_allclose(
+                    float(np.asarray(out[k])[i, j]), float(single[k]),
+                    rtol=1e-12, equal_nan=True, err_msg=k)
+
+    alt = goldens["gauss_alt"]
+    x_grid = goldens["gauss_x_grid"]
+    nag_s = build_refractive_index_interpolator_spherical(
+        alt, x_grid, goldens["gauss_mu_field"])
+    mupf_s = build_mup_function(mup_field=goldens["gauss_mup_field"],
+                                x_grid=x_grid, z_grid=alt,
+                                geometry="spherical")
+    kw = dict(r_max_km=6371.0 + 600.0, phi_min=-0.1,
+              phi_max=1000.0 / 6371.0, step_km=2.0)
+    outg = trace_rays_spherical_gradient(nag_s, mupf_s, 0.0, 0.0, els,
+                                         4000.0, **kw)
+    for j, el in enumerate(els):
+        single = trace_ray_spherical_gradient(nag_s, mupf_s, 0.0, 0.0,
+                                              float(el), 4000.0, **kw)
+        for k in ["group_path_km", "group_delay_sec", "ground_range_km"]:
+            np.testing.assert_allclose(float(np.asarray(outg[k])[j]),
+                                       float(single[k]), rtol=1e-12,
+                                       equal_nan=True, err_msg=k)
+
+
+def test_tracer_configs_wiring(goldens):
+    """GradientTracerConfig and SnellConfig supply knobs via config=."""
+    from pyrayhf_tpu.config import GradientTracerConfig, SnellConfig
+    alt = goldens["gauss_alt"]
+    x_grid = goldens["gauss_x_grid"]
+    nag = build_refractive_index_interpolator_cartesian(
+        alt, x_grid, goldens["gauss_mu_field"])
+    mupf = build_mup_function(mup_field=goldens["gauss_mup_field"],
+                              x_grid=x_grid, z_grid=alt,
+                              geometry="cartesian")
+    cfg = GradientTracerConfig(step_km=2.0, s_max_km=3000.0,
+                               z_max_km=600.0, x_min_km=0.0,
+                               x_max_km=1000.0, rtol=1e-7, atol=1e-9)
+    via_cfg = trace_ray_cartesian_gradient(nag, mupf, 0.0, 0.0, 35.0,
+                                           config=cfg)
+    explicit = trace_ray_cartesian_gradient(
+        nag, mupf, 0.0, 0.0, 35.0, 3000.0, step_km=2.0, z_max_km=600.0,
+        x_min_km=0.0, x_max_km=1000.0, rtol=1e-7, atol=1e-9)
+    for k in ["group_path_km", "ground_range_km"]:
+        np.testing.assert_allclose(float(via_cfg[k]), float(explicit[k]),
+                                   rtol=1e-12)
+    # spherical tracer picks up the config's arc budget
+    sph_cfg = GradientTracerConfig(s_max_km=1000.0, step_km=2.0)
+    nag_s = build_refractive_index_interpolator_spherical(
+        alt, x_grid, goldens["gauss_mu_field"])
+    mupf_s = build_mup_function(mup_field=goldens["gauss_mup_field"],
+                                x_grid=x_grid, z_grid=alt,
+                                geometry="spherical")
+    r = trace_ray_spherical_gradient(
+        nag_s, mupf_s, 0.0, 0.0, 35.0, config=sph_cfg,
+        r_max_km=6371.0 + 600.0, phi_min=-0.1, phi_max=1000.0 / 6371.0)
+    assert float(r["group_path_km"]) <= 1000.0 + 5.0
+
+    # SnellConfig supplies mode + R_E
+    from pyrayhf_tpu.snell import trace_ray_spherical_snells as sph_snell
+    scfg = SnellConfig(mode="X", R_E_km=6371e9)    # flat-Earth limit
+    alt2 = np.linspace(0, 600, 200)
+    Ne = 1e12 * np.exp(-(alt2 - 250.0) ** 2 / (2 * 60.0 ** 2))
+    r1 = sph_snell(10e6, 50.0, alt2, Ne, np.full_like(alt2, 4e-5),
+                   np.full_like(alt2, 45.0), config=scfg)
+    r2 = sph_snell(10e6, 50.0, alt2, Ne, np.full_like(alt2, 4e-5),
+                   np.full_like(alt2, 45.0), "X", R_E=6371e9)
+    np.testing.assert_allclose(float(r1["group_path_km"]),
+                               float(r2["group_path_km"]), rtol=1e-12)

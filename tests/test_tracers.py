@@ -502,3 +502,54 @@ def test_tracer_configs_wiring(goldens):
                    np.full_like(alt2, 45.0), "X", R_E=6371e9)
     np.testing.assert_allclose(float(r1["group_path_km"]),
                                float(r2["group_path_km"]), rtol=1e-12)
+
+
+def test_oblique_ionogram_synthesis():
+    """Oblique ionogram for an 800-km link: physical structure + homing.
+
+    Low-ray delays grow monotonically toward the MUF nose, the
+    high-angle (Pedersen) branch exists only above foF2 and converges to
+    the low ray at the nose, frequencies above the link MUF are NaN, and
+    the crossing elevations actually land at the target range
+    (re-traced single rays, within fan resolution).
+    """
+    from pyrayhf_tpu.oblique import synthesize_oblique_ionogram
+
+    alt = np.linspace(0, 600, 200)
+    Ne = 1e12 * np.exp(-(alt - 250.0) ** 2 / (2 * 60.0 ** 2))
+    B = np.full_like(alt, 4e-5)
+    psi = np.full_like(alt, 45.0)
+    foF2_mhz = np.sqrt(1e12) * 8.97866275e-6         # ≈ 9.0
+    f0s = np.arange(4e6, 20e6, 0.5e6)
+    D = 800.0
+    out = synthesize_oblique_ionogram(f0s, D, alt, Ne, B, psi)
+    dl = np.asarray(out["delay_low_sec"])
+    dh = np.asarray(out["delay_high_sec"])
+    el = np.asarray(out["elev_low_deg"])
+
+    fin = np.isfinite(dl)
+    assert fin[:10].all()                    # well below MUF: propagates
+    assert not fin[-3:].any()                # above MUF: nose
+    muf = f0s[fin][-1]
+    assert muf > foF2_mhz * 1e6              # oblique MUF beats vertical
+    # low-ray delay increases with frequency (until the nose)
+    assert np.all(np.diff(dl[fin]) > 0)
+    # high ray only above foF2, with delay >= low ray
+    two_ray = np.isfinite(dh) & (np.abs(dh - dl) > 1e-6)
+    assert not two_ray[f0s < foF2_mhz * 1e6 * 0.98].any()
+    assert two_ray[(f0s > foF2_mhz * 1e6 * 1.1) & fin].any()
+    assert np.all(dh[fin] >= dl[fin] - 1e-12)
+
+    # homing accuracy: re-trace the low ray at its crossing elevation
+    i = 6
+    r = trace_ray_cartesian_snells(float(f0s[i]), float(el[i]), alt, Ne,
+                                   B, psi, "O")
+    assert abs(float(r["ground_range_km"]) - D) < 6.0   # fan resolution
+
+    # spherical geometry variant runs and agrees roughly (flat-ish link)
+    outs = synthesize_oblique_ionogram(f0s[:8], D, alt, Ne, B, psi,
+                                       geometry="spherical")
+    ds = np.asarray(outs["delay_low_sec"])
+    m = np.isfinite(ds) & np.isfinite(dl[:8])
+    assert m.any()
+    assert np.abs(ds[m] / dl[:8][m] - 1).max() < 0.05

@@ -28,48 +28,55 @@ from .snell import trace_rays_cartesian_snells, trace_rays_spherical_snells
 __all__ = ["synthesize_oblique_ionogram"]
 
 
-def _crossings(range_e, delay_e, elev, target):
+def _crossings(range_e, delay_e, elev, target, max_jump, delay_min):
     """Low/high-ray delays+elevations from one frequency's elevation fan.
 
     ``range_e``/``delay_e``: [E] landing range / group delay per elevation
     (NaN where the ray escapes); finds sign changes of (range − target)
     between consecutive valid elevations and linearly interpolates the
-    delay. Returns (delay_low, delay_high, elev_low, elev_high).
+    delay. Two spurious-crossing filters:
+
+    * pairs whose landing range JUMPS by more than ``max_jump`` are
+      layer-transition discontinuities (e.g. E-hop → F-hop), not real
+      crossings — interpolating across them would invent a ray;
+    * the interpolated delay must be ≥ ``delay_min`` (the straight-line
+      light time of the link; μ' ≥ 1, so every physical ray is slower) —
+      this catches transitions the elevation sampling smears into
+      several sub-``max_jump`` steps.
+
+    Returns (delay_low, delay_high, elev_low, elev_high).
     """
     d = range_e - target
     ok = jnp.isfinite(d)
     okpair = ok[:-1] & ok[1:]
-    cross = okpair & (jnp.sign(d[:-1]) * jnp.sign(d[1:]) <= 0.0) \
+    continuous = jnp.abs(range_e[1:] - range_e[:-1]) <= max_jump
+    cross = okpair & continuous \
+        & (jnp.sign(d[:-1]) * jnp.sign(d[1:]) <= 0.0) \
         & ((d[:-1] != 0.0) | (d[1:] != 0.0))
-    any_cross = jnp.any(cross)
 
-    idx = jnp.arange(d.shape[0] - 1)
-    first = jnp.argmax(cross)
-    last = d.shape[0] - 2 - jnp.argmax(cross[::-1])
+    # interpolate every pair, then filter on physicality
+    d0, d1 = d[:-1], d[1:]
+    t = jnp.where(d1 != d0, d0 / jnp.where(d1 != d0, d0 - d1, 1.0), 0.0)
+    t = jnp.clip(t, 0.0, 1.0)
+    dl_pair = delay_e[:-1] + t * (delay_e[1:] - delay_e[:-1])
+    el_pair = elev[:-1] + t * (elev[1:] - elev[:-1])
+    valid = cross & (dl_pair >= delay_min)
+    any_cross = jnp.any(valid)
 
-    def interp_at(i):
-        d0, d1 = d[i], d[i + 1]
-        t = jnp.where(d1 != d0,
-                      d0 / jnp.where(d1 != d0, d0 - d1, 1.0), 0.0)
-        t = jnp.clip(t, 0.0, 1.0)
-        dl = delay_e[i] + t * (delay_e[i + 1] - delay_e[i])
-        el = elev[i] + t * (elev[i + 1] - elev[i])
-        return dl, el
-
-    del idx
-    dl_lo, el_lo = interp_at(first)
-    dl_hi, el_hi = interp_at(last)
+    first = jnp.argmax(valid)
+    last = d.shape[0] - 2 - jnp.argmax(valid[::-1])
     nan = jnp.nan
-    return (jnp.where(any_cross, dl_lo, nan),
-            jnp.where(any_cross, dl_hi, nan),
-            jnp.where(any_cross, el_lo, nan),
-            jnp.where(any_cross, el_hi, nan))
+    return (jnp.where(any_cross, dl_pair[first], nan),
+            jnp.where(any_cross, dl_pair[last], nan),
+            jnp.where(any_cross, el_pair[first], nan),
+            jnp.where(any_cross, el_pair[last], nan))
 
 
 def synthesize_oblique_ionogram(f0s_hz, ground_range_km, alt_km, Ne, Babs,
                                 bpsi, mode="O", geometry="cartesian",
                                 n_elev=512, elev_min_deg=5.0,
-                                elev_max_deg=85.0):
+                                elev_max_deg=85.0,
+                                max_range_jump_km=200.0):
     """Oblique ionogram for a link of length ``ground_range_km``.
 
     Traces the full (frequency × elevation) Snell fan in one launch and
@@ -80,6 +87,9 @@ def synthesize_oblique_ionogram(f0s_hz, ground_range_km, alt_km, Ne, Babs,
     (``fan_range_km``, ``fan_delay_sec``, ``elevations_deg``).
 
     ``geometry``: 'cartesian' (flat Earth) or 'spherical'.
+    ``max_range_jump_km`` rejects crossings interpolated across
+    layer-transition discontinuities of the fan (consecutive elevations
+    whose landing ranges differ by more than this are different hops).
     """
     f0s = jnp.atleast_1d(jnp.asarray(f0s_hz, dtype=float))
     elevs = jnp.linspace(float(elev_min_deg), float(elev_max_deg),
@@ -95,8 +105,15 @@ def synthesize_oblique_ionogram(f0s_hz, ground_range_km, alt_km, Ne, Babs,
     range_fe = jnp.asarray(fan["ground_range_km"])        # [F, E]
     delay_fe = jnp.asarray(fan["group_delay_sec"])
 
+    # physical floor: chord distance / c (μ' ≥ 1 ⇒ no ray is faster)
+    from .constants import C_KM_S, R_E
+    D = float(ground_range_km)
+    chord = (D if geometry == "cartesian"
+             else 2.0 * R_E * jnp.sin(0.5 * D / R_E))
     fn = partial(_crossings, elev=elevs,
-                 target=jnp.asarray(ground_range_km, dtype=float))
+                 target=jnp.asarray(ground_range_km, dtype=float),
+                 max_jump=jnp.asarray(max_range_jump_km, dtype=float),
+                 delay_min=jnp.asarray(chord, dtype=float) / C_KM_S)
     dl_lo, dl_hi, el_lo, el_hi = jax.vmap(
         lambda r, d: fn(r, d))(range_fe, delay_fe)
     return {"delay_low_sec": dl_lo, "delay_high_sec": dl_hi,

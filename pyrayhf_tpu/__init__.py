@@ -53,5 +53,6 @@ from .fields import (eval_refractive_index_and_grad, make_n_and_grad,
                      n_and_grad, n_and_grad_rphi)
 
 __version__ = "0.1.0"
-from .oblique import synthesize_oblique_ionogram
+from .oblique import (synthesize_oblique_ionogram,
+                      synthesize_oblique_ionogram_2d)
 from . import oblique

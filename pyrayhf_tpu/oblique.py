@@ -25,7 +25,8 @@ import jax.numpy as jnp
 
 from .snell import trace_rays_cartesian_snells, trace_rays_spherical_snells
 
-__all__ = ["synthesize_oblique_ionogram"]
+__all__ = ["synthesize_oblique_ionogram",
+           "synthesize_oblique_ionogram_2d"]
 
 
 def _crossings(range_e, delay_e, elev, target, max_jump, delay_min):
@@ -114,6 +115,74 @@ def synthesize_oblique_ionogram(f0s_hz, ground_range_km, alt_km, Ne, Babs,
                  target=jnp.asarray(ground_range_km, dtype=float),
                  max_jump=jnp.asarray(max_range_jump_km, dtype=float),
                  delay_min=jnp.asarray(chord, dtype=float) / C_KM_S)
+    dl_lo, dl_hi, el_lo, el_hi = jax.vmap(
+        lambda r, d: fn(r, d))(range_fe, delay_fe)
+    return {"delay_low_sec": dl_lo, "delay_high_sec": dl_hi,
+            "elev_low_deg": el_lo, "elev_high_deg": el_hi,
+            "fan_range_km": range_fe, "fan_delay_sec": delay_fe,
+            "elevations_deg": elevs}
+
+
+def synthesize_oblique_ionogram_2d(f0s_hz, ground_range_km, x_grid_km,
+                                   z_grid_km, Ne2d, Babs2d, bpsi2d,
+                                   mode="O", n_elev=128,
+                                   elev_min_deg=5.0, elev_max_deg=85.0,
+                                   step_km=2.0, s_max_km=4000.0,
+                                   max_range_jump_km=200.0):
+    """Oblique ionogram through a RANGE-DEPENDENT (2-D) ionosphere.
+
+    The 1-D variant assumes the profile is the same everywhere along the
+    path; this one traces gradient-ODE ray fans through a full 2-D
+    (altitude × ground-range) electron-density slice — e.g. the output of
+    :func:`pyrayhf_tpu.envgen.generate_input_2D` — capturing horizontal
+    gradients (tilts) that shift the low/high rays and the link MUF.
+
+    ``Ne2d``/``Babs2d``/``bpsi2d``: [N_z, N_x] fields on
+    (``z_grid_km``, ``x_grid_km``). One gradient-fan launch per frequency
+    (the refractive-index field is frequency-dependent); elevations are
+    batched inside each launch. Returns the same keys as
+    :func:`synthesize_oblique_ionogram`.
+    """
+    import numpy as np
+
+    from .constants import C_KM_S
+    from .fields import (build_mup_function,
+                         build_refractive_index_interpolator_cartesian)
+    from .gradient import trace_rays_cartesian_gradient
+    from .magnetoionic import find_mu_mup, find_X, find_Y
+
+    f0s = np.atleast_1d(np.asarray(f0s_hz, dtype=float))
+    elevs = jnp.linspace(float(elev_min_deg), float(elev_max_deg),
+                         int(n_elev))
+    z = jnp.asarray(z_grid_km, dtype=float)
+    x = jnp.asarray(x_grid_km, dtype=float)
+    Ne2d = jnp.asarray(Ne2d, dtype=float)
+    Babs2d = jnp.asarray(Babs2d, dtype=float)
+    bpsi2d = jnp.asarray(bpsi2d, dtype=float)
+
+    ranges, delays = [], []
+    for f0 in f0s:
+        X = find_X(Ne2d, f0)
+        Y = find_Y(f0, Babs2d)
+        mu, mup = find_mu_mup(X, Y, bpsi2d, mode)
+        nag = build_refractive_index_interpolator_cartesian(z, x, mu)
+        mupf = build_mup_function(mup_field=mup, x_grid=x, z_grid=z,
+                                  geometry="cartesian")
+        fan = trace_rays_cartesian_gradient(
+            nag, mupf, 0.0, float(z[0]), elevs, float(s_max_km),
+            step_km=float(step_km), z_ground_km=float(z[0]),
+            z_max_km=float(z[-1]), x_min_km=float(x[0]),
+            x_max_km=float(x[-1]))
+        ranges.append(jnp.asarray(fan["ground_range_km"]))
+        delays.append(jnp.asarray(fan["group_delay_sec"]))
+    range_fe = jnp.stack(ranges)
+    delay_fe = jnp.stack(delays)
+
+    fn = partial(_crossings, elev=elevs,
+                 target=jnp.asarray(ground_range_km, dtype=float),
+                 max_jump=jnp.asarray(max_range_jump_km, dtype=float),
+                 delay_min=jnp.asarray(float(ground_range_km),
+                                       dtype=float) / C_KM_S)
     dl_lo, dl_hi, el_lo, el_hi = jax.vmap(
         lambda r, d: fn(r, d))(range_fe, delay_fe)
     return {"delay_low_sec": dl_lo, "delay_high_sec": dl_hi,

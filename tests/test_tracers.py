@@ -553,3 +553,47 @@ def test_oblique_ionogram_synthesis():
     m = np.isfinite(ds) & np.isfinite(dl[:8])
     assert m.any()
     assert np.abs(ds[m] / dl[:8][m] - 1).max() < 0.05
+
+
+def test_oblique_ionogram_2d_homing():
+    """2-D gradient-fan homing: uniform slice matches the 1-D Snell
+    homing; a horizontal foF2 gradient (tilt) lowers the link MUF."""
+    from pyrayhf_tpu.oblique import (synthesize_oblique_ionogram,
+                                     synthesize_oblique_ionogram_2d)
+
+    z = np.linspace(0.0, 500.0, 120)
+    x = np.linspace(0.0, 1500.0, 60)
+    prof = np.exp(-(z - 250.0) ** 2 / (2 * 60.0 ** 2))
+    B1 = np.full_like(z, 4e-5)
+    psi1 = np.full_like(z, 45.0)
+    D = 1000.0
+    f0s = np.array([6e6, 9e6, 12e6])
+
+    # uniform slice == 1-D homing (within fan/integrator resolution)
+    Ne2d = 1e12 * prof[:, None] * np.ones((1, x.size))
+    out2 = synthesize_oblique_ionogram_2d(
+        f0s, D, x, z, Ne2d, np.full_like(Ne2d, 4e-5),
+        np.full_like(Ne2d, 45.0), n_elev=96, step_km=2.0)
+    out1 = synthesize_oblique_ionogram(f0s, D, z, 1e12 * prof, B1, psi1,
+                                       n_elev=256)
+    d2 = np.asarray(out2["delay_low_sec"])
+    d1 = np.asarray(out1["delay_low_sec"])
+    m = np.isfinite(d1) & np.isfinite(d2)
+    assert m.all(), (d1, d2)
+    assert np.abs(d2[m] / d1[m] - 1).max() < 0.02
+
+    # a negative foF2 gradient along the path (the reflection midpoint
+    # sits at ~82% of the entry density) makes the rays penetrate deeper:
+    # measurably longer delay and a shifted launch elevation — physics a
+    # 1-D homing cannot represent
+    nm_tilt = 1e12 * (1.0 - 0.55 * x / 1500.0)
+    Ne_tilt = nm_tilt[None, :] * prof[:, None]
+    outt = synthesize_oblique_ionogram_2d(
+        f0s, D, x, z, Ne_tilt, np.full_like(Ne2d, 4e-5),
+        np.full_like(Ne2d, 45.0), n_elev=96, step_km=2.0)
+    dt_ = np.asarray(outt["delay_low_sec"])
+    et_ = np.asarray(outt["elev_low_deg"])
+    e2 = np.asarray(out2["elev_low_deg"])
+    assert np.isfinite(dt_[0])                       # 6 MHz still works
+    assert dt_[-1] > d2[-1] + 1e-5                   # 12 MHz: deeper path
+    assert abs(et_[-1] - e2[-1]) > 0.5               # shifted launch angle

@@ -154,11 +154,24 @@ def synthesize_oblique_ionogram_2d(f0s_hz, ground_range_km, x_grid_km,
     f0s = np.atleast_1d(np.asarray(f0s_hz, dtype=float))
     elevs = jnp.linspace(float(elev_min_deg), float(elev_max_deg),
                          int(n_elev))
-    z = jnp.asarray(z_grid_km, dtype=float)
+    z = np.asarray(z_grid_km, dtype=float)
     x = jnp.asarray(x_grid_km, dtype=float)
-    Ne2d = jnp.asarray(Ne2d, dtype=float)
-    Babs2d = jnp.asarray(Babs2d, dtype=float)
-    bpsi2d = jnp.asarray(bpsi2d, dtype=float)
+    Ne2d = np.asarray(Ne2d, dtype=float)
+    Babs2d = np.asarray(Babs2d, dtype=float)
+    bpsi2d = np.asarray(bpsi2d, dtype=float)
+    if z[0] > 0.0:
+        # extend the field to the ground with free space (zero density):
+        # profiles typically start at ~80 km and rays must fly the
+        # sub-ionospheric leg too (the reference's layered tracer inserts
+        # a ground level the same way, ref library.py:1174-1182)
+        z = np.concatenate([[0.0], z])
+        Ne2d = np.concatenate([np.zeros((1, Ne2d.shape[1])), Ne2d])
+        Babs2d = np.concatenate([Babs2d[:1], Babs2d])
+        bpsi2d = np.concatenate([bpsi2d[:1], bpsi2d])
+    z = jnp.asarray(z)
+    Ne2d = jnp.asarray(Ne2d)
+    Babs2d = jnp.asarray(Babs2d)
+    bpsi2d = jnp.asarray(bpsi2d)
 
     ranges, delays = [], []
     for f0 in f0s:

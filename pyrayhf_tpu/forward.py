@@ -133,14 +133,15 @@ def vertical_forward_operator_batch(freq, den, bmag, bpsi, alt,
       [N_alt] grid);
     * ``"xla"`` — the gather-free segment-sweep fallback of the kernel
       (any backend; requires a shared grid);
-    * ``"auto"`` (default) — ``"xla"`` on TPU when the grid is shared
-      (fast AND differentiable — ``pallas_call`` has no autodiff rule, so
-      auto never silently breaks ``jax.grad`` through the operator), else
-      ``"parity"``. Pass ``engine="pallas"`` explicitly for the peak
-      forward-only throughput. The fast engines agree with parity to
-      < 1e-6 km in f64 (same discretisation; the near-reflection tail
-      uses the analytic-margin factorisation, which is *closer* to exact
-      arithmetic — tests/test_pallas.py).
+    * ``"auto"`` (default) — ``"xla"`` on TPU when the grid is shared,
+      else ``"parity"``: both support forward- AND reverse-mode autodiff,
+      so the default never breaks a differentiation mode. Pass
+      ``engine="pallas"`` explicitly for peak forward throughput — it is
+      reverse-mode differentiable via a custom VJP (backward through the
+      XLA sweep) but rejects forward-mode (jvp/jacfwd). The fast engines
+      agree with parity to < 1e-6 km in f64 (same discretisation; the
+      near-reflection tail uses the analytic-margin factorisation, which
+      is *closer* to exact arithmetic — tests/test_pallas.py).
     """
     from .config import resolve
     mode = resolve(config, "mode", mode, "O")

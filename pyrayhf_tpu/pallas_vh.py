@@ -389,6 +389,13 @@ def ionogram_pallas(freq_mhz, den, bmag, bpsi, alt, mode_mult=None,
     largest divisor of the batch).
     ``config`` (an :class:`pyrayhf_tpu.config.OperatorConfig`) supplies
     mode (as ±1 mode_mult), n_points and p_chunk when not explicit.
+
+    Reverse-mode differentiable: ``pallas_call`` has no autodiff rule, so
+    a custom VJP backpropagates through the numerically-identical XLA
+    sweep (:func:`ionogram_fast_xla`) — the forward pass keeps kernel
+    speed, gradients match the sweep's to its ~1e-13 forward agreement.
+    Forward-mode (jvp/jacfwd) is not supported through this entry — use
+    ``ionogram_fast_xla`` directly for that.
     """
     from .config import resolve
     if mode_mult is None:
@@ -406,11 +413,35 @@ def ionogram_pallas(freq_mhz, den, bmag, bpsi, alt, mode_mult=None,
         d = np.diff(a)
         if d.size and np.allclose(d, d[0], rtol=1e-9, atol=1e-9):
             inv_dalt = float(1.0 / d[0])
-    return _ionogram_pallas(freq_mhz, den, bmag, bpsi, alt,
-                            mode_mult=mode_mult, n_points=n_points,
-                            p_chunk=p_chunk, interpret=interpret,
-                            f_tile=f_tile, b_tile=b_tile,
-                            inv_dalt=inv_dalt)
+    cfg = (("mode_mult", mode_mult), ("n_points", n_points),
+           ("p_chunk", p_chunk), ("interpret", interpret),
+           ("f_tile", f_tile), ("b_tile", b_tile),
+           ("inv_dalt", inv_dalt))
+    return _pallas_ad(cfg, freq_mhz, den, bmag, bpsi, alt)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _pallas_ad(cfg, freq_mhz, den, bmag, bpsi, alt):
+    return _ionogram_pallas(freq_mhz, den, bmag, bpsi, alt, **dict(cfg))
+
+
+def _pallas_ad_fwd(cfg, freq_mhz, den, bmag, bpsi, alt):
+    out = _pallas_ad(cfg, freq_mhz, den, bmag, bpsi, alt)
+    return out, (freq_mhz, den, bmag, bpsi, alt)
+
+
+def _pallas_ad_bwd(cfg, res, ct):
+    d = dict(cfg)
+
+    def f(*primals):
+        return ionogram_fast_xla(*primals, mode_mult=d["mode_mult"],
+                                 n_points=d["n_points"])
+
+    _, vjp = jax.vjp(f, *res)
+    return vjp(ct)
+
+
+_pallas_ad.defvjp(_pallas_ad_fwd, _pallas_ad_bwd)
 
 
 @partial(jax.jit, static_argnames=("mode_mult", "n_points", "p_chunk",

@@ -170,3 +170,51 @@ def test_f32_analytic_tail_day_night(goldens, day_profile, night_profile):
             assert np.array_equal(np.isnan(vh), np.isnan(ref)), (name, mode)
             m = np.isfinite(ref)
             assert np.abs(vh[m] - ref[m]).max() < 0.03, (name, mode)
+
+
+def test_pallas_reverse_mode_gradients_match_xla():
+    """jax.grad through ionogram_pallas equals grad through the XLA sweep.
+
+    pallas_call has no autodiff rule; the custom VJP routes the backward
+    pass through ionogram_fast_xla (identical discretisation). Escaped
+    rays are masked with where(isfinite, ., 0) as in the retrieval path.
+    """
+    import jax
+
+    freqs, den, bmag, bpsi, alt = _workload(B=2)
+
+    def loss(impl, scale):
+        vh = impl(jnp.asarray(freqs), scale * jnp.asarray(den),
+                  jnp.asarray(bmag), jnp.asarray(bpsi), jnp.asarray(alt),
+                  mode_mult=1.0, n_points=200)
+        return jnp.sum(jnp.where(jnp.isfinite(vh), vh, 0.0))
+
+    def pal(f, d, bm, bp, a, **kw):
+        return ionogram_pallas(f, d, bm, bp, a, interpret=True, **kw)
+
+    g_pal = float(jax.grad(lambda s: loss(pal, s))(1.0))
+    g_xla = float(jax.grad(lambda s: loss(ionogram_fast_xla, s))(1.0))
+    assert np.isfinite(g_pal)
+    np.testing.assert_allclose(g_pal, g_xla, rtol=1e-10)
+
+    # per-element gradient w.r.t. the density profile
+    gd_pal = np.asarray(jax.grad(
+        lambda d: loss(pal, 1.0) * 0.0 + jnp.sum(jnp.where(
+            jnp.isfinite(pal(jnp.asarray(freqs), d, jnp.asarray(bmag),
+                             jnp.asarray(bpsi), jnp.asarray(alt),
+                             mode_mult=1.0, n_points=200)),
+            pal(jnp.asarray(freqs), d, jnp.asarray(bmag),
+                jnp.asarray(bpsi), jnp.asarray(alt),
+                mode_mult=1.0, n_points=200), 0.0)))(jnp.asarray(den)))
+    gd_xla = np.asarray(jax.grad(
+        lambda d: jnp.sum(jnp.where(
+            jnp.isfinite(ionogram_fast_xla(
+                jnp.asarray(freqs), d, jnp.asarray(bmag),
+                jnp.asarray(bpsi), jnp.asarray(alt),
+                mode_mult=1.0, n_points=200)),
+            ionogram_fast_xla(jnp.asarray(freqs), d, jnp.asarray(bmag),
+                              jnp.asarray(bpsi), jnp.asarray(alt),
+                              mode_mult=1.0, n_points=200),
+            0.0)))(jnp.asarray(den)))
+    assert np.isfinite(gd_pal).all()
+    np.testing.assert_allclose(gd_pal, gd_xla, rtol=1e-9, atol=1e-30)

@@ -222,17 +222,30 @@ def _mu_mup_stable_tile(X, Y, psi_deg, mode_mult, eps_crit, eps_max):
 
     bb_ok = beta > 0.0
     beta_safe = jnp.where(bb_ok, beta, 1.0)
-    dbetadX = -YL ** 2 * Xm1 / beta_safe
-    dDdX = -1.0 + mode_mult * dbetadX
-    dalphadY = YT ** 3 * sinp + 2.0 * YL * Xm1 ** 2 * cosp
-    dbetadY = 0.5 * dalphadY / beta_safe
-    dDdY = -YT * sinp + mode_mult * dbetadY
 
     m_ok = u_ok & bb_ok & (mu > 0.0) & mu_le1
     mu_safe = jnp.where(m_ok, mu, 1.0)
-    dmudY = (X * Xm1 * dDdY) / (2.0 * mu_safe * D_safe ** 2)
-    dmudX = (1.0 / (2.0 * mu_safe * D_safe)) * (
-        2.0 * X - 1.0 + X * Xm1 / D_safe * dDdX)
+    if mode_mult > 0:
+        # On O-mode analytic lanes the naive derivative forms below are
+        # REPLACED by the cancellation-free expansions — but reverse-mode
+        # AD still backpropagates through the non-selected branch, whose
+        # cotangents carry 1/D⁴-scale factors (D ≈ Xm1 ~ 1e-10 near the
+        # backed-off sample) that overflow f32 into inf·0 = NaN. Feed the
+        # naive branch harmless inputs on those lanes (double-where on
+        # inputs, the standard 0·NaN-cotangent guard).
+        Xm1_nv = jnp.where(use_an, 1.0, Xm1)
+        D_nv = jnp.where(use_an, 1.0, D_safe)
+        mu_nv = jnp.where(use_an, 1.0, mu_safe)
+    else:
+        Xm1_nv, D_nv, mu_nv = Xm1, D_safe, mu_safe
+    dbetadX = -YL ** 2 * Xm1_nv / beta_safe
+    dDdX = -1.0 + mode_mult * dbetadX
+    dalphadY = YT ** 3 * sinp + 2.0 * YL * Xm1_nv ** 2 * cosp
+    dbetadY = 0.5 * dalphadY / beta_safe
+    dDdY = -YT * sinp + mode_mult * dbetadY
+    dmudY = (X * Xm1_nv * dDdY) / (2.0 * mu_nv * D_nv ** 2)
+    dmudX = (1.0 / (2.0 * mu_nv * D_nv)) * (
+        2.0 * X - 1.0 + X * Xm1_nv / D_nv * dDdX)
     if mode_mult > 0:
         # On the analytic path the naive derivative terms are inconsistent
         # with the substituted Xm1 (the computed 2X−1 carries the *rounded*

@@ -52,7 +52,14 @@ from .rays import (event_ground, event_x_left, event_x_right, event_z_bottom,
 from .fields import (eval_refractive_index_and_grad, make_n_and_grad,
                      n_and_grad, n_and_grad_rphi)
 
-__version__ = "0.1.0"
+# Version from installed metadata when available (mirrors the reference's
+# importlib.metadata pattern, ref __init__.py:8-19); source-tree fallback
+# keeps `import pyrayhf_tpu` working without an install step.
+try:
+    from importlib import metadata as _metadata
+    __version__ = _metadata.version("pyrayhf-tpu")
+except Exception:
+    __version__ = "0.3.0"
 from .oblique import (synthesize_oblique_ionogram,
                       synthesize_oblique_ionogram_2d)
 from . import oblique

@@ -12,18 +12,46 @@ can be shared across calls and selectively overridden.
 """
 
 import dataclasses
+from typing import Optional
 
 __all__ = ["OperatorConfig", "SnellConfig", "GradientTracerConfig",
-           "RetrievalConfig"]
+           "RetrievalConfig", "UNSET"]
+
+
+class _Unset:
+    """Sentinel distinct from None, for kwargs where None is meaningful
+    (e.g. rtol=None explicitly forces fixed-step RK4 even when a shared
+    GradientTracerConfig enables the adaptive integrator)."""
+
+    _instance = None
+
+    def __new__(cls):
+        if cls._instance is None:
+            cls._instance = super().__new__(cls)
+        return cls._instance
+
+    def __repr__(self):
+        return "UNSET"
+
+
+UNSET = _Unset()
 
 
 def resolve(config, name, explicit, default):
-    """Explicit kwarg > config field > built-in default."""
-    if explicit is not None:
+    """Explicit kwarg > config field > built-in default.
+
+    ``None`` counts as "not passed" for most knobs; kwargs whose ``None``
+    value is itself meaningful use the :data:`UNSET` sentinel as their
+    function-signature default and are resolved explicitly here.
+    """
+    if explicit is not None and explicit is not UNSET:
         return explicit
+    if explicit is None and default is UNSET:
+        # None was passed explicitly for an UNSET-defaulted kwarg: honor it.
+        return None
     if config is not None:
         return getattr(config, name)
-    return default
+    return None if default is UNSET else default
 
 
 @dataclasses.dataclass(frozen=True)
@@ -64,8 +92,8 @@ class GradientTracerConfig:
     z_max_km: float = 1000.0
     x_min_km: float = -1e6
     x_max_km: float = 1e6
-    rtol: float = None
-    atol: float = None
+    rtol: Optional[float] = None
+    atol: Optional[float] = None
 
 
 @dataclasses.dataclass(frozen=True)

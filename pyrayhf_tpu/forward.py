@@ -77,6 +77,9 @@ def _forward_core(freq_mhz, den, bmag, bpsi, alt, mode_mult, n_points,
 
 logger = logging.getLogger("pyrayhf_tpu")
 
+# engine='auto' resolutions already logged (one DEBUG line per choice)
+_auto_logged = set()
+
 
 def vertical_forward_operator(freq, den, bmag, bpsi, alt,
                               mode=None, n_points=None, arithmetic="stable",
@@ -142,6 +145,12 @@ def vertical_forward_operator_batch(freq, den, bmag, bpsi, alt,
       agree with parity to < 1e-6 km in f64 (same discretisation; the
       near-reflection tail uses the analytic-margin factorisation, which
       is *closer* to exact arithmetic — tests/test_pallas.py).
+
+    Reproducibility caveat for ``"auto"``: because the selection depends
+    on the backend, identical calls on different platforms take different
+    numeric paths (~0.02 km f32 tail differences near reflection). The
+    resolved engine is logged (DEBUG, once per distinct choice); pin
+    ``engine=`` explicitly for cross-platform bit stability.
     """
     from .config import resolve
     mode = resolve(config, "mode", mode, "O")
@@ -153,6 +162,11 @@ def vertical_forward_operator_batch(freq, den, bmag, bpsi, alt,
     if engine == "auto":
         on_tpu = jax.devices()[0].platform == "tpu"
         engine = "xla" if (on_tpu and shared_grid) else "parity"
+        if engine not in _auto_logged:
+            _auto_logged.add(engine)
+            logger.debug("engine='auto' resolved to %r (platform=%s, "
+                         "shared_grid=%s)", engine,
+                         jax.devices()[0].platform, shared_grid)
     if engine in ("pallas", "xla"):
         if not shared_grid:
             raise ValueError(

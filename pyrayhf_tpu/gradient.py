@@ -27,12 +27,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .config import UNSET
 from .constants import C_KM_S, R_E
 
 __all__ = ["trace_ray_cartesian_gradient", "trace_ray_spherical_gradient",
            "trace_rays_cartesian_gradient", "trace_rays_spherical_gradient"]
 
-_STATUS = {"length": 0, "ground": 1, "domain": 2}
+_STATUS = {"length": 0, "ground": 1, "domain": 2, "attempts": 3}
 
 
 def _rk4_step(rhs, y, ds):
@@ -196,8 +197,13 @@ def _integrate_adaptive(rhs, y0, n_attempts, s_max, h0, rtol, atol,
     init = (y0, jnp.asarray(h0, dtype=y0.dtype),
             jnp.zeros((), dtype=y0.dtype), jnp.asarray(True),
             jnp.asarray(_STATUS["length"]))
-    (_, _, _, _, status), (ys, alive) = jax.lax.scan(
+    (_, _, s_final, alive_final, status), (ys, alive) = jax.lax.scan(
         attempt, init, None, length=n_attempts)
+    # a ray still alive after all attempts with s < s_max exhausted the
+    # attempt budget (many rejections in a stiff region) — report that as a
+    # distinct 'attempts' status, not a bogus 'length' arc-budget stop
+    exhausted = alive_final & (s_final < s_max)
+    status = jnp.where(exhausted, _STATUS["attempts"], status)
     ys = jnp.concatenate([y0[None], ys], axis=0)
     alive = jnp.concatenate([jnp.asarray(True)[None], alive])
     return ys, alive, status
@@ -272,7 +278,7 @@ def trace_ray_cartesian_gradient(n_and_grad, mup_func, x0_km, z0_km,
                                  step_km=None, z_ground_km=None,
                                  z_min_km=-1.0, z_max_km=None,
                                  x_min_km=None, x_max_km=None,
-                                 rtol=None, atol=None, max_step_km=None,
+                                 rtol=UNSET, atol=UNSET, max_step_km=None,
                                  renormalize_every=None, config=None):
     """2-D Cartesian ray-ODE trace; API-parity with ref :1271-1457.
 
@@ -294,8 +300,10 @@ def trace_ray_cartesian_gradient(n_and_grad, mup_func, x0_km, z0_km,
     z_max_km = resolve(config, "z_max_km", z_max_km, 1000.0)
     x_min_km = resolve(config, "x_min_km", x_min_km, -1e6)
     x_max_km = resolve(config, "x_max_km", x_max_km, 1e6)
-    rtol = resolve(config, "rtol", rtol, None)
-    atol = resolve(config, "atol", atol, None)
+    # rtol/atol use the UNSET sentinel: an explicit None forces fixed-step
+    # RK4 even when a shared config enables the adaptive integrator
+    rtol = resolve(config, "rtol", rtol, UNSET)
+    atol = resolve(config, "atol", atol, UNSET)
     del renormalize_every, z_min_km
     if mup_func is None:
         raise ValueError(
@@ -405,7 +413,7 @@ def trace_ray_spherical_gradient(n_and_grad_rphi, mup_func, x0_km, z0_km,
                                  elevation_deg, s_max_km=None, *,
                                  R_E=None, z_ground_km=None, r_max_km=None,
                                  phi_min=-jnp.pi, phi_max=jnp.pi,
-                                 step_km=None, rtol=None, atol=None,
+                                 step_km=None, rtol=UNSET, atol=UNSET,
                                  max_step_km=2.0, renormalize_every=None,
                                  config=None):
     """2-D spherical ray-ODE trace; API-parity with ref :2128-2337.
@@ -424,8 +432,8 @@ def trace_ray_spherical_gradient(n_and_grad_rphi, mup_func, x0_km, z0_km,
     s_max_km = resolve(config, "s_max_km", s_max_km, 6000.0)
     z_ground_km = resolve(config, "z_ground_km", z_ground_km, 0.0)
     step_km = resolve(config, "step_km", step_km, 1.0)
-    rtol = resolve(config, "rtol", rtol, None)
-    atol = resolve(config, "atol", atol, None)
+    rtol = resolve(config, "rtol", rtol, UNSET)
+    atol = resolve(config, "atol", atol, UNSET)
     del renormalize_every
     if mup_func is None:
         raise ValueError("mup_func must be provided — build it with "

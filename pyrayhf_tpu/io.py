@@ -35,6 +35,12 @@ def load_input(file_path):
 # contain dots (e.g. a frequency label '2.5').
 _SEP = "\x1f"
 
+# Sentinel key marking the U+001F-separated format. Presence of the marker —
+# not key contents — decides how load_checkpoint splits: a flat new-format
+# dict whose only key is '2.5' must NOT be mis-detected as the legacy
+# '.'-separated format.
+_FMT_MARKER = "__fmt_v2__"
+
 
 def _flatten(prefix, obj, out):
     if isinstance(obj, dict):
@@ -57,6 +63,7 @@ def save_checkpoint(state, file_path):
     import os
     flat = {}
     _flatten("", state, flat)
+    flat[_FMT_MARKER] = np.asarray(2)
     tmp = f"{file_path}.tmp.{os.getpid()}"
     try:
         np.savez_compressed(tmp, **flat)
@@ -73,14 +80,16 @@ def load_checkpoint(file_path):
     """Inverse of :func:`save_checkpoint` — rebuilds the nested dict.
 
     Files written by the early '.'-separated flatten format (before the
-    U+001F separator) are detected and split on '.' as a best effort.
+    U+001F separator) lack the ``__fmt_v2__`` marker and are split on '.'
+    as a best effort; marked files are split only on U+001F, so new-format
+    keys containing dots (e.g. '2.5') round-trip unchanged.
     """
     data = np.load(file_path, allow_pickle=False)
-    legacy = (data.files and not any(_SEP in k for k in data.files)
-              and any("." in k for k in data.files))
-    sep = "." if legacy else _SEP
+    sep = _SEP if _FMT_MARKER in data.files else "."
     out = {}
     for key in data.files:
+        if key == _FMT_MARKER:
+            continue
         parts = key.split(sep)
         d = out
         for p in parts[:-1]:

@@ -181,3 +181,20 @@ def test_checkpoint_atomic_and_legacy(tmp_path):
     leg = load_checkpoint(pleg)
     assert_allclose(leg["F2"]["hm"], [300.0])
     assert int(leg["step"]) == 3
+
+
+def test_checkpoint_dotted_keys_roundtrip(tmp_path):
+    """New-format files with dotted keys must NOT be mis-read as legacy.
+
+    Regression for the round-2 advisor finding: a flat dict whose only key
+    contains a dot (e.g. a frequency label '2.5') used to be detected as the
+    legacy '.'-separated format and split, corrupting the round-trip. The
+    explicit __fmt_v2__ marker decides the format now.
+    """
+    p = str(tmp_path / "dotted.npz")
+    state = {"2.5": np.array([1.0, 2.0]), "a.b.c": np.array(9)}
+    save_checkpoint(state, p)
+    back = load_checkpoint(p)
+    assert set(back.keys()) == {"2.5", "a.b.c"}
+    assert_allclose(back["2.5"], [1.0, 2.0])
+    assert int(back["a.b.c"]) == 9

@@ -491,6 +491,21 @@ def test_tracer_configs_wiring(goldens):
         r_max_km=6371.0 + 600.0, phi_min=-0.1, phi_max=1000.0 / 6371.0)
     assert float(r["group_path_km"]) <= 1000.0 + 5.0
 
+    # an EXPLICIT rtol=None/atol=None overrides the config's adaptive
+    # tolerances and forces fixed-step RK4 (UNSET-sentinel semantics)
+    forced_fixed = trace_ray_cartesian_gradient(
+        nag, mupf, 0.0, 0.0, 35.0, config=cfg, rtol=None, atol=None)
+    plain_fixed = trace_ray_cartesian_gradient(
+        nag, mupf, 0.0, 0.0, 35.0, 3000.0, step_km=2.0, z_max_km=600.0,
+        x_min_km=0.0, x_max_km=1000.0)
+    np.testing.assert_allclose(float(forced_fixed["group_path_km"]),
+                               float(plain_fixed["group_path_km"]),
+                               rtol=1e-12)
+    # fixed-step differs measurably from the adaptive result at 2 km steps,
+    # proving the override actually changed the integrator
+    assert (abs(float(forced_fixed["group_path_km"])
+                - float(via_cfg["group_path_km"])) > 1e-9)
+
     # SnellConfig supplies mode + R_E
     from pyrayhf_tpu.snell import trace_ray_spherical_snells as sph_snell
     scfg = SnellConfig(mode="X", R_E_km=6371e9)    # flat-Earth limit

@@ -232,24 +232,20 @@ def calculate_magnetic_field(year, month, day, lat, lon, aalt, coeffs=None):
     Returns (mag [N_alt, N_loc] in **Tesla**, psi [N_alt, N_loc] in degrees
     from vertical). One vmapped evaluation instead of the reference's
     per-altitude Python loop. ``year/month/day`` select the coefficient
-    epoch via the vendored IGRF-13 secular variation (epochs before 2020
-    clamp to 2020.0 with a logged warning — earlier DGRF tables are not
-    vendored; pass ``coeffs`` from :func:`load_igrf_coefficients` for
-    those). Inputs are geodetic like the reference's PyIRI call.
+    epoch: >= 2020 via the vendored IGRF-13 secular variation, 1900-2020
+    via the DGRF back-catalogue (:mod:`pyrayhf_tpu.igrf_history`; tiered
+    fidelity — exact low-degree history, frozen high-degree tail before
+    2000). Any date from 1900 on works, matching the reference's
+    PyIRI-IGRF behaviour (ref library.py:2425-2432); pass ``coeffs`` from
+    :func:`load_igrf_coefficients` to use an external coefficient file
+    instead. Inputs are geodetic like the reference's PyIRI call.
     """
     if coeffs is None:
         import datetime
-        import logging
         d = datetime.date(int(year), int(month), int(day))
         ystart = datetime.date(d.year, 1, 1)
         ylen = (datetime.date(d.year + 1, 1, 1) - ystart).days
         epoch = d.year + (d - ystart).days / ylen
-        if epoch < 2020.0:
-            logging.getLogger("pyrayhf_tpu").warning(
-                "IGRF epoch %.2f precedes the vendored 2020.0 table; "
-                "clamping to 2020.0 (load a full igrf13coeffs.txt for "
-                "earlier epochs)", epoch)
-            epoch = 2020.0
         coeffs = igrf13_table.coefficients_at_epoch(epoch)
     lat = jnp.atleast_1d(jnp.asarray(lat, dtype=float))
     lon = jnp.atleast_1d(jnp.asarray(lon, dtype=float))

@@ -145,18 +145,20 @@ for _n, _m, _g, _h, _gsv, _hsv in _ROWS:
 
 
 def coefficients_at_epoch(epoch):
-    """Main-field {g, h} at a decimal-year ``epoch`` via the 2020 SV.
+    """Main-field {g, h} at a decimal-year ``epoch``.
 
-    Valid for 2020.0 <= epoch; the SV extrapolation is the IGRF-13
-    prediction (nominally 2020-2025, commonly extended a few years until
-    the next generation). Raises for epochs before 2020.0 — earlier DGRF
-    tables are not vendored (load a full ``igrf13coeffs.txt`` via
-    :func:`pyrayhf_tpu.igrf.load_igrf_coefficients` for those).
+    * ``epoch >= 2020.0``: the 2020.0 main field plus the IGRF-13
+      predictive secular variation (nominally 2020-2025, commonly
+      extended a few years until the next generation);
+    * ``1900.0 <= epoch < 2020.0``: the vendored DGRF back-catalogue
+      (:mod:`pyrayhf_tpu.igrf_history` — tiered fidelity, see its
+      docstring), piecewise-linear between 5-year epochs and continuous
+      with the 2020.0 table;
+    * earlier epochs raise (the IGRF itself starts at 1900).
     """
     epoch = float(epoch)
     if epoch < 2020.0:
-        raise ValueError(
-            f"vendored IGRF-13 table covers epoch >= 2020.0 (got {epoch}); "
-            "load a full igrf13coeffs.txt for earlier epochs")
+        from .igrf_history import coefficients_at_epoch_historical
+        return coefficients_at_epoch_historical(epoch)
     dt = epoch - 2020.0
     return {"g": G2020 + dt * GSV, "h": H2020 + dt * HSV}

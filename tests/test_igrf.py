@@ -109,19 +109,55 @@ def test_secular_variation_applied():
     c25 = coefficients_at_epoch(2025.0)
     assert_allclose(c25["g"][1, 0] - c20["g"][1, 0], 5 * GSV[1, 0],
                     rtol=1e-12)
-    with pytest.raises(ValueError, match="2020"):
-        coefficients_at_epoch(2015.0)
+    with pytest.raises(ValueError, match="1900"):
+        coefficients_at_epoch(1890.0)
 
 
-def test_calculate_magnetic_field_pre2020_clamps(caplog):
+def test_historical_epoch_catalogue():
+    """DGRF back-catalogue: published pins, interpolation, continuity."""
+    # published DGRF dipole terms at exact epochs
+    c2015 = coefficients_at_epoch(2015.0)
+    assert_allclose(c2015["g"][1, 0], -29441.46, rtol=1e-9)
+    assert_allclose(c2015["h"][1, 1], 4795.99, rtol=1e-9)
+    assert_allclose(c2015["g"][8, 8], -2.02, rtol=1e-9)
+    c1900 = coefficients_at_epoch(1900.0)
+    assert_allclose(c1900["g"][1, 0], -31543.0, rtol=1e-9)
+    assert_allclose(c1900["h"][1, 1], 5922.0, rtol=1e-9)
+    # piecewise-linear interpolation between 5-year epochs
+    c2012 = coefficients_at_epoch(2012.5)
+    assert_allclose(c2012["g"][1, 0], (-29496.57 - 29441.46) / 2, rtol=1e-12)
+    # continuity into the 2020.0 main-field table
+    ca = coefficients_at_epoch(2019.999)
+    cb = coefficients_at_epoch(2020.0)
+    assert np.max(np.abs(ca["g"] - cb["g"])) < 0.05
+    assert np.max(np.abs(ca["h"] - cb["h"])) < 0.05
+    # axial-dipole strength decays monotonically over the century
+    g10 = [abs(coefficients_at_epoch(float(e))["g"][1, 0])
+           for e in range(1900, 2020, 10)]
+    assert all(a > b for a, b in zip(g10, g10[1:]))
+
+
+def test_calculate_magnetic_field_historical_no_warning(caplog):
+    """Historical dates work without warning (ref library.py:2425-2432)."""
     import logging
     with caplog.at_level(logging.WARNING, logger="pyrayhf_tpu"):
         mag, psi = igrf.calculate_magnetic_field(
             2015, 6, 1, np.array([45.0]), np.array([10.0]),
             np.array([100.0, 300.0]))
-    assert "clamping" in caplog.text
+    assert caplog.text == ""
     assert np.all(np.isfinite(np.asarray(mag)))
     assert np.asarray(mag).shape == (2, 1)
+    assert 2e-5 < float(np.asarray(mag)[1, 0]) < 7e-5
+    # globally-averaged |B| (dipole-dominated) was stronger in 1950 than
+    # in 2015 — a safe invariant, unlike any single-location comparison
+    lats = np.linspace(-75.0, 75.0, 11)
+    lons = np.linspace(-180.0, 150.0, 12)
+    glat, glon = (a.ravel() for a in np.meshgrid(lats, lons))
+    m50, _ = igrf.calculate_magnetic_field(1950, 6, 1, glat, glon,
+                                           np.array([300.0]))
+    m15, _ = igrf.calculate_magnetic_field(2015, 6, 1, glat, glon,
+                                           np.array([300.0]))
+    assert float(np.mean(np.asarray(m50))) > float(np.mean(np.asarray(m15)))
 
 
 def test_load_igrf_coefficients_roundtrip(tmp_path):

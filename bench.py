@@ -32,7 +32,8 @@ def main():
     on_tpu = dev.platform == "tpu"
 
     from pyrayhf_tpu.forward import _forward_batch_core
-    from pyrayhf_tpu.pallas_vh import ionogram_fast_xla, ionogram_pallas
+    from pyrayhf_tpu.pallas_vh import (ionogram_fast_xla, ionogram_pallas,
+                                       ionogram_pallas_gather)
 
     # ---- workload: README O-mode config batched over a profile stack ----
     # 175 freqs x n_points=200, B profiles (global-grid synthesis slice)
@@ -65,13 +66,17 @@ def main():
     alt_b = np.broadcast_to(alt, (B, alt.size))
 
     if on_tpu:
-        fn = partial(ionogram_pallas, mode_mult=1.0, n_points=200)
+        # headline: the dynamic-gather kernel with in-kernel O-mode
+        # reflection solve (round 3); sweep kernel timed as diagnostic
+        fn = partial(ionogram_pallas_gather, mode_mult=1.0, n_points=200)
+        fn_sweep = partial(ionogram_pallas, mode_mult=1.0, n_points=200)
         args = (jnp.asarray(freqs, dtype), jnp.asarray(den, dtype),
                 jnp.asarray(bmag, dtype), jnp.asarray(bpsi, dtype),
                 jnp.asarray(alt, dtype))
     else:
         fn = jax.jit(partial(_forward_batch_core, mode_mult=1.0,
                              n_points=200))
+        fn_sweep = None
         args = tuple(jnp.asarray(a, dtype=dtype)
                      for a in (freqs, den, bmag, bpsi, alt_b))
 
@@ -84,8 +89,18 @@ def main():
     _ = np.asarray(jnp.ravel(out)[0])
     dt = (time.perf_counter() - t0) / iters
     evals_per_sec = B * F / dt
-    log(f"O-mode 200pt fused kernel: B={B} F={F} time/launch={dt*1e3:.2f} ms"
+    log(f"O-mode 200pt gather kernel: B={B} F={F} time/launch={dt*1e3:.2f} ms"
         f" -> {evals_per_sec:.3e} vh evals/s")
+    if fn_sweep is not None:
+        out = fn_sweep(*args)
+        _ = np.asarray(jnp.ravel(out)[0])
+        t0 = time.perf_counter()
+        for _ in range(5):
+            out = fn_sweep(*args)
+        _ = np.asarray(jnp.ravel(out)[0])
+        dts = (time.perf_counter() - t0) / 5
+        log(f"  (sweep kernel diagnostic: {dts*1e3:.2f} ms/launch = "
+            f"{B*F/dts:.3e} evals/s)")
 
     if on_tpu and day is not None:
         # X-mode 20k-point stretched grid, batched (the README's heavy
@@ -151,7 +166,9 @@ def main():
                         if key not in g.files:
                             continue
                         row = []
-                        for iname, impl in (("pallas", ionogram_pallas),
+                        for iname, impl in (("gather",
+                                             ionogram_pallas_gather),
+                                            ("pallas", ionogram_pallas),
                                             ("fast_xla",
                                              ionogram_fast_xla)):
                             vh = run_case(prof, mm, npts, impl,

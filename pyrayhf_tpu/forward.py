@@ -132,17 +132,24 @@ def vertical_forward_operator_batch(freq, den, bmag, bpsi, alt,
 
     * ``"parity"`` — the searchsorted/gather regrid path, numerically
       closest to the reference (slow on TPU: gathers);
-    * ``"pallas"`` — the fused VMEM kernel (TPU only; requires a shared
-      [N_alt] grid);
+    * ``"pallas"`` — the fused VMEM sweep kernel (TPU only; requires a
+      shared [N_alt] grid);
+    * ``"pallas_gather"`` — the fastest engine: hardware per-lane gathers
+      replace the segment sweep, and for O-mode the reflection-height
+      solve is fused into the kernel (TPU only; additionally requires
+      the shared grid to be uniformly spaced). 3.4× the sweep kernel on
+      the README O-200 workload (BENCHMARKS.md round 3);
+    * ``"pallas_mxu"`` — the MXU one-hot-matmul experiment (measured
+      SLOWER than the sweep — kept for the roofline record, see
+      BENCHMARKS.md);
     * ``"xla"`` — the gather-free segment-sweep fallback of the kernel
       (any backend; requires a shared grid);
-    * ``"auto"`` (default) — ``"xla"`` on TPU when the grid is shared,
-      else ``"parity"``: both support forward- AND reverse-mode autodiff,
-      so the default never breaks a differentiation mode. Pass
-      ``engine="pallas"`` explicitly for peak forward throughput — it is
-      reverse-mode differentiable via a custom VJP (backward through the
-      XLA sweep) but rejects forward-mode (jvp/jacfwd). The fast engines
-      agree with parity to < 1e-6 km in f64 (same discretisation; the
+    * ``"auto"`` (default) — on TPU: ``"pallas_gather"`` when the grid is
+      shared, uniform and f32, else ``"xla"`` when shared; ``"parity"``
+      otherwise. Every engine supports forward- AND reverse-mode autodiff
+      (the kernels via a custom JVP through the XLA sweep), so the
+      default never breaks a differentiation mode. Fast engines agree
+      with parity to < 1e-6 km in f64 (same discretisation; the
       near-reflection tail uses the analytic-margin factorisation, which
       is *closer* to exact arithmetic — tests/test_pallas.py).
 
@@ -161,25 +168,35 @@ def vertical_forward_operator_batch(freq, den, bmag, bpsi, alt,
     shared_grid = alt.ndim == 1
     if engine == "auto":
         on_tpu = jax.devices()[0].platform == "tpu"
-        engine = "xla" if (on_tpu and shared_grid) else "parity"
+        if on_tpu and shared_grid:
+            from .pallas_vh import uniform_inv_dalt
+            uniform = uniform_inv_dalt(alt) is not None
+            f32 = den.dtype == jnp.float32
+            engine = "pallas_gather" if (uniform and f32) else "xla"
+        else:
+            engine = "parity"
         if engine not in _auto_logged:
             _auto_logged.add(engine)
             logger.debug("engine='auto' resolved to %r (platform=%s, "
                          "shared_grid=%s)", engine,
                          jax.devices()[0].platform, shared_grid)
-    if engine in ("pallas", "xla"):
+    if engine in ("pallas", "pallas_gather", "pallas_mxu", "xla"):
         if not shared_grid:
             raise ValueError(
                 f"engine={engine!r} requires a shared 1-D altitude grid "
                 "(per-profile [B, N_alt] grids need engine='parity')")
-        from .pallas_vh import ionogram_fast_xla, ionogram_pallas
-        impl = ionogram_pallas if engine == "pallas" else ionogram_fast_xla
+        from .pallas_vh import (ionogram_fast_xla, ionogram_pallas,
+                                ionogram_pallas_gather, ionogram_pallas_mxu)
+        impl = {"pallas": ionogram_pallas,
+                "pallas_gather": ionogram_pallas_gather,
+                "pallas_mxu": ionogram_pallas_mxu,
+                "xla": ionogram_fast_xla}[engine]
         return impl(jnp.asarray(freq), den, jnp.asarray(bmag),
                     jnp.asarray(bpsi), alt, mode_mult=mm,
                     n_points=n_points)
     if engine != "parity":
-        raise ValueError("engine must be 'auto', 'parity', 'pallas' "
-                         "or 'xla'")
+        raise ValueError("engine must be 'auto', 'parity', 'pallas', "
+                         "'pallas_gather', 'pallas_mxu' or 'xla'")
     if shared_grid:
         alt = jnp.broadcast_to(alt, den.shape)
     return _forward_batch_core(jnp.asarray(freq), den, jnp.asarray(bmag),

@@ -45,13 +45,60 @@ from jax.experimental.pallas import tpu as pltpu
 from .constants import CP, G_P
 from .magnetoionic import _magnetized_mu_mup
 
-__all__ = ["ionogram_pallas", "ionogram_fast_xla", "prepare_profile_tables"]
+__all__ = ["ionogram_pallas", "ionogram_pallas_mxu",
+           "ionogram_pallas_gather", "ionogram_fast_xla",
+           "prepare_profile_tables"]
 
 _DH_BACKOFF = 1e-6
 
 
 def _round_up(x, m):
     return (x + m - 1) // m * m
+
+
+def uniform_inv_dalt(alt):
+    """1/Δalt for a concrete uniformly spaced grid, else None."""
+    if isinstance(alt, jax.core.Tracer):
+        return None
+    a = np.asarray(alt, dtype=np.float64)
+    d = np.diff(a)
+    if d.size and np.allclose(d, d[0], rtol=1e-9, atol=1e-9):
+        return float(1.0 / d[0])
+    return None
+
+
+def _flat_extend(den, bmag, bpsi, alt):
+    """Flat-extend each profile at its density peak (ref truncation)."""
+    B, N = den.shape
+    ind_max = jnp.argmax(den, axis=1)
+    idx = jnp.arange(N)
+    keep = idx[None, :] < ind_max[:, None]
+    last = jnp.maximum(ind_max - 1, 0)[:, None]
+
+    def ext(a):
+        return jnp.where(keep, a, jnp.take_along_axis(a, last, axis=1))
+
+    alt_b = jnp.broadcast_to(alt, (B, N))
+    return ext(den), ext(bmag), ext(bpsi), ext(alt_b)
+
+
+def _pack_segment_table(den_t, bmag_t, bpsi_t, alt_t):
+    """Pack the per-segment piecewise-linear table [B, N, 8].
+
+    Segment row j: [alt_j, 1/Δalt_j, den_j, Δden_j, bmag_j, Δbmag_j,
+    bpsi_j, Δbpsi_j]; altitudes stored relative to alt[0].
+    """
+    dalt = jnp.diff(alt_t, axis=1)
+    inv_dalt = jnp.where(dalt > 0, 1.0 / jnp.where(dalt > 0, dalt, 1.0),
+                         0.0)
+    pad = lambda a: jnp.concatenate([a, a[:, -1:]], axis=1)
+    return jnp.stack([
+        alt_t - alt_t[:, 0][:, None],
+        pad(inv_dalt),
+        den_t, pad(jnp.diff(den_t, axis=1)),
+        bmag_t, pad(jnp.diff(bmag_t, axis=1)),
+        bpsi_t, pad(jnp.diff(bpsi_t, axis=1)),
+    ], axis=2)
 
 
 def prepare_profile_tables(freq_hz, den, bmag, bpsi, alt, mode_mult):
@@ -74,37 +121,65 @@ def prepare_profile_tables(freq_hz, den, bmag, bpsi, alt, mode_mult):
     cp2 = jnp.asarray(CP * CP, dtype)
     gp = jnp.asarray(G_P, dtype)
 
-    ind_max = jnp.argmax(den, axis=1)
-    idx = jnp.arange(N)
-    keep = idx[None, :] < ind_max[:, None]
-    last = jnp.maximum(ind_max - 1, 0)[:, None]
-
-    def ext(a):
-        return jnp.where(keep, a, jnp.take_along_axis(a, last, axis=1))
-
-    alt_b = jnp.broadcast_to(alt, (B, N))
-    den_t = ext(den)
-    alt_t = ext(alt_b)
-    bmag_t = ext(bmag)
-    bpsi_t = ext(bpsi)
+    den_t, bmag_t, bpsi_t, alt_t = _flat_extend(den, bmag, bpsi, alt)
 
     inv_f2 = (1.0 / (freq_hz * freq_hz)).astype(dtype)
-    X = den_t[:, None, :] * cp2 * inv_f2[None, :, None]
+    take2 = lambda a, kk: jnp.take_along_axis(a, kk, axis=1)
     if mode_mult > 0:
-        fcrit = jax.lax.cummax(X, axis=2)
+        # O-mode: the cutoff function is X = (den·cp²)·(1/f²) with a
+        # positive f-independent scale, and float multiplication by a
+        # positive constant is monotone — so cummax over altitude commutes
+        # with the frequency scaling EXACTLY:
+        #     cummax_j X[b,f,j] == cummax_j(den)[b,j] · cp² · inv_f2[f]
+        # (each cummax entry IS some den[j'] bit-for-bit). This collapses
+        # the reflection-height solve from O(B·F·N) HBM-bound tensors to
+        # one [B, N] cummax + per-frequency O(1) lookups: the crossing
+        # index comes from a density-space count, then a ±1 correction
+        # evaluated in X-space (same op order as the dense path) restores
+        # bit-exact agreement at rounding-razor samples.
+        dmax = jax.lax.cummax(den_t, axis=1)                  # [B, N]
+        Xval = lambda kk: take2(dmax, kk) * cp2 * inv_f2[None, :]
+        thr = (freq_hz * freq_hz) / cp2                       # den units
+        # vectorized binary search: lo converges to #{j: dmax[j] < thr}
+        B_, F_ = den_t.shape[0], freq_hz.shape[0]
+        lo = jnp.zeros((B_, F_), jnp.int32)
+        hi = jnp.full((B_, F_), N, jnp.int32)
+        for _ in range(max(1, int(np.ceil(np.log2(N + 1))))):
+            mid = (lo + hi) // 2
+            right = take2(dmax, jnp.clip(mid, 0, N - 1)) < thr[None, :]
+            active = lo < hi
+            lo = jnp.where(active & right, mid + 1, lo)
+            hi = jnp.where(active & ~right, mid, hi)
+        k = jnp.clip(lo, 1, N - 1)                            # [B, F]
+        # X-space ±1 correction (2 steps each way cover razor plateaus)
+        for _ in range(2):
+            k = jnp.where((Xval(k - 1) >= 1.0) & (k > 1), k - 1, k)
+        for _ in range(2):
+            k = jnp.where((Xval(k) < 1.0) & (k < N - 1), k + 1, k)
+        valid = Xval(jnp.full_like(k, N - 1)) >= 1.0
+        f0 = Xval(k - 1)
+        f1 = Xval(k)
+        alt_b2 = alt_t
+        a0 = take2(alt_b2, k - 1)
+        a1 = take2(alt_b2, k)
+        r0 = take2(den_t, k - 1) * cp2 * inv_f2[None, :]
+        first_exceeds = (den_t[:, 0:1] * cp2) * inv_f2[None, :] >= 1.0
     else:
+        X = den_t[:, None, :] * cp2 * inv_f2[None, :, None]
         Y = bmag_t[:, None, :] * gp / freq_hz[None, :, None]
         fcrit = jax.lax.cummax(X + Y, axis=2)
-    valid = fcrit[:, :, -1] >= 1.0
-
-    # crossing index by counting nodes below the cutoff (rows are monotone)
-    k = jnp.clip(jnp.sum(fcrit < 1.0, axis=2), 1, N - 1)
-    take = lambda a, kk: jnp.take_along_axis(a, kk[:, :, None], axis=2)[..., 0]
-    f0 = take(fcrit, k - 1)
-    f1 = take(fcrit, k)
-    alt_bf = jnp.broadcast_to(alt_t[:, None, :], fcrit.shape)
-    a0 = take(alt_bf, k - 1)
-    a1 = take(alt_bf, k)
+        valid = fcrit[:, :, -1] >= 1.0
+        # crossing index by counting nodes below the cutoff (monotone rows)
+        k = jnp.clip(jnp.sum(fcrit < 1.0, axis=2), 1, N - 1)
+        take = lambda a, kk: jnp.take_along_axis(
+            a, kk[:, :, None], axis=2)[..., 0]
+        f0 = take(fcrit, k - 1)
+        f1 = take(fcrit, k)
+        alt_bf = jnp.broadcast_to(alt_t[:, None, :], fcrit.shape)
+        a0 = take(alt_bf, k - 1)
+        a1 = take(alt_bf, k)
+        r0 = take(X + Y, k - 1)
+        first_exceeds = 1.0 <= fcrit[:, :, 0]
     t = jnp.where(f1 != f0, (1.0 - f0) / jnp.where(f1 != f0, f1 - f0, 1.0),
                   0.0)
     crit = a0 + jnp.clip(t, 0.0, 1.0) * (a1 - a0)
@@ -119,30 +194,19 @@ def prepare_profile_tables(freq_hz, den, bmag, bpsi, alt, mode_mult):
     # computed 1-X (which is then comfortably far from cancellation) must
     # be used. ``emax`` = cutoff margin at the segment's lower node bounds
     # where the analytic form may be substituted.
-    raw = X if mode_mult > 0 else X + Y
-    r0 = take(raw, k - 1)
     genuine = r0 == f0
     emax = jnp.where(genuine, jnp.maximum(slope * (crit - a0), 0.0), 0.0)
     # np.interp edge semantics: cutoff already exceeded at the first node
-    crit = jnp.where(1.0 <= fcrit[:, :, 0], alt_t[:, 0][:, None], crit)
+    crit = jnp.where(first_exceeds, alt_t[:, 0][:, None], crit)
     # masked-finite: escaped rows collapse to a zero-span grid (zero dh ⇒
     # zero contribution, and they never inflate the sweep bounds)
     crit = jnp.where(valid, crit, alt_t[:, 0][:, None]) - _DH_BACKOFF
     slope = jnp.where(valid, slope, 0.0)
     emax = jnp.where(valid, emax, 0.0)
 
-    dalt = jnp.diff(alt_t, axis=1)
-    inv_dalt = jnp.where(dalt > 0, 1.0 / jnp.where(dalt > 0, dalt, 1.0), 0.0)
-    pad = lambda a: jnp.concatenate([a, a[:, -1:]], axis=1)
     # altitudes are stored relative to alt[0] so the kernel needs no scalar
     # offset input (the stretched grid is generated in the same frame)
-    seg = jnp.stack([
-        alt_t - alt_t[:, 0][:, None],
-        pad(inv_dalt),
-        den_t, pad(jnp.diff(den_t, axis=1)),
-        bmag_t, pad(jnp.diff(bmag_t, axis=1)),
-        bpsi_t, pad(jnp.diff(bpsi_t, axis=1)),
-    ], axis=2)
+    seg = _pack_segment_table(den_t, bmag_t, bpsi_t, alt_t)
     return seg, crit, valid, slope, emax
 
 
@@ -389,6 +453,594 @@ def _kernel(jlo_ref, jhi_ref, mult_ref, dmult_ref, omm_ref, seg_ref,
         out_ref[bi, 0, 0, :] = out_ref[bi, 0, 0, :] + partial_ih
 
 
+def _kernel_mxu(mult_ref, dmult_ref, omm_ref, seg_ref, span_ref, slope_ref,
+                emax_ref, freq_ref, out_ref, d_scr, bm_scr, bp_scr, *,
+                mode_mult, n_seg, last_chunk, last_idx, b_tile, f_tile,
+                inv_dalt, K1, K2):
+    """MXU-reformulated resample: one-hot gather matmuls replace the sweep.
+
+    For a uniform altitude grid the resample index is arithmetic
+    (``i = floor(span·mult/Δalt)``, no search), so the piecewise-linear
+    resample is a GATHER of row ``i`` from the [N_seg, 8] segment table —
+    and a gather is a one-hot matmul, which the MXU executes exactly (each
+    output row sums a single 1·T[j] product; the f32 operand splits into
+    bf16 triplets losslessly under ``Precision.HIGHEST``). Factorising
+    ``i = a·K2 + b`` splits the [P, N] one-hot into [P, K1]·[K1, K2·8]
+    (MXU) followed by a K2-masked combine (VPU) + a [K2·8, 8] fold (MXU):
+    VPU work per resampled point drops from O(N_seg) hat-weight FMAs to
+    O(K1 + K2·8) ≈ 170 lane-ops — the sweep kernel's dominant cost.
+
+    Numerically this matches the PARITY gather semantics (value + frac·Δ
+    on the containing segment, no O(N) summation error); the μ'/quadrature
+    tail is byte-identical to :func:`_kernel`.
+    """
+    pc = pl.program_id(2)
+    dtype = span_ref.dtype
+    mult = mult_ref[0, :]                       # [P_chunk]
+    dmult = dmult_ref[0, :]
+    omm = omm_ref[0, :]
+    f = freq_ref[0, 0, 0, :][:, None]           # [f_tile, 1]
+    P = mult.shape[0]
+    mi = mult * jnp.asarray(inv_dalt, dtype)    # resample positions / span
+
+    # Everything in the gather is laid out [·, P] — channels/one-hot rows
+    # on sublanes, resample points on lanes — so no lane↔sublane relayout
+    # is ever needed (column extraction from a [P, 8] array would be one).
+    iotaA = jax.lax.broadcasted_iota(jnp.int32, (K1, P), 0)
+    row_b = jax.lax.broadcasted_iota(jnp.int32, (K2 * 8, P), 0) // 8
+    # static [8, K2·8] fold matrix: table column q folds to channel q%8
+    # (built from iotas — pallas kernels cannot capture array constants)
+    fold = (jax.lax.broadcasted_iota(jnp.int32, (8, K2 * 8), 1) % 8
+            == jax.lax.broadcasted_iota(jnp.int32, (8, K2 * 8), 0)
+            ).astype(dtype)
+
+    for bi in range(b_tile):
+        Tt = seg_ref[bi, :, :]                  # [K2·8, K1] (pre-transposed)
+        for fi in range(f_tile):
+            pos = span_ref[bi, 0, 0, fi] * mi                    # [P]
+            i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n_seg - 2)
+            # saturate like the sweep's clip (np.interp edge values)
+            frac = jnp.clip(pos - i0.astype(dtype), 0.0, 1.0)
+            a_idx = i0 // K2
+            b_idx = i0 - a_idx * K2
+            ohA = (iotaA == a_idx[None, :]).astype(dtype)        # [K1, P]
+            U = jnp.dot(Tt, ohA, preferred_element_type=dtype,
+                        precision=jax.lax.Precision.HIGHEST)     # [K2·8, P]
+            w = (row_b == b_idx[None, :]).astype(dtype)
+            out8 = jnp.dot(fold, w * U,
+                           preferred_element_type=dtype,
+                           precision=jax.lax.Precision.HIGHEST)  # [8, P]
+            d_scr[fi, :] = out8[2, :] + frac * out8[3, :]
+            bm_scr[fi, :] = out8[4, :] + frac * out8[5, :]
+            bp_scr[fi, :] = out8[6, :] + frac * out8[7, :]
+
+        # ---- μ' + quadrature tail (identical to _kernel) ----
+        span = span_ref[bi, 0, 0, :]            # [f_tile]
+        dh = span[:, None] * dmult[None, :]
+        p_ids = jax.lax.broadcasted_iota(jnp.int32, dh.shape, 1)
+        is_last = (pc == last_chunk) & (p_ids == last_idx)
+        dh = jnp.where(is_last, jnp.asarray(_DH_BACKOFF, dh.dtype), dh)
+
+        X = d_scr[:] * (CP * CP) / (f * f)
+        Y = bm_scr[:] * G_P / f
+        slope_t = slope_ref[bi, 0, 0, :][:, None]
+        emax_t = emax_ref[bi, 0, 0, :][:, None]
+        eps = slope_t * (span[:, None] * omm[None, :] + _DH_BACKOFF)
+        mup, ok = _mu_mup_stable_tile(X, Y, bp_scr[:], mode_mult, eps,
+                                      emax_t)
+        partial_ih = jnp.sum(jnp.where(ok, mup * dh, 0.0), axis=1)
+
+        @pl.when(pc == 0)
+        def _(bi=bi, partial_ih=partial_ih):
+            out_ref[bi, 0, 0, :] = jnp.zeros_like(partial_ih)
+
+        out_ref[bi, 0, 0, :] = out_ref[bi, 0, 0, :] + partial_ih
+
+
+def _block_gather(segt_ref, bi, c, ilo, iblk, n_blk, dtype):
+    """Within-vreg block-decomposed gather of channel ``c`` at ``i0``.
+
+    ``ilo``/``iblk`` are i0 & 127 and i0 >> 7 with any same 2-D shape whose
+    lane dim is a multiple of 128; returns the gathered values in that
+    shape. The hardware per-lane gather (tpu.dynamic_gather) reaches one
+    128-lane vreg, so each 128-entry block of the table row is gathered
+    separately and combined with a block-index select.
+    """
+    S, L = ilo.shape
+    out_groups = []
+    for g in range(L // 128):
+        idx_g = ilo[:, g * 128:(g + 1) * 128]
+        blk_g = iblk[:, g * 128:(g + 1) * 128]
+        acc = jnp.zeros((S, 128), dtype)
+        for blk in range(n_blk):
+            # slice the block straight off the ref (a load, not a lax
+            # gather) and materialise the sublane broadcast with an add —
+            # jnp.broadcast_to would be folded INTO take_along_axis,
+            # whose operand then becomes 1-D and Mosaic rejects it
+            blk_row = segt_ref[bi, c, blk * 128:(blk + 1) * 128]  # [128]
+            xb = blk_row[None, :] + jnp.zeros((S, 128), dtype)
+            got = jnp.take_along_axis(xb, idx_g, axis=1,
+                                      mode="promise_in_bounds")
+            acc = jnp.where(blk_g == blk, got, acc)
+        out_groups.append(acc)
+    if len(out_groups) == 1:
+        return out_groups[0]
+    return jnp.concatenate(out_groups, axis=1)
+
+
+def _kernel_gather(mult_ref, dmult_ref, omm_ref, segt_ref,
+                   span_ref, slope_ref, emax_ref, freq_ref, out_ref, *,
+                   mode_mult, n_seg, last_chunk, last_idx, b_tile, f_tile,
+                   p_chunk, inv_dalt, G):
+    """Dynamic-gather resample: ``tpu.dynamic_gather`` replaces the sweep.
+
+    Mosaic lowers a same-shape 2-D ``jnp.take_along_axis(x, idx, axis=1)``
+    to the hardware per-lane gather, so on a uniform altitude grid the
+    piecewise-linear resample (index = ``floor(span·mult/Δalt)``, no
+    search) costs O(1) per point instead of the sweep's O(N_seg) hat
+    FMAs or the one-hot matmuls' padded MXU passes. The hardware gather
+    reaches only one 128-lane vreg, so the [G]-entry channel tables are
+    processed in 128-entry blocks: within-vreg gather on the low 7 index
+    bits, then a select on the block index — G/128 gathers+selects per
+    128-lane output group instead of O(N_seg) FMAs. Values match the
+    parity gather semantics exactly; the μ'/quadrature tail is identical
+    to :func:`_kernel`.
+    """
+    pc = pl.program_id(2)
+    dtype = span_ref.dtype
+    mult = mult_ref[0, :]                       # [p_chunk]
+    dmult = dmult_ref[0, :]
+    omm = omm_ref[0, :]
+    f = freq_ref[0, 0, 0, :][:, None]           # [f_tile, 1]
+    mi = mult * jnp.asarray(inv_dalt, dtype)
+    n_blk = G // 128
+    n_grp = p_chunk // 128
+
+    for bi in range(b_tile):
+        span = span_ref[bi, 0, 0, :]            # [f_tile]
+        pos = span[:, None] * mi[None, :]                    # [f_tile, P]
+        i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n_seg - 2)
+        frac = jnp.clip(pos - i0.astype(dtype), 0.0, 1.0)
+        ilo = i0 & 127                                       # within-vreg
+        iblk = i0 >> 7                                       # table block
+
+        gat = lambda c: _block_gather(segt_ref, bi, c, ilo, iblk, n_blk,
+                                      dtype)
+        d_acc = gat(2) + frac * gat(3)
+        bm_acc = gat(4) + frac * gat(5)
+        bp_acc = gat(6) + frac * gat(7)
+
+        # ---- μ' + quadrature tail (identical to _kernel) ----
+        dh = span[:, None] * dmult[None, :]
+        p_ids = jax.lax.broadcasted_iota(jnp.int32, dh.shape, 1)
+        is_last = (pc == last_chunk) & (p_ids == last_idx)
+        dh = jnp.where(is_last, jnp.asarray(_DH_BACKOFF, dh.dtype), dh)
+
+        X = d_acc * (CP * CP) / (f * f)
+        Y = bm_acc * G_P / f
+        slope_t = slope_ref[bi, 0, 0, :][:, None]
+        emax_t = emax_ref[bi, 0, 0, :][:, None]
+        eps = slope_t * (span[:, None] * omm[None, :] + _DH_BACKOFF)
+        mup, ok = _mu_mup_stable_tile(X, Y, bp_acc, mode_mult, eps, emax_t)
+        partial_ih = jnp.sum(jnp.where(ok, mup * dh, 0.0), axis=1)
+
+        @pl.when(pc == 0)
+        def _(bi=bi, partial_ih=partial_ih):
+            out_ref[bi, 0, 0, :] = jnp.zeros_like(partial_ih)
+
+        out_ref[bi, 0, 0, :] = out_ref[bi, 0, 0, :] + partial_ih
+
+
+def _kernel_gather_osolve(mult_ref, dmult_ref, omm_ref, segt_ref, freq_ref,
+                          out_ref, *, n_seg, last_chunk, last_idx, b_tile,
+                          f_tile, p_chunk, inv_dalt, G):
+    """O-mode gather kernel with the reflection-height solve IN-kernel.
+
+    For O-mode the cutoff cummax is frequency-separable
+    (cummax_j X = cummax_j(den)·cp²/f², exactly — see
+    :func:`prepare_profile_tables`), so the [B, F, N] XLA solve — which
+    round-3 profiling showed costing 3× the kernel itself in HBM traffic —
+    reduces to: a dense [f_tile, G] count of dmax < f²/cp² (VMEM compare),
+    an X-space ±1 razor correction, and a handful of block-gathers at the
+    crossing index. Channel 8 of ``segt`` carries cummax(den) padded with
+    +inf so padded lanes never count.
+    """
+    pc = pl.program_id(2)
+    dtype = mult_ref.dtype
+    mult = mult_ref[0, :]                       # [p_chunk]
+    dmult = dmult_ref[0, :]
+    omm = omm_ref[0, :]
+    f = freq_ref[0, 0, 0, :][:, None]           # [f_tile, 1]
+    mi = mult * jnp.asarray(inv_dalt, dtype)
+    n_blk = G // 128
+    cp2 = jnp.asarray(CP * CP, dtype)
+    inv_f2 = 1.0 / (f * f)                      # [f_tile, 1]
+    thr = (f * f) / cp2                         # density-space cutoff
+
+    for bi in range(b_tile):
+        dmax_row = segt_ref[bi, 8, :]           # [G], +inf beyond N-1
+        # crossing count: dense VMEM compare, monotone rows
+        below = (dmax_row[None, :] < thr).astype(jnp.int32)  # [f_tile, G]
+        k = jnp.clip(jnp.sum(below, axis=1, keepdims=True), 1, n_seg - 1)
+
+        def chan_at(c, kk):
+            kk_b = jnp.broadcast_to(kk, (f_tile, 128))
+            return _block_gather(segt_ref, bi, c, kk_b & 127, kk_b >> 7,
+                                 n_blk, dtype)[:, :1]        # [f_tile, 1]
+
+        Xval = lambda kk: chan_at(8, kk) * cp2 * inv_f2
+        # X-space ±1 correction at rounding-razor samples (match the
+        # dense path's fcrit < 1 comparisons bit-for-bit)
+        for _ in range(2):
+            k = jnp.where((Xval(k - 1) >= 1.0) & (k > 1), k - 1, k)
+        for _ in range(2):
+            k = jnp.where((Xval(k) < 1.0) & (k < n_seg - 1), k + 1, k)
+
+        f0 = Xval(k - 1)
+        f1 = Xval(k)
+        a0 = chan_at(0, k - 1)                  # altitudes relative alt0
+        a1 = chan_at(0, k)
+        r0 = chan_at(2, k - 1) * cp2 * inv_f2   # un-cummaxed X at k-1
+        t = jnp.where(f1 != f0,
+                      (1.0 - f0) / jnp.where(f1 != f0, f1 - f0, 1.0), 0.0)
+        crit = a0 + jnp.clip(t, 0.0, 1.0) * (a1 - a0)
+        da = a1 - a0
+        slope = jnp.where((da > 0) & (f1 > f0),
+                          (f1 - f0) / jnp.where(da > 0, da, 1.0), 0.0)
+        genuine = r0 == f0
+        emax = jnp.where(genuine, jnp.maximum(slope * (crit - a0), 0.0),
+                         0.0)
+        d0 = segt_ref[bi, 8, 0]                 # first-node cummax == den0
+        first_exceeds = (d0 * cp2) * inv_f2 >= 1.0
+        crit = jnp.where(first_exceeds, 0.0, crit)
+        dN = segt_ref[bi, 8, n_seg - 1]
+        valid = dN * cp2 * inv_f2 >= 1.0
+        crit = jnp.where(valid, crit, 0.0) - _DH_BACKOFF
+        slope = jnp.where(valid, slope, 0.0)
+        emax = jnp.where(valid, emax, 0.0)
+        span = crit                             # relative frame: alt0 == 0
+
+        # ---- resample + μ' + quadrature (as _kernel_gather) ----
+        pos = span * mi[None, :]                             # [f_tile, P]
+        i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n_seg - 2)
+        frac = jnp.clip(pos - i0.astype(dtype), 0.0, 1.0)
+        ilo = i0 & 127
+        iblk = i0 >> 7
+        gat = lambda c: _block_gather(segt_ref, bi, c, ilo, iblk, n_blk,
+                                      dtype)
+        d_acc = gat(2) + frac * gat(3)
+        bm_acc = gat(4) + frac * gat(5)
+        bp_acc = gat(6) + frac * gat(7)
+
+        dh = span * dmult[None, :]
+        p_ids = jax.lax.broadcasted_iota(jnp.int32, dh.shape, 1)
+        is_last = (pc == last_chunk) & (p_ids == last_idx)
+        dh = jnp.where(is_last, jnp.asarray(_DH_BACKOFF, dh.dtype), dh)
+
+        X = d_acc * (CP * CP) / (f * f)
+        Y = bm_acc * G_P / f
+        eps = slope * (span * omm[None, :] + _DH_BACKOFF)
+        mup, ok = _mu_mup_stable_tile(X, Y, bp_acc, 1.0, eps, emax)
+        partial_ih = jnp.sum(jnp.where(ok, mup * dh, 0.0), axis=1)
+
+        @pl.when(pc == 0)
+        def _(bi=bi, partial_ih=partial_ih):
+            out_ref[bi, 0, 0, :] = jnp.zeros_like(partial_ih)
+
+        out_ref[bi, 0, 0, :] = out_ref[bi, 0, 0, :] + partial_ih
+
+
+@partial(jax.jit, static_argnames=("mode_mult", "n_points", "p_chunk",
+                                   "interpret", "f_tile", "b_tile",
+                                   "inv_dalt"))
+def _ionogram_pallas_gather(freq_mhz, den, bmag, bpsi, alt, mode_mult=1.0,
+                            n_points=200, p_chunk=512, interpret=False,
+                            f_tile=32, b_tile=4, inv_dalt=None):
+    """Dynamic-gather variant of the fused kernel (uniform grid only)."""
+    if inv_dalt is None:
+        raise ValueError("the gather engine requires a uniformly spaced "
+                         "shared altitude grid (use engine='pallas')")
+    freq_hz = (jnp.asarray(freq_mhz, dtype=den.dtype) * 1e6)
+    den = jnp.asarray(den)
+    B, N = den.shape
+    F = freq_hz.shape[0]
+    dtype = den.dtype
+
+    F_pad = _round_up(F, f_tile)
+    P = n_points
+    p_chunk = min(p_chunk, _round_up(P, 128))
+    n_chunks = -(-P // p_chunk)
+    P_pad = n_chunks * p_chunk
+
+    mult, omm, dmult = _stretched_grid_tables(P)
+    mult_p = np.zeros(P_pad)
+    mult_p[:P] = mult
+    omm_p = np.zeros(P_pad)
+    omm_p[:P] = omm
+    dmult_p = np.zeros(P_pad)
+    dmult_p[:P] = dmult
+    mult_j = jnp.asarray(mult_p, dtype)[None, :]
+    omm_j = jnp.asarray(omm_p, dtype)[None, :]
+    dmult_j = jnp.asarray(dmult_p, dtype)[None, :]
+
+    # gather width: lane-padded table length
+    G = _round_up(N, 128)
+    n_ftiles = F_pad // f_tile
+    freq_p = jnp.ones((1, 1, F_pad), dtype).at[0, 0, :F].set(freq_hz)
+    freq_b = freq_p.reshape(1, n_ftiles, 1, f_tile)
+    ftile_spec = pl.BlockSpec((b_tile, 1, 1, f_tile),
+                              lambda b, f, c: (b, f, 0, 0),
+                              memory_space=pltpu.VMEM)
+    chunk_spec = pl.BlockSpec((1, p_chunk), lambda b, f, c: (0, c),
+                              memory_space=pltpu.VMEM)
+    common = dict(grid=(B // b_tile, n_ftiles, n_chunks))
+    out_spec = pl.BlockSpec((b_tile, 1, 1, f_tile),
+                            lambda b, f, c: (b, f, 0, 0),
+                            memory_space=pltpu.VMEM)
+    kern_kw = dict(n_seg=N, last_chunk=(P - 1) // p_chunk,
+                   last_idx=(P - 1) % p_chunk, b_tile=b_tile,
+                   f_tile=f_tile, p_chunk=p_chunk, inv_dalt=inv_dalt, G=G)
+
+    if mode_mult > 0:
+        # O-mode: the reflection-height solve happens IN-kernel (the
+        # cutoff cummax is frequency-separable) — XLA only flat-extends,
+        # packs the segment table and appends the cummax(den) channel
+        den_t, bmag_t, bpsi_t, alt_t = _flat_extend(
+            den, jnp.asarray(bmag, dtype), jnp.asarray(bpsi, dtype),
+            jnp.asarray(alt, dtype))
+        seg = _pack_segment_table(den_t, bmag_t, bpsi_t, alt_t)
+        dmax = jax.lax.cummax(den_t, axis=1)
+        cp2 = jnp.asarray(CP * CP, dtype)
+        inv_f2 = (1.0 / (freq_hz * freq_hz)).astype(dtype)
+        valid = (dmax[:, -1:] * cp2) * inv_f2[None, :] >= 1.0    # [B, F]
+        seg9 = jnp.concatenate([seg, dmax[:, :, None]], axis=2)
+        padrows = jnp.zeros((B, G - N, 9), dtype)
+        padrows = padrows.at[:, :, 8].set(jnp.inf)   # never below cutoff
+        segt = jnp.concatenate([seg9, padrows], axis=1).transpose(0, 2, 1)
+        out = pl.pallas_call(
+            partial(_kernel_gather_osolve, **kern_kw),
+            in_specs=[
+                chunk_spec, chunk_spec, chunk_spec,
+                pl.BlockSpec((b_tile, 9, G), lambda b, f, c: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 1, f_tile),
+                             lambda b, f, c: (0, f, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((B, n_ftiles, 1, f_tile),
+                                           dtype),
+            interpret=interpret, **common,
+        )(mult_j, dmult_j, omm_j, segt, freq_b)
+    else:
+        seg, crit, valid, slope, emax = prepare_profile_tables(
+            freq_hz, den, jnp.asarray(bmag, dtype),
+            jnp.asarray(bpsi, dtype), jnp.asarray(alt, dtype), mode_mult)
+        segt = jnp.concatenate(
+            [seg, jnp.zeros((B, G - N, 8), seg.dtype)], axis=1)
+        segt = segt.transpose(0, 2, 1)
+        alt0 = jnp.asarray(alt, dtype)[0]
+        span = crit - alt0
+        span_p = jnp.zeros((B, 1, F_pad), dtype).at[:, 0, :F].set(span)
+        slope_p = jnp.zeros((B, 1, F_pad), dtype).at[:, 0, :F].set(slope)
+        emax_p = jnp.zeros((B, 1, F_pad), dtype).at[:, 0, :F].set(emax)
+        span_b = span_p.reshape(B, n_ftiles, 1, f_tile)
+        slope_b = slope_p.reshape(B, n_ftiles, 1, f_tile)
+        emax_b = emax_p.reshape(B, n_ftiles, 1, f_tile)
+        out = pl.pallas_call(
+            partial(_kernel_gather, mode_mult=mode_mult, **kern_kw),
+            in_specs=[
+                chunk_spec, chunk_spec, chunk_spec,
+                pl.BlockSpec((b_tile, 8, G), lambda b, f, c: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                ftile_spec, ftile_spec, ftile_spec,
+                pl.BlockSpec((1, 1, 1, f_tile),
+                             lambda b, f, c: (0, f, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((B, n_ftiles, 1, f_tile),
+                                           dtype),
+            interpret=interpret, **common,
+        )(mult_j, dmult_j, omm_j, segt, span_b, slope_b, emax_b, freq_b)
+
+    ih = out.reshape(B, F_pad)[:, :F]
+    min_alt = jnp.min(jnp.asarray(alt, dtype))
+    return jnp.where(valid & (ih != 0.0), ih + min_alt, jnp.nan)
+
+
+def ionogram_pallas_gather(freq_mhz, den, bmag, bpsi, alt, mode_mult=None,
+                           n_points=None, p_chunk=None, interpret=False,
+                           f_tile=None, b_tile=4, config=None):
+    """Dynamic-gather ionogram synthesis: [B, N_alt] profiles → [B, F] vh.
+
+    Same discretisation and API as :func:`ionogram_pallas`, with the
+    resample as hardware per-lane gathers (see :func:`_kernel_gather`) —
+    and, for O-mode, the reflection-height solve fused into the kernel
+    (see :func:`_kernel_gather_osolve`), which removes the [B, F, N_alt]
+    HBM-bound XLA preprocessing entirely. Measured on one v5e chip at the
+    README O-200 workload (B=1024): 17.0 ms/launch = 1.05e7 vh evals/s —
+    3.4× the sweep kernel (round-3 BENCHMARKS.md). Requires a uniformly
+    spaced shared altitude grid (raises otherwise). Differentiable like
+    :func:`ionogram_pallas` (same AD wrapper). ``f_tile`` defaults to 8
+    for O-mode (best measured) and 32 for X-mode.
+    """
+    from .config import resolve
+    if mode_mult is None:
+        mode_mult = (1.0 if resolve(config, "mode", None, "O") == "O"
+                     else -1.0)
+    if f_tile is None:
+        f_tile = 8 if mode_mult > 0 else 32
+    n_points = resolve(config, "n_points", n_points, 200)
+    p_chunk = resolve(config, "p_chunk", p_chunk, 512)
+    b_tile = max(int(b_tile), 1)
+    B = np.shape(den)[0]
+    while B % b_tile:
+        b_tile -= 1
+    inv_dalt = uniform_inv_dalt(alt)
+    if inv_dalt is None:
+        raise ValueError("ionogram_pallas_gather requires a uniformly "
+                         "spaced concrete altitude grid (use "
+                         "ionogram_pallas)")
+    cfg = (("mode_mult", mode_mult), ("n_points", n_points),
+           ("p_chunk", p_chunk), ("interpret", interpret),
+           ("f_tile", f_tile), ("b_tile", b_tile),
+           ("inv_dalt", inv_dalt), ("gather", True))
+    return _pallas_ad(cfg, freq_mhz, den, bmag, bpsi, alt)
+
+
+@partial(jax.jit, static_argnames=("mode_mult", "n_points", "p_chunk",
+                                   "interpret", "f_tile", "b_tile",
+                                   "inv_dalt"))
+def _ionogram_pallas_mxu(freq_mhz, den, bmag, bpsi, alt, mode_mult=1.0,
+                         n_points=200, p_chunk=512, interpret=False,
+                         f_tile=32, b_tile=4, inv_dalt=None):
+    """MXU-gather variant of the fused kernel (uniform shared grid only)."""
+    if inv_dalt is None:
+        raise ValueError("the MXU engine requires a uniformly spaced "
+                         "shared altitude grid (use engine='pallas')")
+    freq_hz = (jnp.asarray(freq_mhz, dtype=den.dtype) * 1e6)
+    den = jnp.asarray(den)
+    B, N = den.shape
+    F = freq_hz.shape[0]
+    dtype = den.dtype
+
+    seg, crit, valid, slope, emax = prepare_profile_tables(
+        freq_hz, den, jnp.asarray(bmag, dtype), jnp.asarray(bpsi, dtype),
+        jnp.asarray(alt, dtype), mode_mult)
+
+    F_pad = _round_up(F, f_tile)
+    P = n_points
+    p_chunk = min(p_chunk, _round_up(P, 128))
+    n_chunks = -(-P // p_chunk)
+    P_pad = n_chunks * p_chunk
+
+    mult, omm, dmult = _stretched_grid_tables(P)
+    mult_p = np.zeros(P_pad)
+    mult_p[:P] = mult
+    omm_p = np.zeros(P_pad)
+    omm_p[:P] = omm
+    dmult_p = np.zeros(P_pad)
+    dmult_p[:P] = dmult
+    mult_j = jnp.asarray(mult_p, dtype)[None, :]
+    omm_j = jnp.asarray(omm_p, dtype)[None, :]
+    dmult_j = jnp.asarray(dmult_p, dtype)[None, :]
+
+    alt0 = jnp.asarray(alt, dtype)[0]
+    span = crit - alt0
+    span_p = jnp.zeros((B, 1, F_pad), dtype).at[:, 0, :F].set(span)
+    slope_p = jnp.zeros((B, 1, F_pad), dtype).at[:, 0, :F].set(slope)
+    emax_p = jnp.zeros((B, 1, F_pad), dtype).at[:, 0, :F].set(emax)
+    freq_p = jnp.ones((1, 1, F_pad), dtype).at[0, 0, :F].set(freq_hz)
+
+    # segment table reshaped for the factorised gather: rows padded to
+    # K1·K2, then transposed to [K2·8 = 128, K1] so every in-kernel array
+    # keeps resample points on the lane dimension
+    K2 = 16
+    K1 = -(-N // K2)
+    seg_m = jnp.concatenate(
+        [seg, jnp.zeros((B, K1 * K2 - N, 8), seg.dtype)], axis=1)
+    seg_m = seg_m.reshape(B, K1, K2 * 8).transpose(0, 2, 1)
+
+    n_ftiles = F_pad // f_tile
+    span_b = span_p.reshape(B, n_ftiles, 1, f_tile)
+    slope_b = slope_p.reshape(B, n_ftiles, 1, f_tile)
+    emax_b = emax_p.reshape(B, n_ftiles, 1, f_tile)
+    freq_b = freq_p.reshape(1, n_ftiles, 1, f_tile)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(B // b_tile, n_ftiles, n_chunks),
+        scratch_shapes=[pltpu.VMEM((f_tile, p_chunk), dtype),
+                        pltpu.VMEM((f_tile, p_chunk), dtype),
+                        pltpu.VMEM((f_tile, p_chunk), dtype)],
+        in_specs=[
+            pl.BlockSpec((1, p_chunk), lambda b, f, c: (0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p_chunk), lambda b, f, c: (0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p_chunk), lambda b, f, c: (0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_tile, K2 * 8, K1),
+                         lambda b, f, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_tile, 1, 1, f_tile),
+                         lambda b, f, c: (b, f, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_tile, 1, 1, f_tile),
+                         lambda b, f, c: (b, f, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_tile, 1, 1, f_tile),
+                         lambda b, f, c: (b, f, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, f_tile),
+                         lambda b, f, c: (0, f, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((b_tile, 1, 1, f_tile),
+                               lambda b, f, c: (b, f, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        partial(_kernel_mxu, mode_mult=mode_mult, n_seg=N,
+                last_chunk=(P - 1) // p_chunk, last_idx=(P - 1) % p_chunk,
+                b_tile=b_tile, f_tile=f_tile, inv_dalt=inv_dalt,
+                K1=K1, K2=K2),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, n_ftiles, 1, f_tile), dtype),
+        interpret=interpret,
+    )(mult_j, dmult_j, omm_j, seg_m, span_b, slope_b, emax_b, freq_b)
+
+    ih = out.reshape(B, F_pad)[:, :F]
+    min_alt = jnp.min(jnp.asarray(alt, dtype))
+    return jnp.where(valid & (ih != 0.0), ih + min_alt, jnp.nan)
+
+
+def ionogram_pallas_mxu(freq_mhz, den, bmag, bpsi, alt, mode_mult=None,
+                        n_points=None, p_chunk=None, interpret=False,
+                        f_tile=32, b_tile=4, config=None):
+    """MXU one-hot-matmul ionogram synthesis: [B, N_alt] → [B, F] vh.
+
+    Same discretisation and API as :func:`ionogram_pallas`, but the
+    piecewise-linear resample runs as factorised one-hot gather matmuls on
+    the MXU instead of the O(N_seg) hat-weight sweep on the VPU (see
+    :func:`_kernel_mxu`). Requires a uniformly spaced shared altitude
+    grid (raises otherwise). Resample values match the parity gather
+    semantics exactly (no O(N) accumulation error) and the f64 output is
+    bit-identical to the sweep kernel's.
+
+    **Measured outcome (round 3, v5e, README O-200 B=1024): 129 ms vs the
+    sweep's 58 ms — 2.2× SLOWER.** The op's shape defeats the systolic
+    array: a gather is O(1) useful MACs per element, but the MXU
+    quantises to 128-deep contractions and 128-wide outputs (the
+    [P, K1≈40]·[K1, 128] stages use ≲1/3 of the contraction depth and
+    8/128 of the output rows), and the 2 small matmuls per (profile,
+    f-row) — ~400k per launch — drown in issue overhead. Kept as the
+    documented MXU data point; use :func:`ionogram_pallas_gather` (the
+    hardware per-lane gather path, 3.4× FASTER than the sweep) instead —
+    full numbers in BENCHMARKS.md round 3.
+    """
+    from .config import resolve
+    if mode_mult is None:
+        mode_mult = (1.0 if resolve(config, "mode", None, "O") == "O"
+                     else -1.0)
+    n_points = resolve(config, "n_points", n_points, 200)
+    p_chunk = resolve(config, "p_chunk", p_chunk, 512)
+    b_tile = max(int(b_tile), 1)
+    B = np.shape(den)[0]
+    while B % b_tile:
+        b_tile -= 1
+    inv_dalt = uniform_inv_dalt(alt)
+    if inv_dalt is None:
+        raise ValueError("ionogram_pallas_mxu requires a uniformly spaced "
+                         "concrete altitude grid (use ionogram_pallas)")
+    cfg = (("mode_mult", mode_mult), ("n_points", n_points),
+           ("p_chunk", p_chunk), ("interpret", interpret),
+           ("f_tile", f_tile), ("b_tile", b_tile),
+           ("inv_dalt", inv_dalt), ("mxu", True))
+    return _pallas_ad(cfg, freq_mhz, den, bmag, bpsi, alt)
+
+
 def ionogram_pallas(freq_mhz, den, bmag, bpsi, alt, mode_mult=None,
                     n_points=None, p_chunk=None, interpret=False, f_tile=32,
                     b_tile=4, config=None):
@@ -403,12 +1055,11 @@ def ionogram_pallas(freq_mhz, den, bmag, bpsi, alt, mode_mult=None,
     ``config`` (an :class:`pyrayhf_tpu.config.OperatorConfig`) supplies
     mode (as ±1 mode_mult), n_points and p_chunk when not explicit.
 
-    Reverse-mode differentiable: ``pallas_call`` has no autodiff rule, so
-    a custom VJP backpropagates through the numerically-identical XLA
-    sweep (:func:`ionogram_fast_xla`) — the forward pass keeps kernel
-    speed, gradients match the sweep's to its ~1e-13 forward agreement.
-    Forward-mode (jvp/jacfwd) is not supported through this entry — use
-    ``ionogram_fast_xla`` directly for that.
+    Fully differentiable (forward AND reverse mode): ``pallas_call`` has
+    no autodiff rule, so a custom JVP routes tangents through the
+    numerically-identical XLA sweep (:func:`ionogram_fast_xla`) — the
+    forward pass keeps kernel speed; jacfwd uses the rule directly and
+    grad/jacrev transpose its linearisation (see :func:`_pallas_ad_jvp`).
     """
     from .config import resolve
     if mode_mult is None:
@@ -420,12 +1071,7 @@ def ionogram_pallas(freq_mhz, den, bmag, bpsi, alt, mode_mult=None,
     B = np.shape(den)[0]
     while B % b_tile:
         b_tile -= 1
-    inv_dalt = None
-    if not isinstance(alt, jax.core.Tracer):
-        a = np.asarray(alt, dtype=np.float64)
-        d = np.diff(a)
-        if d.size and np.allclose(d, d[0], rtol=1e-9, atol=1e-9):
-            inv_dalt = float(1.0 / d[0])
+    inv_dalt = uniform_inv_dalt(alt)
     cfg = (("mode_mult", mode_mult), ("n_points", n_points),
            ("p_chunk", p_chunk), ("interpret", interpret),
            ("f_tile", f_tile), ("b_tile", b_tile),
@@ -433,28 +1079,37 @@ def ionogram_pallas(freq_mhz, den, bmag, bpsi, alt, mode_mult=None,
     return _pallas_ad(cfg, freq_mhz, den, bmag, bpsi, alt)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0,))
+@partial(jax.custom_jvp, nondiff_argnums=(0,))
 def _pallas_ad(cfg, freq_mhz, den, bmag, bpsi, alt):
-    return _ionogram_pallas(freq_mhz, den, bmag, bpsi, alt, **dict(cfg))
+    d = dict(cfg)
+    if d.pop("gather", False):
+        return _ionogram_pallas_gather(freq_mhz, den, bmag, bpsi, alt, **d)
+    if d.pop("mxu", False):
+        return _ionogram_pallas_mxu(freq_mhz, den, bmag, bpsi, alt, **d)
+    return _ionogram_pallas(freq_mhz, den, bmag, bpsi, alt, **d)
 
 
-def _pallas_ad_fwd(cfg, freq_mhz, den, bmag, bpsi, alt):
-    out = _pallas_ad(cfg, freq_mhz, den, bmag, bpsi, alt)
-    return out, (freq_mhz, den, bmag, bpsi, alt)
+@_pallas_ad.defjvp
+def _pallas_ad_jvp(cfg, primals, tangents):
+    """Tangents through the numerically-identical XLA sweep.
 
-
-def _pallas_ad_bwd(cfg, res, ct):
+    ``pallas_call`` has no autodiff rule; the sweep
+    (:func:`ionogram_fast_xla`) evaluates the same discretisation, so its
+    tangents are the kernel's to their ~1e-13 forward agreement. A
+    ``custom_jvp`` (rather than the round-2 ``custom_vjp``) supports BOTH
+    differentiation modes: jvp/jacfwd directly, and grad/jacrev because
+    JAX linearises through this rule and transposes the (transposable)
+    sweep tangent program — at the same cost the explicit VJP had.
+    """
     d = dict(cfg)
 
-    def f(*primals):
-        return ionogram_fast_xla(*primals, mode_mult=d["mode_mult"],
+    def f(*p):
+        return ionogram_fast_xla(*p, mode_mult=d["mode_mult"],
                                  n_points=d["n_points"])
 
-    _, vjp = jax.vjp(f, *res)
-    return vjp(ct)
-
-
-_pallas_ad.defvjp(_pallas_ad_fwd, _pallas_ad_bwd)
+    primal_out = _pallas_ad(cfg, *primals)
+    _, tangent_out = jax.jvp(f, primals, tangents)
+    return primal_out, tangent_out
 
 
 @partial(jax.jit, static_argnames=("mode_mult", "n_points", "p_chunk",

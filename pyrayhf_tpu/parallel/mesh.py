@@ -232,28 +232,65 @@ def retrieve_gradient_batch_sharded(F2, F1, E, f_in, vh_obs, alt, b_mag,
     lets GSPMD partition every LM iteration with zero collectives; the
     chips only exchange data when the fitted results are gathered at the
     end. B must be divisible by the axis size.
+
+    ``chunk_size`` (for very large per-chip B, or to stay under a
+    single-launch watchdog) is implemented HERE, not delegated: each
+    chunk is re-placed with the batch sharding before its LM loop, so
+    per-chunk work stays fully partitioned and results are gathered to
+    host once at the end — delegating to the unsharded chunker would
+    silently serialise (its per-chunk host assembly drops the sharding).
+    Every chunk (including a ragged final one) must be divisible by the
+    'batch' axis size.
     """
     from ..retrieval import retrieve_gradient_batch
 
     obs = jnp.atleast_2d(jnp.asarray(vh_obs, dtype=float))
     B = obs.shape[0]
-    if B % mesh.shape["batch"]:
+    ax = mesh.shape["batch"]
+    if B % ax:
         raise ValueError("B must be divisible by the 'batch' axis size")
-    obs = jax.device_put(obs, NamedSharding(mesh, P("batch", None)))
 
     F2 = dict(F2)
     keys = ["hm", "B_bot" if bottom_type == "B_bot" else "B0"]
     if fit_nm:
         keys.append("Nm")
     for k in keys:
-        v = jnp.broadcast_to(jnp.asarray(F2[k], dtype=float).reshape(-1),
-                             (B,))
-        F2[k] = jax.device_put(v, NamedSharding(mesh, P("batch")))
+        F2[k] = jnp.broadcast_to(jnp.asarray(F2[k], dtype=float).reshape(-1),
+                                 (B,))
 
-    # chunking defaults off here: the mesh already divides per-launch work
-    # by the number of chips (pass chunk_size for very large per-chip B)
-    return retrieve_gradient_batch(F2, F1, E, f_in, obs, alt, b_mag, b_psi,
-                                   mode=mode, n_points=n_points,
-                                   bottom_type=bottom_type, steps=steps,
-                                   fit_nm=fit_nm, crit_margin=crit_margin,
-                                   chunk_size=chunk_size)
+    def run(obs_c, F2_c):
+        obs_s = jax.device_put(obs_c, NamedSharding(mesh, P("batch", None)))
+        F2_s = dict(F2_c)
+        for k in keys:
+            F2_s[k] = jax.device_put(F2_c[k],
+                                     NamedSharding(mesh, P("batch")))
+        return retrieve_gradient_batch(
+            F2_s, F1, E, f_in, obs_s, alt, b_mag, b_psi, mode=mode,
+            n_points=n_points, bottom_type=bottom_type, steps=steps,
+            fit_nm=fit_nm, crit_margin=crit_margin, chunk_size=None)
+
+    if chunk_size is None or int(chunk_size) >= B:
+        return run(obs, F2)
+
+    cs = int(chunk_size)
+    if cs % ax or (B % cs) % ax:
+        raise ValueError(
+            "chunk_size (and any ragged final chunk) must be divisible "
+            f"by the 'batch' axis size {ax} (got chunk_size={cs}, B={B})")
+    import numpy as np
+    parts = []
+    for s in range(0, B, cs):
+        sl = slice(s, min(s + cs, B))
+        F2_c = dict(F2)
+        for k in keys:
+            F2_c[k] = F2[k][sl]
+        parts.append(run(obs[sl], F2_c))
+    vh = jnp.concatenate([p[0] for p in parts], axis=0)
+    edp = jnp.concatenate([p[1] for p in parts], axis=0)
+    hist = np.concatenate([np.asarray(p[3]) for p in parts], axis=1)
+    key2 = "B_bot" if bottom_type == "B_bot" else "B0"
+    F2_fit = dict(parts[0][2])
+    for k in ("Nm", "hm", key2):
+        F2_fit[k] = np.concatenate(
+            [np.asarray(p[2][k]).reshape(-1) for p in parts])
+    return vh, edp, F2_fit, hist

@@ -134,6 +134,52 @@ def test_batched_lm_sharded_matches_unsharded(mesh8):
     assert np.mean(hist_s[-1] < 0.9 * hist_s[0]) >= 0.5
 
 
+def test_sharded_lm_chunking_composes(mesh8):
+    """chunk_size × sharding: per-chunk work stays batch-sharded and the
+    merged result equals the single-launch sharded run (verdict item 8)."""
+    import pytest
+    from pyrayhf_tpu.magnetoionic import freq2den
+    from pyrayhf_tpu.parallel import retrieve_gradient_batch_sharded
+    from pyrayhf_tpu.retrieval import model_VH
+
+    alt = np.arange(80.0, 700.0, 1.0)
+    bmag = np.full(alt.size, 3e-5)
+    bpsi = np.full(alt.size, 70.0)
+    E = {"Nm": 1.2e11, "hm": 110.0, "B_bot": 5.0, "B_top": 7.0}
+    F1 = {"P": 0.6}
+    freq = np.arange(2.0, 13.51, 0.5)
+    nm_truth = float(freq2den(13.5e6)) * 1.0001
+    rng = np.random.default_rng(7)
+    B = 16
+    hms = rng.uniform(280.0, 350.0, B)
+    bbs = rng.uniform(38.0, 55.0, B)
+    obs = np.stack([np.asarray(model_VH(
+        {"Nm": nm_truth, "hm": hms[b], "B_bot": bbs[b], "B_top": 40.0},
+        F1, E, freq, alt, bmag, bpsi, n_points=100)[0]) for b in range(B)])
+    F2g = {"Nm": nm_truth, "hm": hms * 0.97, "B_bot": bbs * 1.05,
+           "B_top": 40.0}
+
+    one = retrieve_gradient_batch_sharded(
+        F2g, F1, E, freq, obs, alt, bmag, bpsi, mesh8, steps=4,
+        n_points=100)
+    two = retrieve_gradient_batch_sharded(
+        F2g, F1, E, freq, obs, alt, bmag, bpsi, mesh8, steps=4,
+        n_points=100, chunk_size=8)    # 2 chunks of 8 (== axis size)
+    assert_allclose(np.asarray(two[2]["hm"]), np.asarray(one[2]["hm"]),
+                    rtol=1e-9)
+    assert_allclose(np.asarray(two[2]["B_bot"]),
+                    np.asarray(one[2]["B_bot"]), rtol=1e-9)
+    m = np.isfinite(np.asarray(one[0]))
+    assert_allclose(np.asarray(two[0])[m], np.asarray(one[0])[m],
+                    rtol=1e-8)
+    assert np.asarray(two[3]).shape == np.asarray(one[3]).shape
+    # invalid chunk: not divisible by the batch axis size
+    with pytest.raises(ValueError, match="divisible"):
+        retrieve_gradient_batch_sharded(
+            F2g, F1, E, freq, obs, alt, bmag, bpsi, mesh8, steps=2,
+            n_points=100, chunk_size=5)
+
+
 def test_ionogram_mesh_validates_batch_axis():
     """Non-divisor batch_axis raises a descriptive error, not a numpy
     reshape failure (ADVICE mesh.py:54)."""

@@ -8,8 +8,16 @@ substitutes a documented **analytic climatology** for the layer parameters:
 
 * foE from the classic Davies (1990) solar-zenith relation,
 * foF1 from the DuCharme et al. relation (with an F1-presence probability),
-* foF2/hmF2 from a smooth solar-activity + zenith + latitude parametrisation
-  (NOT the CCIR maps — do not use for operational specification),
+* foF2/hmF2 from a **modified-dip-latitude (modip) model** (round 3):
+  magnetic inclination from the in-repo IGRF defines modip; the foF2 map
+  combines a solar-activity scale, a smooth solar-zenith diurnal term, an
+  equatorial-anomaly crest at |modip| ≈ 16° with the daytime dip-equator
+  trough, a post-sunset low-modip enhancement (the equatorial evening
+  anomaly), and mid/high-modip night depression. Calibrated so BOTH
+  shipped PyIRI parameter sets (day: χ=30.6°, modip +12°; night: local
+  midnight ON the anomaly crest, modip −17°) reproduce foF2/hmF2/B
+  parameters to ≤ 8% (tests/test_envgen.py). Still NOT the CCIR maps —
+  do not use for operational specification,
 * |B|, ψ from the in-repo spherical-harmonic IGRF (pyrayhf_tpu.igrf).
 
 The EDP itself is built by the same differentiable parametric builder used by
@@ -54,12 +62,41 @@ def solar_zenith_angle(year, month, day, UT, lat, lon):
     return jnp.rad2deg(jnp.arccos(jnp.clip(cos_chi, -1.0, 1.0)))
 
 
-def climatology_parameters(year, month, day, UT, lat, lon, F107):
+def modip_deg(year, month, day, lat, lon, coeffs=None):
+    """Modified dip latitude μ [deg]: tan μ = I / √(cos φ).
+
+    ``I`` is the IGRF magnetic inclination (radians) at 300 km from the
+    in-repo spherical-harmonic evaluator; φ is geographic latitude. The
+    modip coordinate organises low-latitude ionospheric structure around
+    the magnetic (not geographic) equator — the natural latitude for the
+    equatorial-anomaly terms of the climatology.
+    """
+    from . import igrf13_table
+    from .igrf import igrf_field
+    if coeffs is None:
+        import datetime
+        d = datetime.date(int(year), int(month), int(day))
+        ystart = datetime.date(d.year, 1, 1)
+        ylen = (datetime.date(d.year + 1, 1, 1) - ystart).days
+        coeffs = igrf13_table.coefficients_at_epoch(
+            d.year + (d - ystart).days / ylen)
+    lat = jnp.asarray(lat, dtype=float)
+    _, _, _, _, inc = igrf_field(lat, jnp.asarray(lon, dtype=float),
+                                 300.0, coeffs=coeffs, geodetic=True)
+    I = jnp.deg2rad(inc)
+    coslat = jnp.clip(jnp.cos(jnp.deg2rad(lat)), 1e-9, 1.0)
+    return jnp.rad2deg(jnp.arctan2(I, jnp.sqrt(coslat)))
+
+
+def climatology_parameters(year, month, day, UT, lat, lon, F107,
+                           coeffs=None):
     """Analytic layer-parameter climatology at the given locations.
 
     Returns (F2, F1, E) dicts of jnp arrays broadcast over lat/lon, using
     the same keys as the reference's PyIRI dicts (Nm, fo, hm, B_bot, B_top,
-    B0, B1, P, solzen...).
+    B0, B1, P, solzen...). The F2 layer uses the modip model described in
+    the module docstring; ``coeffs`` optionally overrides the IGRF epoch
+    table used for modip.
     """
     lat = jnp.asarray(lat, dtype=float)
     lon = jnp.asarray(lon, dtype=float)
@@ -84,19 +121,48 @@ def climatology_parameters(year, month, day, UT, lat, lon, F107):
           "hm": jnp.full_like(foF1, 180.0),
           "B_bot": jnp.full_like(foF1, 50.0)}
 
-    # F2 layer: smooth zenith/latitude/activity parametrisation (NOT CCIR)
-    act = 1.0 + 0.6 * (F107 - 70.0) / 130.0
-    mlat = jnp.deg2rad(lat)
-    foF2 = (5.5 + 4.0 * cos_eff ** 0.6) * act ** 0.5 \
-        * (1.0 - 0.15 * jnp.sin(mlat) ** 2)
+    # F2 layer: modip model (round 3). Structure terms:
+    #   crest  — equatorial-anomaly crests at |modip| ≈ 16°;
+    #   trough — daytime dip-equator trough;
+    #   pss    — post-sunset/evening enhancement around 22.5 LT at low
+    #            modip (the equatorial evening anomaly — the shipped
+    #            PyIRI night point IS this feature: foF2 = 13.9 MHz at
+    #            local midnight on the crest);
+    #   dep    — mid/high-modip night depression;
+    #   high   — high-modip daytime decay.
+    # Calibrated on the two PyIRI points: K solves the day point exactly,
+    # the pss amplitude solves the night/day ratio (derivation in
+    # DEVNOTES.md round 3).
+    m = modip_deg(year, month, day, lat, lon, coeffs=coeffs)
+    am = jnp.abs(m)
+    s = (jnp.clip(F107, None, 200.0) - 70.0) / 130.0
+    lst = (UT + lon / 15.0) % 24.0
+    crest = jnp.exp(-((am - 16.0) / 8.0) ** 2)
+    daygate = cos_eff ** 0.5
+    G = (1.0 + 0.22 * crest - 0.12 * jnp.exp(-(m / 7.0) ** 2) * daygate) \
+        * (1.0 - 0.25 * jnp.clip((am - 35.0) / 35.0, 0.0, 1.0) * daygate)
+    dt_pss = ((lst - 22.5 + 12.0) % 24.0) - 12.0
+    pss = jnp.exp(-(dt_pss / 3.0) ** 2) * jnp.exp(-(m / 20.0) ** 2)
+    T = 0.55 + 0.35 * daygate + 0.787 * pss
+    dep = 1.0 - 0.42 * jnp.clip((am - 25.0) / 30.0, 0.0, 1.0) \
+        * (1.0 - cos_eff ** 0.3)
+    K = 6.274 * (1.0 + 1.15 * s)
+    foF2 = K * G * T * dep
     foF2 = jnp.maximum(foF2, 1.1 * foE + 0.5)
-    hmF2 = 260.0 + 60.0 * (1.0 - cos_eff) + 30.0 * (act - 1.0)
-    B_bot = 35.0 + 18.0 * (1.0 - cos_eff)
-    B_top = jnp.full_like(foF2, 40.0 + 12.0 * (act - 1.0))
+    # hmF2: daytime low-modip uplift (vertical ExB drift) over an
+    # activity-scaled base — the day point is HIGHER than night at the
+    # equator (338 vs 281 km), opposite to the round-1 zenith formula
+    hmF2 = 250.0 + 40.0 * s + 60.0 * cos_eff ** 0.8 \
+        * jnp.exp(-(m / 25.0) ** 2)
+    # bottomside thicker by day (both PyIRI points, ±5%)
+    B_bot = 40.0 + 20.0 * cos_eff ** 0.8
+    B_top = 44.0 + 1.5 * (1.0 - cos_eff)
+    B0 = 100.0 + 140.0 * cos_eff ** 1.2
+    B1 = 2.75 - 1.2 * cos_eff ** 1.2
+    M3000 = 2.70 - 0.40 * cos_eff
     F2 = {"Nm": edp.NM_PER_MHZ2 * foF2 ** 2, "fo": foF2, "hm": hmF2,
           "B_bot": B_bot, "B_top": B_top,
-          "B0": B_bot * 2.4, "B1": jnp.full_like(foF2, 2.2),
-          "M3000": jnp.full_like(foF2, 2.6)}
+          "B0": B0, "B1": B1, "M3000": M3000}
     return F2, F1, E
 
 

@@ -115,12 +115,20 @@ class RefractiveField:
         self.geometry = geometry
         re = R_E if R_E_km is None else R_E_km
         self.R_E_km = re
+        # grid transforms and checks in NUMPY: grids must be concrete (the
+        # checks above already require it) and host-side arithmetic keeps
+        # the ctor usable under jit/vmap over a TRACED field (the batched
+        # 2-D oblique fan) — any jnp op on the grids inside a trace would
+        # produce tracers and break the uniform-spacing detection. The jnp
+        # views are built once at the end, for compute only.
         if geometry == "spherical":
-            self.c0 = re + z_grid        # r
-            self.c1 = x_grid / re        # phi
+            c0_np = re + _np.asarray(z_grid, dtype=float)        # r
+            c1_np = _np.asarray(x_grid, dtype=float) / re        # phi
         else:
-            self.c0 = z_grid
-            self.c1 = x_grid
+            c0_np = _np.asarray(z_grid, dtype=float)
+            c1_np = _np.asarray(x_grid, dtype=float)
+        self.c0 = jnp.asarray(c0_np)
+        self.c1 = jnp.asarray(c1_np)
         self.field = field
         g0, g1 = gradient_ord2(field, self.c0, self.c1)
         self.grad0 = g0                  # d/dz or d/dr
@@ -132,13 +140,13 @@ class RefractiveField:
         # place of searchsorted, which lowers to an O(log n)-depth
         # while-structure per query on TPU and dominates the ray-ODE RHS
         # cost. Detected statically at build time.
-        d0 = _np.diff(_np.asarray(self.c0))
-        d1 = _np.diff(_np.asarray(self.c1))
+        d0 = _np.diff(c0_np)
+        d1 = _np.diff(c1_np)
         self._uniform = (bool(_np.allclose(d0, d0[0], rtol=1e-9, atol=0.0))
                          and bool(_np.allclose(d1, d1[0], rtol=1e-9,
                                                atol=0.0)))
-        self._o0 = float(_np.asarray(self.c0)[0])
-        self._o1 = float(_np.asarray(self.c1)[0])
+        self._o0 = float(c0_np[0])
+        self._o1 = float(c1_np[0])
         self._inv_d0 = float(1.0 / d0[0])
         self._inv_d1 = float(1.0 / d1[0])
         # one stacked tensor so value_and_grad gathers all three fields per

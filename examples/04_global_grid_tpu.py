@@ -16,7 +16,10 @@ if os.environ.get("PYRAYHF_EXAMPLES_TPU") != "1":
     # examples default to host CPU (the tunnelled TPU's remote compile is
     # slow for one-shot scripts); set PYRAYHF_EXAMPLES_TPU=1 to opt in
     jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+    # f64 for CPU parity; the TPU path stays f32 end-to-end (x64 would
+    # inject f64 scalars the Mosaic kernels cannot lower, and f32 is the
+    # production serving dtype anyway)
+    jax.config.update("jax_enable_x64", True)
 import numpy as np
 import jax.numpy as jnp
 import pyrayhf_tpu as prt
@@ -26,10 +29,12 @@ from pyrayhf_tpu.igrf import calculate_magnetic_field
 
 
 def synth(freqs, den, bmag, bpsi, alt, mode_mult):
-    fn = prt.ionogram_pallas if jax.default_backend() == "tpu" \
-        else prt.ionogram_fast_xla
-    return fn(jnp.asarray(freqs, den.dtype), den, bmag, bpsi,
-              jnp.asarray(alt, den.dtype), mode_mult=mode_mult)
+    # engine='auto': the dynamic-gather kernel on TPU (uniform f32 shared
+    # grid), the XLA sweep elsewhere — the round-3 routing policy
+    return prt.vertical_forward_operator_batch(
+        jnp.asarray(freqs, den.dtype), den, bmag, bpsi,
+        jnp.asarray(alt, den.dtype), mode="O" if mode_mult > 0 else "X",
+        engine="auto")
 
 
 def main():
@@ -40,13 +45,26 @@ def main():
     dtype = jnp.float32
 
     t0 = time.perf_counter()
-    F2, F1, E = climatology_parameters(2020, 6, 15, 12.0, LAT.ravel(),
-                                       LON.ravel(), 140.0)
-    den = _edp_from_params(F2, F1, E, jnp.asarray(alt)).astype(dtype)
-    bmag_a, bpsi_a = calculate_magnetic_field(2020, 6, 15, LAT.ravel(),
-                                              LON.ravel(), alt)
-    bmag = jnp.asarray(bmag_a.T, dtype)
-    bpsi = jnp.asarray(bpsi_a.T, dtype)
+    # chunk the build: the IGRF spherical-harmonic broadcast and the f64
+    # EDP assembly over all 10512x310 points at once exhausts single-chip
+    # HBM; 8 chunks bound the transient tensors and stream results to host
+    lat_f, lon_f = LAT.ravel(), LON.ravel()
+    dens, bms, bps = [], [], []
+    chunk = 1314
+    for s in range(0, lat_f.size, chunk):
+        sl = slice(s, s + chunk)
+        F2, F1, E = climatology_parameters(2020, 6, 15, 12.0, lat_f[sl],
+                                           lon_f[sl], 140.0)
+        dens.append(np.asarray(_edp_from_params(F2, F1, E,
+                                                jnp.asarray(alt)),
+                               np.float32))
+        bm, bp = calculate_magnetic_field(2020, 6, 15, lat_f[sl],
+                                          lon_f[sl], alt)
+        bms.append(np.asarray(bm.T, np.float32))
+        bps.append(np.asarray(bp.T, np.float32))
+    den = jnp.asarray(np.concatenate(dens), dtype)
+    bmag = jnp.asarray(np.concatenate(bms), dtype)
+    bpsi = jnp.asarray(np.concatenate(bps), dtype)
     print(f"built {den.shape[0]} profiles ({LAT.shape} grid) in "
           f"{time.perf_counter()-t0:.1f} s")
 
@@ -60,6 +78,16 @@ def main():
     n_eval = 2 * den.shape[0] * len(freqs)
     print(f"global O+X synthesis: {n_eval} vh evals in {dt:.2f} s "
           f"({n_eval/dt:.2e}/s incl. first-compile)")
+    t0 = time.perf_counter()
+    iters = 3
+    for _ in range(iters):
+        o = synth(freqs, den, bmag, bpsi, alt, 1.0)
+        x = synth(freqs, den, bmag, bpsi, alt, -1.0)
+    _ = np.asarray(jnp.ravel(o)[0])
+    _ = np.asarray(jnp.ravel(x)[0])
+    dt_w = (time.perf_counter() - t0) / iters
+    print(f"  warm relaunch: {dt_w*1e3:.0f} ms/(O+X pair) -> "
+          f"{n_eval/dt_w:.2e} vh evals/s steady-state")
     foF2_map = np.array([freqs[np.isfinite(row)][-1] if
                          np.isfinite(row).any() else np.nan
                          for row in vo]).reshape(LAT.shape)

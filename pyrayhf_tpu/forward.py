@@ -171,7 +171,11 @@ def vertical_forward_operator_batch(freq, den, bmag, bpsi, alt,
         if on_tpu and shared_grid:
             from .pallas_vh import uniform_inv_dalt
             uniform = uniform_inv_dalt(alt) is not None
-            f32 = den.dtype == jnp.float32
+            # Mosaic cannot lower the f64 scalar literals that
+            # jax_enable_x64 injects into the traced kernel body, so the
+            # kernel route needs both f32 inputs AND x64 globally off
+            f32 = (den.dtype == jnp.float32
+                   and not jax.config.jax_enable_x64)
             engine = "pallas_gather" if (uniform and f32) else "xla"
         else:
             engine = "parity"

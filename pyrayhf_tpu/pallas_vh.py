@@ -498,7 +498,8 @@ def _kernel_mxu(mult_ref, dmult_ref, omm_ref, seg_ref, span_ref, slope_ref,
         Tt = seg_ref[bi, :, :]                  # [K2·8, K1] (pre-transposed)
         for fi in range(f_tile):
             pos = span_ref[bi, 0, 0, fi] * mi                    # [P]
-            i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n_seg - 2)
+            i0 = jnp.minimum(jnp.maximum(jnp.floor(pos).astype(jnp.int32),
+                                     jnp.int32(0)), jnp.int32(n_seg - 2))
             # saturate like the sweep's clip (np.interp edge values)
             frac = jnp.clip(pos - i0.astype(dtype), 0.0, 1.0)
             a_idx = i0 // K2
@@ -559,8 +560,19 @@ def _block_gather(segt_ref, bi, c, ilo, iblk, n_blk, dtype):
             # whose operand then becomes 1-D and Mosaic rejects it
             blk_row = segt_ref[bi, c, blk * 128:(blk + 1) * 128]  # [128]
             xb = blk_row[None, :] + jnp.zeros((S, 128), dtype)
-            got = jnp.take_along_axis(xb, idx_g, axis=1,
-                                      mode="promise_in_bounds")
+            # direct lax.gather in the exact batched-1-element form the
+            # Mosaic lowering maps to tpu.dynamic_gather;
+            # jnp.take_along_axis would convert the indices to int64
+            # under jax_enable_x64 (it feeds the whole shape tuple to
+            # int_dtype_for_dim), which Mosaic cannot lower
+            got = jax.lax.gather(
+                xb, idx_g[..., None],
+                jax.lax.GatherDimensionNumbers(
+                    offset_dims=(), collapsed_slice_dims=(1,),
+                    start_index_map=(1,), operand_batching_dims=(0,),
+                    start_indices_batching_dims=(0,)),
+                slice_sizes=(1, 1),
+                mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
             acc = jnp.where(blk_g == blk, got, acc)
         out_groups.append(acc)
     if len(out_groups) == 1:
@@ -599,7 +611,8 @@ def _kernel_gather(mult_ref, dmult_ref, omm_ref, segt_ref,
     for bi in range(b_tile):
         span = span_ref[bi, 0, 0, :]            # [f_tile]
         pos = span[:, None] * mi[None, :]                    # [f_tile, P]
-        i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n_seg - 2)
+        i0 = jnp.minimum(jnp.maximum(jnp.floor(pos).astype(jnp.int32),
+                                     jnp.int32(0)), jnp.int32(n_seg - 2))
         frac = jnp.clip(pos - i0.astype(dtype), 0.0, 1.0)
         ilo = i0 & 127                                       # within-vreg
         iblk = i0 >> 7                                       # table block
@@ -661,7 +674,11 @@ def _kernel_gather_osolve(mult_ref, dmult_ref, omm_ref, segt_ref, freq_ref,
         dmax_row = segt_ref[bi, 8, :]           # [G], +inf beyond N-1
         # crossing count: dense VMEM compare, monotone rows
         below = (dmax_row[None, :] < thr).astype(jnp.int32)  # [f_tile, G]
-        k = jnp.clip(jnp.sum(below, axis=1, keepdims=True), 1, n_seg - 1)
+        # dtype pinned: under jax_enable_x64 an int32 sum promotes to
+        # int64, which Mosaic cannot lower
+        k = jnp.minimum(jnp.maximum(
+            jnp.sum(below, axis=1, keepdims=True, dtype=jnp.int32),
+            jnp.int32(1)), jnp.int32(n_seg - 1))
 
         def chan_at(c, kk):
             kk_b = jnp.broadcast_to(kk, (f_tile, 128))
@@ -702,7 +719,8 @@ def _kernel_gather_osolve(mult_ref, dmult_ref, omm_ref, segt_ref, freq_ref,
 
         # ---- resample + μ' + quadrature (as _kernel_gather) ----
         pos = span * mi[None, :]                             # [f_tile, P]
-        i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n_seg - 2)
+        i0 = jnp.minimum(jnp.maximum(jnp.floor(pos).astype(jnp.int32),
+                                     jnp.int32(0)), jnp.int32(n_seg - 2))
         frac = jnp.clip(pos - i0.astype(dtype), 0.0, 1.0)
         ilo = i0 & 127
         iblk = i0 >> 7

@@ -64,3 +64,6 @@ except Exception:
 from .oblique import (synthesize_oblique_ionogram,
                       synthesize_oblique_ionogram_2d)
 from . import oblique
+from .absorption import (absorption_coefficient, collision_frequency,
+                         vertical_absorption_operator)
+from . import absorption

@@ -44,18 +44,28 @@ def _rk4_step(rhs, y, ds):
     return y + (ds / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
 
 
-def _integrate(rhs, y0, n_steps, ds, event_value):
+def _integrate(rhs, y0, n_steps, ds, event_value, reflect_slot=None,
+               max_bounces=0):
     """Scan a fixed-step RK4 with freeze-on-event semantics.
 
     ``event_value(y)`` returns a vector of signed boundary distances
     (positive inside the domain, matching the reference's event functions);
     the first nonpositive entry terminates the ray. On the terminating step
     the state is linearly backtracked to the crossing.
+
+    Multi-hop: with ``reflect_slot`` given (the index of the vertical
+    velocity component — 3 for Cartesian v_z, 2 for spherical v_r), the
+    first ``max_bounces`` GROUND crossings (event index 0) reflect
+    specularly — backtrack to the crossing, flip that slot — instead of
+    freezing; the ray freezes on ground hit ``max_bounces + 1``. The
+    reference has no multi-hop anywhere (its ground event is terminal,
+    ref ``library.py:1009-1012``).
+
     Returns (ys [n_steps+1, dim], alive [n_steps+1], status_code).
     """
 
     def step(carry, _):
-        y, alive, status = carry
+        y, alive, status, bounces = carry
 
         def do_step(y):
             y_new = _rk4_step(rhs, y, ds)
@@ -77,8 +87,22 @@ def _integrate(rhs, y0, n_steps, ds, event_value):
                       ev_old[j] / jnp.where(denom != 0.0, denom, 1.0), 1.0)
         t = jnp.clip(t, 0.0, 1.0)
         y_cross = y + t * (y_new - y)
-        y_next = jnp.where(alive, jnp.where(any_cross, y_cross, y_new), y)
         ground_hit = any_cross & (j == 0)
+        if reflect_slot is not None:
+            bounce = ground_hit & (bounces < max_bounces)
+            y_refl = y_cross.at[reflect_slot].set(
+                jnp.abs(y_cross[reflect_slot]))
+            y_cross = jnp.where(bounce, y_refl, y_cross)
+            bounces = bounces + jnp.where(bounce, 1, 0)
+            # a bounce step lands on the (reflected) crossing state, not
+            # the raw full step — but must NOT freeze, so it leaves
+            # any_cross and takes y_cross explicitly below
+            take_cross = any_cross
+            any_cross = any_cross & ~bounce
+            ground_hit = ground_hit & ~bounce
+        else:
+            take_cross = any_cross
+        y_next = jnp.where(alive, jnp.where(take_cross, y_cross, y_new), y)
         new_status = jnp.where(
             any_cross,
             jnp.where(ground_hit, _STATUS["ground"], _STATUS["domain"]),
@@ -88,11 +112,13 @@ def _integrate(rhs, y0, n_steps, ds, event_value):
         bad = ~jnp.all(jnp.isfinite(y_next))
         y_next = jnp.where(bad, y, y_next)
         alive_next = alive_next & ~bad
-        return (y_next, alive_next, new_status), (y_next, alive_next)
+        return ((y_next, alive_next, new_status, bounces),
+                (y_next, alive_next))
 
-    init = (y0, jnp.asarray(True), jnp.asarray(_STATUS["length"]))
-    (_, _, status), (ys, alive) = jax.lax.scan(step, init, None,
-                                               length=n_steps)
+    init = (y0, jnp.asarray(True), jnp.asarray(_STATUS["length"]),
+            jnp.asarray(0))
+    (_, _, status, _), (ys, alive) = jax.lax.scan(step, init, None,
+                                                  length=n_steps)
     ys = jnp.concatenate([y0[None], ys], axis=0)
     alive = jnp.concatenate([jnp.asarray(True)[None], alive])
     return ys, alive, status
@@ -129,7 +155,8 @@ def _dp45_step(rhs, y, h):
 
 
 def _integrate_adaptive(rhs, y0, n_attempts, s_max, h0, rtol, atol,
-                        h_max, event_value):
+                        h_max, event_value, reflect_slot=None,
+                        max_bounces=0):
     """Error-controlled DP45 with freeze-on-event semantics.
 
     Same output contract as :func:`_integrate` but each scan iteration is an
@@ -138,10 +165,11 @@ def _integrate_adaptive(rhs, y0, n_attempts, s_max, h0, rtol, atol,
     metrics); accepted attempts advance s and adapt h with the standard
     0.9·err^(−1/5) controller. Integration freezes at s ≥ s_max or on the
     first boundary event (with linear backtrack, like the fixed-step path).
+    ``reflect_slot``/``max_bounces``: see :func:`_integrate`.
     """
 
     def attempt(carry, _):
-        y, h, s, alive, status = carry
+        y, h, s, alive, status, bounces = carry
         h_try = jnp.minimum(h, jnp.maximum(s_max - s, 1e-12))
         y5, err = _dp45_step(rhs, y, h_try)
         scale = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y5))
@@ -180,24 +208,41 @@ def _integrate_adaptive(rhs, y0, n_attempts, s_max, h0, rtol, atol,
                       ev_old[j] / jnp.where(denom != 0.0, denom, 1.0), 1.0)
         t = jnp.clip(t, 0.0, 1.0)
         y_cross = y + t * (y5 - y)
+        ground_hit = any_cross & (j == 0)
+        if reflect_slot is not None:
+            bounce = ground_hit & (bounces < max_bounces)
+            y_refl = y_cross.at[reflect_slot].set(
+                jnp.abs(y_cross[reflect_slot]))
+            y_cross = jnp.where(bounce, y_refl, y_cross)
+            bounces = bounces + jnp.where(bounce, 1, 0)
+            any_cross = any_cross & ~bounce
+            ground_hit = ground_hit & ~bounce
+            # the reflected segment still advanced arc length t·h_try —
+            # handled below because a bounce keeps step_ok & kills
+            # any_cross, so s advances by the FULL h_try; shorten to the
+            # backtracked fraction instead
+            t_adv = jnp.where(bounce, t, jnp.where(any_cross, t, 1.0))
+        else:
+            t_adv = jnp.where(any_cross, t, 1.0)
 
         step_ok = alive & accept
         y_next = jnp.where(step_ok,
                            jnp.where(any_cross, y_cross, y5), y)
-        s_next = jnp.where(step_ok, s + h_try * jnp.where(any_cross, t, 1.0),
-                           s)
-        ground_hit = any_cross & (j == 0)
+        if reflect_slot is not None:
+            bounce_ok = step_ok & bounce
+            y_next = jnp.where(bounce_ok, y_cross, y_next)
+        s_next = jnp.where(step_ok, s + h_try * t_adv, s)
         status = jnp.where(any_cross,
                            jnp.where(ground_hit, _STATUS["ground"],
                                      _STATUS["domain"]), status)
         alive_next = alive & ~any_cross & (s_next < s_max) & ~dead
         return ((y_next, jnp.where(alive, h_new, h), s_next, alive_next,
-                 status), (y_next, alive_next))
+                 status, bounces), (y_next, alive_next))
 
     init = (y0, jnp.asarray(h0, dtype=y0.dtype),
             jnp.zeros((), dtype=y0.dtype), jnp.asarray(True),
-            jnp.asarray(_STATUS["length"]))
-    (_, _, s_final, alive_final, status), (ys, alive) = jax.lax.scan(
+            jnp.asarray(_STATUS["length"]), jnp.asarray(0))
+    (_, _, s_final, alive_final, status, _), (ys, alive) = jax.lax.scan(
         attempt, init, None, length=n_attempts)
     # a ray still alive after all attempts with s < s_max exhausted the
     # attempt budget (many rejections in a stiff region) — report that as a
@@ -230,11 +275,11 @@ def _path_metrics(x_path, z_path, ds_seg, mup_mid, status):
 
 
 @partial(jax.jit, static_argnames=("n_and_grad", "mup_func", "n_steps",
-                                   "adaptive"))
+                                   "adaptive", "n_hops", "kappa_func"))
 def _cart_gradient_core(n_and_grad, mup_func, x0, z0, elevation_deg, ds,
                         n_steps, z_ground, z_max, x_min, x_max,
                         adaptive=False, rtol=1e-7, atol=1e-9,
-                        s_max=None, h_max=None):
+                        s_max=None, h_max=None, n_hops=1, kappa_func=None):
     elev = jnp.deg2rad(elevation_deg)
     v0 = jnp.array([jnp.cos(elev), jnp.sin(elev)])
     v0 = v0 / jnp.linalg.norm(v0)
@@ -255,11 +300,15 @@ def _cart_gradient_core(n_and_grad, mup_func, x0, z0, elevation_deg, ds,
         return jnp.array([y[1] - z_ground - 1e-3, z_max - y[1],
                           y[0] - x_min, x_max - y[0]])
 
+    hop_kw = dict(reflect_slot=3, max_bounces=n_hops - 1) \
+        if n_hops > 1 else {}
     if adaptive:
         ys, alive, status = _integrate_adaptive(
-            rhs, y0, n_steps, s_max, ds, rtol, atol, h_max, events)
+            rhs, y0, n_steps, s_max, ds, rtol, atol, h_max, events,
+            **hop_kw)
     else:
-        ys, alive, status = _integrate(rhs, y0, n_steps, ds, events)
+        ys, alive, status = _integrate(rhs, y0, n_steps, ds, events,
+                                       **hop_kw)
     x_path, z_path = ys[:, 0], ys[:, 1]
     dx = jnp.diff(x_path)
     dz = jnp.diff(z_path)
@@ -268,6 +317,10 @@ def _cart_gradient_core(n_and_grad, mup_func, x0, z0, elevation_deg, ds,
     z_m = 0.5 * (z_path[:-1] + z_path[1:])
     mup_mid = mup_func(x_m, z_m)
     out = _path_metrics(x_path, z_path, ds_seg, mup_mid, status)
+    if kappa_func is not None:
+        kappa_mid = kappa_func(x_m, z_m)
+        out["absorption_db"] = jnp.nansum(
+            jnp.where(jnp.isfinite(kappa_mid), kappa_mid * ds_seg, 0.0))
     out.update({"x": x_path, "z": z_path, "vx": ys[:, 2], "vz": ys[:, 3],
                 "status_code": status, "alive": alive})
     return out
@@ -279,8 +332,18 @@ def trace_ray_cartesian_gradient(n_and_grad, mup_func, x0_km, z0_km,
                                  z_min_km=-1.0, z_max_km=None,
                                  x_min_km=None, x_max_km=None,
                                  rtol=UNSET, atol=UNSET, max_step_km=None,
-                                 renormalize_every=None, config=None):
+                                 renormalize_every=None, n_hops=1,
+                                 kappa_func=None, config=None):
     """2-D Cartesian ray-ODE trace; API-parity with ref :1271-1457.
+
+    ``n_hops`` (beyond the reference): number of ionospheric hops — the
+    first ``n_hops − 1`` ground contacts reflect specularly (perfect
+    conductor, 0 dB loss) instead of terminating, so multi-hop links
+    trace in the same single launch. ``kappa_func`` (beyond the
+    reference): an absorption-coefficient interpolant ``κ(x, z)`` [dB/km]
+    (build like ``mup_func`` from an
+    :func:`pyrayhf_tpu.absorption.absorption_coefficient` field); when
+    given, the result carries ``absorption_db`` integrated along the path.
 
     With ``rtol``/``atol`` given (the reference's defaults are 1e-7/1e-9),
     the integrator is an error-controlled embedded Dormand–Prince 5(4) —
@@ -332,7 +395,9 @@ def trace_ray_cartesian_gradient(n_and_grad, mup_func, x0_km, z0_km,
                               jnp.asarray(z_ground_km, dtype=float),
                               jnp.asarray(z_max_km, dtype=float),
                               jnp.asarray(x_min_km, dtype=float),
-                              jnp.asarray(x_max_km, dtype=float), **kw)
+                              jnp.asarray(x_max_km, dtype=float),
+                              n_hops=int(n_hops), kappa_func=kappa_func,
+                              **kw)
     code = int(out.pop("status_code"))
     out["status"] = {v: k for k, v in _STATUS.items()}[code]
     out["t"] = None
@@ -343,10 +408,11 @@ def trace_rays_cartesian_gradient(n_and_grad, mup_func, x0_km, z0_km,
                                   elevation_deg, s_max_km=5000.0, *,
                                   step_km=1.0, z_ground_km=0.0,
                                   z_max_km=1000.0, x_min_km=-1e6,
-                                  x_max_km=1e6):
+                                  x_max_km=1e6, n_hops=1):
     """Batched Cartesian ODE fan over elevations [E] — one XLA launch."""
     n_steps = int(round(float(s_max_km) / float(step_km)))
-    fn = partial(_cart_gradient_core, n_and_grad, mup_func, n_steps=n_steps)
+    fn = partial(_cart_gradient_core, n_and_grad, mup_func, n_steps=n_steps,
+                 n_hops=int(n_hops))
     return jax.vmap(lambda el: fn(
         jnp.asarray(x0_km, dtype=float), jnp.asarray(z0_km, dtype=float),
         el, jnp.asarray(step_km, dtype=float),
@@ -358,11 +424,11 @@ def trace_rays_cartesian_gradient(n_and_grad, mup_func, x0_km, z0_km,
 
 
 @partial(jax.jit, static_argnames=("n_and_grad_rphi", "mup_func", "n_steps",
-                                   "adaptive"))
+                                   "adaptive", "n_hops", "kappa_func"))
 def _sph_gradient_core(n_and_grad_rphi, mup_func, x0, z0, elevation_deg, ds,
                        n_steps, re, z_ground, r_max, phi_min, phi_max,
                        adaptive=False, rtol=1e-7, atol=1e-9,
-                       s_max=None, h_max=None):
+                       s_max=None, h_max=None, n_hops=1, kappa_func=None):
     r0 = re + z0
     phi0 = x0 / re
     elev = jnp.deg2rad(elevation_deg)
@@ -387,11 +453,15 @@ def _sph_gradient_core(n_and_grad_rphi, mup_func, x0, z0, elevation_deg, ds,
         return jnp.array([y[0] - (re + z_ground) - 1e-3, r_max - y[0],
                           y[1] - phi_min, phi_max - y[1]])
 
+    hop_kw = dict(reflect_slot=2, max_bounces=n_hops - 1) \
+        if n_hops > 1 else {}
     if adaptive:
         ys, alive, status = _integrate_adaptive(
-            rhs, y0, n_steps, s_max, ds, rtol, atol, h_max, events)
+            rhs, y0, n_steps, s_max, ds, rtol, atol, h_max, events,
+            **hop_kw)
     else:
-        ys, alive, status = _integrate(rhs, y0, n_steps, ds, events)
+        ys, alive, status = _integrate(rhs, y0, n_steps, ds, events,
+                                       **hop_kw)
     r_path, phi_path = ys[:, 0], ys[:, 1]
     x_path = re * phi_path
     z_path = r_path - re
@@ -403,6 +473,10 @@ def _sph_gradient_core(n_and_grad_rphi, mup_func, x0, z0, elevation_deg, ds,
     z_m = 0.5 * (z_path[:-1] + z_path[1:])
     mup_mid = mup_func(x_m, z_m)
     out = _path_metrics(x_path, z_path, ds_seg, mup_mid, status)
+    if kappa_func is not None:
+        kappa_mid = kappa_func(x_m, z_m)
+        out["absorption_db"] = jnp.nansum(
+            jnp.where(jnp.isfinite(kappa_mid), kappa_mid * ds_seg, 0.0))
     out.update({"x": x_path, "z": z_path, "r": r_path, "phi": phi_path,
                 "v_r": ys[:, 2], "v_phi": ys[:, 3],
                 "status_code": status, "alive": alive})
@@ -415,8 +489,11 @@ def trace_ray_spherical_gradient(n_and_grad_rphi, mup_func, x0_km, z0_km,
                                  phi_min=-jnp.pi, phi_max=jnp.pi,
                                  step_km=None, rtol=UNSET, atol=UNSET,
                                  max_step_km=2.0, renormalize_every=None,
-                                 config=None):
+                                 n_hops=1, kappa_func=None, config=None):
     """2-D spherical ray-ODE trace; API-parity with ref :2128-2337.
+
+    ``n_hops``/``kappa_func``: multi-hop ground reflections and path
+    absorption — see :func:`trace_ray_cartesian_gradient`.
 
     ``rtol``/``atol`` select the error-controlled Dormand–Prince 5(4)
     integrator (see :func:`trace_ray_cartesian_gradient`); both None runs
@@ -466,7 +543,9 @@ def trace_ray_spherical_gradient(n_and_grad_rphi, mup_func, x0_km, z0_km,
                              jnp.asarray(z_ground_km, dtype=float),
                              jnp.asarray(r_max_km, dtype=float),
                              jnp.asarray(phi_min, dtype=float),
-                             jnp.asarray(phi_max, dtype=float), **kw)
+                             jnp.asarray(phi_max, dtype=float),
+                             n_hops=int(n_hops), kappa_func=kappa_func,
+                             **kw)
     code = int(out.pop("status_code"))
     out["status"] = {v: k for k, v in _STATUS.items()}[code]
     out["t"] = None
@@ -477,14 +556,14 @@ def trace_rays_spherical_gradient(n_and_grad_rphi, mup_func, x0_km, z0_km,
                                   elevation_deg, s_max_km=6000.0, *,
                                   R_E=None, z_ground_km=0.0, r_max_km=None,
                                   phi_min=-jnp.pi, phi_max=jnp.pi,
-                                  step_km=1.0):
+                                  step_km=1.0, n_hops=1):
     """Batched spherical ODE fan over elevations [E] — one XLA launch."""
     re = globals()["R_E"] if R_E is None else float(R_E)
     if r_max_km is None:
         r_max_km = re + 1200.0
     n_steps = int(round(float(s_max_km) / float(step_km)))
     fn = partial(_sph_gradient_core, n_and_grad_rphi, mup_func,
-                 n_steps=n_steps)
+                 n_steps=n_steps, n_hops=int(n_hops))
     return jax.vmap(lambda el: fn(
         jnp.asarray(x0_km, dtype=float), jnp.asarray(z0_km, dtype=float),
         el, jnp.asarray(step_km, dtype=float),

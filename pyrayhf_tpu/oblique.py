@@ -29,13 +29,15 @@ __all__ = ["synthesize_oblique_ionogram",
            "synthesize_oblique_ionogram_2d"]
 
 
-def _crossings(range_e, delay_e, elev, target, max_jump, delay_min):
+def _crossings(range_e, delay_e, absorb_e, elev, target, max_jump,
+               delay_min):
     """Low/high-ray delays+elevations from one frequency's elevation fan.
 
-    ``range_e``/``delay_e``: [E] landing range / group delay per elevation
-    (NaN where the ray escapes); finds sign changes of (range − target)
-    between consecutive valid elevations and linearly interpolates the
-    delay. Two spurious-crossing filters:
+    ``range_e``/``delay_e``/``absorb_e``: [E] landing range / group delay /
+    path absorption per elevation (NaN where the ray escapes); finds sign
+    changes of (range − target) between consecutive valid elevations and
+    linearly interpolates delay and absorption. Two spurious-crossing
+    filters:
 
     * pairs whose landing range JUMPS by more than ``max_jump`` are
       layer-transition discontinuities (e.g. E-hop → F-hop), not real
@@ -45,7 +47,8 @@ def _crossings(range_e, delay_e, elev, target, max_jump, delay_min):
       this catches transitions the elevation sampling smears into
       several sub-``max_jump`` steps.
 
-    Returns (delay_low, delay_high, elev_low, elev_high).
+    Returns (delay_low, delay_high, elev_low, elev_high,
+    absorb_low, absorb_high).
     """
     d = range_e - target
     ok = jnp.isfinite(d)
@@ -61,6 +64,7 @@ def _crossings(range_e, delay_e, elev, target, max_jump, delay_min):
     t = jnp.clip(t, 0.0, 1.0)
     dl_pair = delay_e[:-1] + t * (delay_e[1:] - delay_e[:-1])
     el_pair = elev[:-1] + t * (elev[1:] - elev[:-1])
+    ab_pair = absorb_e[:-1] + t * (absorb_e[1:] - absorb_e[:-1])
     valid = cross & (dl_pair >= delay_min)
     any_cross = jnp.any(valid)
 
@@ -70,27 +74,38 @@ def _crossings(range_e, delay_e, elev, target, max_jump, delay_min):
     return (jnp.where(any_cross, dl_pair[first], nan),
             jnp.where(any_cross, dl_pair[last], nan),
             jnp.where(any_cross, el_pair[first], nan),
-            jnp.where(any_cross, el_pair[last], nan))
+            jnp.where(any_cross, el_pair[last], nan),
+            jnp.where(any_cross, ab_pair[first], nan),
+            jnp.where(any_cross, ab_pair[last], nan))
 
 
 def synthesize_oblique_ionogram(f0s_hz, ground_range_km, alt_km, Ne, Babs,
                                 bpsi, mode="O", geometry="cartesian",
                                 n_elev=512, elev_min_deg=5.0,
                                 elev_max_deg=85.0,
-                                max_range_jump_km=200.0):
+                                max_range_jump_km=200.0, n_hops=1,
+                                nu=None):
     """Oblique ionogram for a link of length ``ground_range_km``.
 
     Traces the full (frequency × elevation) Snell fan in one launch and
-    returns, per frequency, the low- and high-ray group delays [s] and
-    launch elevations [deg] that land at the target range (NaN above the
-    link MUF). Keys: ``delay_low_sec``, ``delay_high_sec``,
-    ``elev_low_deg``, ``elev_high_deg``, plus the raw fan
+    returns, per frequency, the low- and high-ray group delays [s], launch
+    elevations [deg] and path absorptions [dB] that land at the target
+    range (NaN above the link MUF). Keys: ``delay_low_sec``,
+    ``delay_high_sec``, ``elev_low_deg``, ``elev_high_deg``,
+    ``absorption_low_db``, ``absorption_high_db``, plus the raw fan
     (``fan_range_km``, ``fan_delay_sec``, ``elevations_deg``).
 
     ``geometry``: 'cartesian' (flat Earth) or 'spherical'.
     ``max_range_jump_km`` rejects crossings interpolated across
     layer-transition discontinuities of the fan (consecutive elevations
     whose landing ranges differ by more than this are different hops).
+
+    ``n_hops``: an n-hop ray through this horizontally-uniform ionosphere
+    is n identical single hops off a perfect ground reflector, so the
+    n-hop ionogram is EXACT here: home each hop at ``D/n`` and scale
+    delay/absorption by n (ground reflection loss 0 dB — compose your own
+    reflector model on top). ``nu``: collision-frequency override, see
+    :func:`pyrayhf_tpu.absorption.collision_frequency`.
     """
     f0s = jnp.atleast_1d(jnp.asarray(f0s_hz, dtype=float))
     elevs = jnp.linspace(float(elev_min_deg), float(elev_max_deg),
@@ -99,26 +114,32 @@ def synthesize_oblique_ionogram(f0s_hz, ground_range_km, alt_km, Ne, Babs,
               else trace_rays_spherical_snells)
     if geometry not in ("cartesian", "spherical"):
         raise ValueError("geometry must be 'cartesian' or 'spherical'")
+    n_hops = int(n_hops)
     fan = tracer(f0s, elevs, jnp.asarray(alt_km, dtype=float),
                  jnp.asarray(Ne, dtype=float),
                  jnp.asarray(Babs, dtype=float),
-                 jnp.asarray(bpsi, dtype=float), mode)
+                 jnp.asarray(bpsi, dtype=float), mode, nu=nu)
     range_fe = jnp.asarray(fan["ground_range_km"])        # [F, E]
     delay_fe = jnp.asarray(fan["group_delay_sec"])
+    absorb_fe = jnp.asarray(fan["absorption_db"])
 
-    # physical floor: chord distance / c (μ' ≥ 1 ⇒ no ray is faster)
+    # per-hop target; physical floor: per-hop chord distance / c
+    # (μ' ≥ 1 ⇒ no ray is faster)
     from .constants import C_KM_S, R_E
-    D = float(ground_range_km)
+    D = float(ground_range_km) / n_hops
     chord = (D if geometry == "cartesian"
              else 2.0 * R_E * jnp.sin(0.5 * D / R_E))
     fn = partial(_crossings, elev=elevs,
-                 target=jnp.asarray(ground_range_km, dtype=float),
+                 target=jnp.asarray(D, dtype=float),
                  max_jump=jnp.asarray(max_range_jump_km, dtype=float),
                  delay_min=jnp.asarray(chord, dtype=float) / C_KM_S)
-    dl_lo, dl_hi, el_lo, el_hi = jax.vmap(
-        lambda r, d: fn(r, d))(range_fe, delay_fe)
-    return {"delay_low_sec": dl_lo, "delay_high_sec": dl_hi,
+    dl_lo, dl_hi, el_lo, el_hi, ab_lo, ab_hi = jax.vmap(
+        lambda r, d, a: fn(r, d, a))(range_fe, delay_fe, absorb_fe)
+    return {"delay_low_sec": n_hops * dl_lo,
+            "delay_high_sec": n_hops * dl_hi,
             "elev_low_deg": el_lo, "elev_high_deg": el_hi,
+            "absorption_low_db": n_hops * ab_lo,
+            "absorption_high_db": n_hops * ab_hi,
             "fan_range_km": range_fe, "fan_delay_sec": delay_fe,
             "elevations_deg": elevs}
 
@@ -129,7 +150,7 @@ def synthesize_oblique_ionogram(f0s_hz, ground_range_km, alt_km, Ne, Babs,
 _FAN_2D_CACHE = {}
 
 
-def _fan_2d_fn(z_np, x_np, mode, geometry, n_elev, n_steps):
+def _fan_2d_fn(z_np, x_np, mode, geometry, n_elev, n_steps, n_hops):
     """Build (and cache) the one-launch [F, E] fan for fixed grids.
 
     The μ/μ' fields for every frequency are built in one broadcast
@@ -138,12 +159,18 @@ def _fan_2d_fn(z_np, x_np, mode, geometry, n_elev, n_steps):
     closures over the traced field slice and calls the (unjitted) tracer
     core — the round-2 version rebuilt interpolators and launched one
     compile per frequency in a Python loop (wrong shape for a
-    175-frequency oblique ionogram; round-3 verdict item 5).
+    175-frequency oblique ionogram; round-3 verdict item 5). The QL
+    absorption-coefficient field κ [dB/km] rides along as one more
+    interpolated channel (evanescent NaN-μ nodes carry κ=0 — rays never
+    travel there, and zeroing keeps the bilinear interp finite on the
+    reflection boundary).
     """
-    key = (z_np.tobytes(), x_np.tobytes(), mode, geometry, n_elev, n_steps)
+    key = (z_np.tobytes(), x_np.tobytes(), mode, geometry, n_elev, n_steps,
+           n_hops)
     if key in _FAN_2D_CACHE:
         return _FAN_2D_CACHE[key]
 
+    from .absorption import absorption_coefficient, collision_frequency
     from .constants import R_E
     from .fields import (build_mup_function,
                          build_refractive_index_interpolator_cartesian,
@@ -157,37 +184,49 @@ def _fan_2d_fn(z_np, x_np, mode, geometry, n_elev, n_steps):
     sph_core = _sph_gradient_core.__wrapped__
 
     @jax.jit
-    def fan(f0s, elev_lims, Ne2d, Babs2d, bpsi2d, step_km):
+    def fan(f0s, elev_lims, Ne2d, Babs2d, bpsi2d, nu_z, step_km):
         elevs = jnp.linspace(elev_lims[0], elev_lims[1], int(n_elev))
         X = find_X(Ne2d[None, :, :], f0s[:, None, None])
         Y = find_Y(f0s[:, None, None], Babs2d[None, :, :])
         mu_f, mup_f = find_mu_mup(X, Y, bpsi2d[None, :, :], mode)
+        kappa_f = absorption_coefficient(
+            Ne2d[None, :, :], nu_z[None, :, None], f0s[:, None, None],
+            Babs2d[None, :, :], bpsi2d[None, :, :], mu_f, mode)
+        kappa_f = jnp.where(jnp.isfinite(kappa_f), kappa_f, 0.0)
 
-        def per_freq(mu, mup):
+        def per_freq(mu, mup, kappa):
             if geometry == "cartesian":
                 nag = build_refractive_index_interpolator_cartesian(
                     z, x, mu)
                 mupf = build_mup_function(mup_field=mup, x_grid=x,
                                           z_grid=z, geometry="cartesian")
+                kapf = build_mup_function(mup_field=kappa, x_grid=x,
+                                          z_grid=z, geometry="cartesian")
                 fn = lambda el: cart_core(
                     nag, mupf, jnp.asarray(0.0), z[0], el, step_km,
                     n_steps=n_steps, z_ground=z[0], z_max=z[-1],
-                    x_min=x[0], x_max=x[-1])
+                    x_min=x[0], x_max=x[-1], n_hops=n_hops,
+                    kappa_func=kapf)
             else:
                 nag = build_refractive_index_interpolator_spherical(
                     z, x, mu)
                 mupf = build_mup_function(mup_field=mup, x_grid=x,
                                           z_grid=z, geometry="spherical")
+                kapf = build_mup_function(mup_field=kappa, x_grid=x,
+                                          z_grid=z, geometry="spherical")
                 fn = lambda el: sph_core(
                     nag, mupf, jnp.asarray(0.0), z[0], el, step_km,
                     n_steps=n_steps, re=jnp.asarray(float(R_E)),
                     z_ground=z[0], r_max=float(R_E) + z[-1],
-                    phi_min=x[0] / float(R_E), phi_max=x[-1] / float(R_E))
+                    phi_min=x[0] / float(R_E), phi_max=x[-1] / float(R_E),
+                    n_hops=n_hops, kappa_func=kapf)
             out = jax.vmap(fn)(elevs)
-            return out["ground_range_km"], out["group_delay_sec"]
+            return (out["ground_range_km"], out["group_delay_sec"],
+                    out["absorption_db"])
 
-        range_fe, delay_fe = jax.vmap(per_freq)(mu_f, mup_f)
-        return range_fe, delay_fe, elevs
+        range_fe, delay_fe, absorb_fe = jax.vmap(per_freq)(mu_f, mup_f,
+                                                           kappa_f)
+        return range_fe, delay_fe, absorb_fe, elevs
 
     if len(_FAN_2D_CACHE) > 16:
         _FAN_2D_CACHE.clear()
@@ -201,7 +240,8 @@ def synthesize_oblique_ionogram_2d(f0s_hz, ground_range_km, x_grid_km,
                                    n_elev=128,
                                    elev_min_deg=5.0, elev_max_deg=85.0,
                                    step_km=2.0, s_max_km=4000.0,
-                                   max_range_jump_km=200.0):
+                                   max_range_jump_km=200.0, n_hops=1,
+                                   nu=None):
     """Oblique ionogram through a RANGE-DEPENDENT (2-D) ionosphere.
 
     The 1-D variant assumes the profile is the same everywhere along the
@@ -219,9 +259,17 @@ def synthesize_oblique_ionogram_2d(f0s_hz, ground_range_km, x_grid_km,
     (r, φ) with the fields on the great-circle slice; ranges are arc
     lengths). Returns the same keys as
     :func:`synthesize_oblique_ionogram`.
+
+    ``n_hops``: here multi-hop rays genuinely re-enter a DIFFERENT part of
+    the ionosphere after each ground bounce, so the fan traces through
+    ``n_hops − 1`` specular ground reflections (0 dB reflector) and the
+    crossings home the FULL target range of the n-hop landing.
+    ``nu``: ν(z) [s⁻¹] on ``z_grid_km`` for the absorption channel
+    (default :func:`pyrayhf_tpu.absorption.collision_frequency`).
     """
     import numpy as np
 
+    from .absorption import collision_frequency
     from .constants import C_KM_S, R_E
 
     if geometry not in ("cartesian", "spherical"):
@@ -232,6 +280,8 @@ def synthesize_oblique_ionogram_2d(f0s_hz, ground_range_km, x_grid_km,
     Ne2d = np.asarray(Ne2d, dtype=float)
     Babs2d = np.asarray(Babs2d, dtype=float)
     bpsi2d = np.asarray(bpsi2d, dtype=float)
+    nu_z = (np.asarray(collision_frequency(z_grid_km), dtype=float)
+            if nu is None else np.asarray(nu, dtype=float))
     if z[0] > 0.0:
         # extend the field to the ground with free space (zero density):
         # profiles typically start at ~80 km and rays must fly the
@@ -241,25 +291,31 @@ def synthesize_oblique_ionogram_2d(f0s_hz, ground_range_km, x_grid_km,
         Ne2d = np.concatenate([np.zeros((1, Ne2d.shape[1])), Ne2d])
         Babs2d = np.concatenate([Babs2d[:1], Babs2d])
         bpsi2d = np.concatenate([bpsi2d[:1], bpsi2d])
+        # ν keeps its exponential growth toward the ground — the
+        # free-space extension has Ne=0, so κ is 0 there regardless
+        nu_z = np.concatenate([nu_z[:1], nu_z])
 
     n_steps = int(round(float(s_max_km) / float(step_km)))
-    fan = _fan_2d_fn(z, x, mode, geometry, int(n_elev), n_steps)
-    range_fe, delay_fe, elevs = fan(
+    fan = _fan_2d_fn(z, x, mode, geometry, int(n_elev), n_steps,
+                     int(n_hops))
+    range_fe, delay_fe, absorb_fe, elevs = fan(
         jnp.asarray(f0s), jnp.asarray([float(elev_min_deg),
                                        float(elev_max_deg)]),
         jnp.asarray(Ne2d), jnp.asarray(Babs2d), jnp.asarray(bpsi2d),
-        jnp.asarray(float(step_km)))
+        jnp.asarray(nu_z), jnp.asarray(float(step_km)))
 
     D = float(ground_range_km)
-    chord = (D if geometry == "cartesian"
-             else 2.0 * R_E * np.sin(0.5 * D / R_E))
+    chord_1 = (D / int(n_hops) if geometry == "cartesian"
+               else 2.0 * R_E * np.sin(0.5 * D / int(n_hops) / R_E))
     fn = partial(_crossings, elev=elevs,
                  target=jnp.asarray(ground_range_km, dtype=float),
                  max_jump=jnp.asarray(max_range_jump_km, dtype=float),
-                 delay_min=jnp.asarray(chord, dtype=float) / C_KM_S)
-    dl_lo, dl_hi, el_lo, el_hi = jax.vmap(
-        lambda r, d: fn(r, d))(range_fe, delay_fe)
+                 delay_min=jnp.asarray(int(n_hops) * chord_1,
+                                       dtype=float) / C_KM_S)
+    dl_lo, dl_hi, el_lo, el_hi, ab_lo, ab_hi = jax.vmap(
+        lambda r, d, a: fn(r, d, a))(range_fe, delay_fe, absorb_fe)
     return {"delay_low_sec": dl_lo, "delay_high_sec": dl_hi,
             "elev_low_deg": el_lo, "elev_high_deg": el_hi,
+            "absorption_low_db": ab_lo, "absorption_high_db": ab_hi,
             "fan_range_km": range_fe, "fan_delay_sec": delay_fe,
             "elevations_deg": elevs}

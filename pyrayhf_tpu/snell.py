@@ -29,6 +29,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from .absorption import absorption_coefficient, collision_frequency
 from .constants import C_KM_S, R_E
 from .interp import interp_exact
 from .magnetoionic import find_X, find_Y, find_mu_mup, mode_multiplier
@@ -40,36 +41,40 @@ _SPH_SUBSTEPS = 64       # midpoint substeps per regular interval
 _APEX_SUBSTEPS = 32      # √-substituted substeps on the apex interval
 
 
-def _prepend_ground(alt, ne, b, psi):
+def _prepend_ground(alt, *channels):
     """Always materialise a z=0 ground node (ref :1174-1182).
 
     If the profile already starts at 0 the duplicate node creates a
-    zero-length first layer, which contributes nothing anywhere.
+    zero-length first layer, which contributes nothing anywhere. Every
+    channel array in ``channels`` is extended by interpolation at the
+    ground node.
     """
     z0 = jnp.minimum(alt[0], 0.0)
-    ne0 = jnp.interp(z0, alt, ne)
-    b0 = jnp.interp(z0, alt, b)
-    psi0 = jnp.interp(z0, alt, psi)
     cat = lambda v0, v: jnp.concatenate([jnp.asarray(v0)[None], v])
-    return cat(z0, alt), cat(ne0, ne), cat(b0, b), cat(psi0, psi)
+    out = [cat(z0, alt)]
+    for ch in channels:
+        out.append(cat(jnp.interp(z0, alt, ch), ch))
+    return tuple(out)
 
 
-def _compact_valid(z, mu, mup=None):
+def _compact_valid(z, mu, mup=None, kappa=None):
     """Stable-sort the valid (finite μ) nodes to the front.
 
-    Returns (z_c, mu_c, mup_c, count): the first ``count`` entries are the
-    valid nodes in ascending altitude; the rest are +inf/NaN padding. This is
-    the static-shape equivalent of the reference's boolean compaction
-    (:1204-1205). ``mup_c`` gathers μ' through the same permutation (path
-    nodes land exactly on profile nodes, so the reference's per-path
-    ``np.interp`` over μ' reduces to this gather plus one apex interp).
+    Returns (z_c, mu_c, mup_c, kappa_c, count): the first ``count`` entries
+    are the valid nodes in ascending altitude; the rest are +inf/NaN
+    padding. This is the static-shape equivalent of the reference's boolean
+    compaction (:1204-1205). ``mup_c``/``kappa_c`` gather μ' and the
+    absorption coefficient through the same permutation (path nodes land
+    exactly on profile nodes, so the reference's per-path ``np.interp``
+    over μ' reduces to this gather plus one apex interp).
     """
     valid = jnp.isfinite(mu)
     order = jnp.argsort(jnp.where(valid, 0, 1), stable=True)
     z_c = jnp.where(valid[order], z[order], jnp.inf)
     mu_c = jnp.where(valid[order], mu[order], jnp.nan)
     mup_c = mup[order] if mup is not None else None
-    return z_c, mu_c, mup_c, jnp.sum(valid)
+    kappa_c = kappa[order] if kappa is not None else None
+    return z_c, mu_c, mup_c, kappa_c, jnp.sum(valid)
 
 
 def _turning_point(z_c, mu_c, count, p, weight):
@@ -102,7 +107,7 @@ def _mirror(x_up, z_up):
     return x_full, z_full
 
 
-def _metrics(x_full, z_full, ds, mup_seg, ok):
+def _metrics(x_full, z_full, ds, mup_seg, ok, kappa_seg=None):
     """Path length, group delay, midpoint, ground range (ref :1239-1258).
 
     The reference finds the midpoint by searchsorted on the cumulative arc;
@@ -132,10 +137,15 @@ def _metrics(x_full, z_full, ds, mup_seg, ok):
         "x_apex_km": jnp.where(ok, x_mid, nan),
         "z_apex_km": jnp.where(ok, z_mid, nan),
     }
+    if kappa_seg is not None:
+        # collisional loss along the whole mirrored path (see absorption.py)
+        absorb = jnp.nansum(jnp.where(jnp.isfinite(kappa_seg),
+                                      kappa_seg * ds, 0.0))
+        res["absorption_db"] = jnp.where(ok, absorb, nan)
     return res
 
 
-def _snell_cart_prep(f0_hz, alt, ne, babs, bpsi, mode_mult):
+def _snell_cart_prep(f0_hz, alt, ne, babs, bpsi, nu, mode_mult):
     """Frequency-dependent, elevation-independent precomputation."""
     mode = "O" if mode_mult > 0 else "X"
     X = find_X(ne, f0_hz)
@@ -143,12 +153,13 @@ def _snell_cart_prep(f0_hz, alt, ne, babs, bpsi, mode_mult):
     mu, mup = find_mu_mup(X, Y, bpsi, mode)
     mu = jnp.where(jnp.isfinite(mu) & (mu > 0.0), mu, jnp.nan)
     mup = jnp.where(jnp.isfinite(mup) & (mup > 0.0), mup, jnp.nan)
-    z_c, mu_c, mup_c, count = _compact_valid(alt, mu, mup)
-    return z_c, mu_c, mup_c, count, mup, mu[0]
+    kappa = absorption_coefficient(ne, nu, f0_hz, babs, bpsi, mu, mode)
+    z_c, mu_c, mup_c, kappa_c, count = _compact_valid(alt, mu, mup, kappa)
+    return z_c, mu_c, mup_c, kappa_c, count, mup, kappa, mu[0]
 
 
 def _snell_cart_ray(prep, alt, elevation_deg):
-    z_c, mu_c, mup_c, count, mup, mu0 = prep
+    z_c, mu_c, mup_c, kappa_c, count, mup, kappa, mu0 = prep
     theta0 = jnp.deg2rad(90.0 - elevation_deg)
     s0 = jnp.sin(theta0)
     p = mu0 * s0
@@ -165,6 +176,12 @@ def _snell_cart_ray(prep, alt, elevation_deg):
     mu_up = jnp.where(k <= i_cross, mu_c[jnp.minimum(k, n - 1)], p)
     mup_turn = interp_exact(z_turn, alt, mup)
     mup_up = jnp.where(k <= i_cross, mup_c[jnp.minimum(k, n - 1)], mup_turn)
+    # κ at the apex: μ(z_turn) = p > 0 for oblique rays, so κ is finite
+    # there (the deviative 1/μ enhancement saturates at 1/p); interpolated
+    # on the profile grid exactly like μ'
+    kappa_turn = interp_exact(z_turn, alt, kappa)
+    kappa_up = jnp.where(k <= i_cross, kappa_c[jnp.minimum(k, n - 1)],
+                         kappa_turn)
 
     dz = jnp.diff(z_up)
     mu_mid = 0.5 * (mu_up[:-1] + mu_up[1:])
@@ -181,23 +198,34 @@ def _snell_cart_ray(prep, alt, elevation_deg):
     ds = jnp.hypot(dx, dzf)
     mup_path = jnp.concatenate([mup_up, mup_up[::-1][1:]])
     mup_seg = 0.5 * (mup_path[1:] + mup_path[:-1])
-    return _metrics(x_full, z_full, ds, mup_seg, ok)
+    kappa_path = jnp.concatenate([kappa_up, kappa_up[::-1][1:]])
+    kappa_seg = 0.5 * (kappa_path[1:] + kappa_path[:-1])
+    return _metrics(x_full, z_full, ds, mup_seg, ok, kappa_seg)
 
 
 @partial(jax.jit, static_argnames=("mode_mult",))
-def _snell_cartesian_core(f0_hz, elevation_deg, alt, ne, babs, bpsi,
+def _snell_cartesian_core(f0_hz, elevation_deg, alt, ne, babs, bpsi, nu,
                           mode_mult):
-    alt, ne, babs, bpsi = _prepend_ground(alt, ne, babs, bpsi)
-    prep = _snell_cart_prep(f0_hz, alt, ne, babs, bpsi, mode_mult)
+    alt, ne, babs, bpsi, nu = _prepend_ground(alt, ne, babs, bpsi, nu)
+    prep = _snell_cart_prep(f0_hz, alt, ne, babs, bpsi, nu, mode_mult)
     return _snell_cart_ray(prep, alt, elevation_deg)
 
 
+def _resolve_nu(nu, alt_km):
+    if nu is None:
+        return collision_frequency(jnp.asarray(alt_km, dtype=float))
+    return jnp.asarray(nu, dtype=float)
+
+
 def trace_ray_cartesian_snells(f0_Hz, elevation_deg, alt_km, Ne, Babs, bpsi,
-                               mode):
+                               mode, nu=None):
     """Flat-Earth layered Snell trace; API-parity with ref :1096-1268.
 
     Returns a dict with the reference's keys; ``x``/``z`` are fixed-length
     padded paths (repeated apex/landing nodes carry zero-length segments).
+    Beyond the reference, ``absorption_db`` integrates the QL collisional
+    loss along the path (``nu``: ν [s⁻¹] on ``alt_km``, defaulting to
+    :func:`pyrayhf_tpu.absorption.collision_frequency`).
     """
     return _snell_cartesian_core(jnp.asarray(f0_Hz, dtype=float),
                                  jnp.asarray(elevation_deg, dtype=float),
@@ -205,22 +233,24 @@ def trace_ray_cartesian_snells(f0_Hz, elevation_deg, alt_km, Ne, Babs, bpsi,
                                  jnp.asarray(Ne, dtype=float),
                                  jnp.asarray(Babs, dtype=float),
                                  jnp.asarray(bpsi, dtype=float),
+                                 _resolve_nu(nu, alt_km),
                                  mode_mult=mode_multiplier(mode))
 
 
-def _snell_sph_prep(f0_hz, alt, ne, babs, bpsi, mode_mult):
+def _snell_sph_prep(f0_hz, alt, ne, babs, bpsi, nu, mode_mult):
     mode = "O" if mode_mult > 0 else "X"
     X = find_X(ne, f0_hz)
     Y = find_Y(f0_hz, babs)
     mu, mup = find_mu_mup(X, Y, bpsi, mode)
     mu = jnp.where(jnp.isfinite(mu) & (mu > 0.0), mu, jnp.nan)
     mup = jnp.where(jnp.isfinite(mup) & (mup > 0.0), mup, jnp.nan)
-    z_c, mu_c, mup_c, count = _compact_valid(alt, mu, mup)
-    return z_c, mu_c, mup_c, count, mup, mu[0]
+    kappa = absorption_coefficient(ne, nu, f0_hz, babs, bpsi, mu, mode)
+    z_c, mu_c, mup_c, kappa_c, count = _compact_valid(alt, mu, mup, kappa)
+    return z_c, mu_c, mup_c, kappa_c, count, mup, kappa, mu[0]
 
 
 def _snell_sph_ray(prep, alt, elevation_deg, re):
-    z_c, mu_c, mup_c, count, mup, mu0 = prep
+    z_c, mu_c, mup_c, kappa_c, count, mup, kappa, mu0 = prep
     theta0 = jnp.deg2rad(90.0 - elevation_deg)
     r0 = re + alt[0]
     p = mu0 * r0 * jnp.sin(theta0)
@@ -236,6 +266,9 @@ def _snell_sph_ray(prep, alt, elevation_deg, re):
                       p / (re + z_turn))
     mup_turn = interp_exact(z_turn, alt, mup)
     mup_up = jnp.where(k <= i_cross, mup_c[jnp.minimum(k, n - 1)], mup_turn)
+    kappa_turn = interp_exact(z_turn, alt, kappa)
+    kappa_up = jnp.where(k <= i_cross, kappa_c[jnp.minimum(k, n - 1)],
+                         kappa_turn)
 
     # dφ/dz = p / (r · sqrt((μ r)² − p²)), μ linear within each interval.
     z_a, z_b = z_up[:-1], z_up[1:]
@@ -285,21 +318,23 @@ def _snell_sph_ray(prep, alt, elevation_deg, re):
     ds = jnp.hypot(r_mid * phi_seg, dz_seg)
     mup_path = jnp.concatenate([mup_up, mup_up[::-1][1:]])
     mup_seg = 0.5 * (mup_path[:-1] + mup_path[1:])
-    return _metrics(x_full, z_full, ds, mup_seg, ok)
+    kappa_path = jnp.concatenate([kappa_up, kappa_up[::-1][1:]])
+    kappa_seg = 0.5 * (kappa_path[:-1] + kappa_path[1:])
+    return _metrics(x_full, z_full, ds, mup_seg, ok, kappa_seg)
 
 
 @partial(jax.jit, static_argnames=("mode_mult",))
-def _snell_spherical_core(f0_hz, elevation_deg, alt, ne, babs, bpsi,
+def _snell_spherical_core(f0_hz, elevation_deg, alt, ne, babs, bpsi, nu,
                           mode_mult, re):
-    alt, ne, babs, bpsi = _prepend_ground(alt, ne, babs, bpsi)
-    prep = _snell_sph_prep(f0_hz, alt, ne, babs, bpsi, mode_mult)
+    alt, ne, babs, bpsi, nu = _prepend_ground(alt, ne, babs, bpsi, nu)
+    prep = _snell_sph_prep(f0_hz, alt, ne, babs, bpsi, nu, mode_mult)
     return _snell_sph_ray(prep, alt, elevation_deg, re)
 
 
 def trace_ray_spherical_snells(f0_Hz, elevation_deg, alt_km, Ne, Babs, bpsi,
                                mode=None, *, dz_target_km=1.0,
                                apex_boost=200.0, max_substeps=400, R_E=None,
-                               config=None):
+                               nu=None, config=None):
     """Spherical-Earth layered Snell trace; API-parity with ref :1460-1713.
 
     ``dz_target_km``/``apex_boost``/``max_substeps`` are accepted for API
@@ -320,33 +355,34 @@ def trace_ray_spherical_snells(f0_Hz, elevation_deg, alt_km, Ne, Babs, bpsi,
                                  jnp.asarray(Ne, dtype=float),
                                  jnp.asarray(Babs, dtype=float),
                                  jnp.asarray(bpsi, dtype=float),
+                                 _resolve_nu(nu, alt_km),
                                  mode_mult=mode_multiplier(mode), re=re)
 
 
 @partial(jax.jit, static_argnames=("mode_mult",))
-def _snell_cart_fan(f0s, els, alt_km, ne0, b0, psi0, mode_mult):
-    alt, ne, b, psi = _prepend_ground(alt_km, ne0, b0, psi0)
+def _snell_cart_fan(f0s, els, alt_km, ne0, b0, psi0, nu0, mode_mult):
+    alt, ne, b, psi, nu = _prepend_ground(alt_km, ne0, b0, psi0, nu0)
 
     def per_freq(f0):
-        prep = _snell_cart_prep(f0, alt, ne, b, psi, mode_mult)
+        prep = _snell_cart_prep(f0, alt, ne, b, psi, nu, mode_mult)
         return jax.vmap(lambda el: _snell_cart_ray(prep, alt, el))(els)
 
     return jax.vmap(per_freq)(f0s)
 
 
 @partial(jax.jit, static_argnames=("mode_mult", "re"))
-def _snell_sph_fan(f0s, els, alt_km, ne0, b0, psi0, mode_mult, re):
-    alt, ne, b, psi = _prepend_ground(alt_km, ne0, b0, psi0)
+def _snell_sph_fan(f0s, els, alt_km, ne0, b0, psi0, nu0, mode_mult, re):
+    alt, ne, b, psi, nu = _prepend_ground(alt_km, ne0, b0, psi0, nu0)
 
     def per_freq(f0):
-        prep = _snell_sph_prep(f0, alt, ne, b, psi, mode_mult)
+        prep = _snell_sph_prep(f0, alt, ne, b, psi, nu, mode_mult)
         return jax.vmap(lambda el: _snell_sph_ray(prep, alt, el, re))(els)
 
     return jax.vmap(per_freq)(f0s)
 
 
 def trace_rays_cartesian_snells(f0_Hz, elevation_deg, alt_km, Ne, Babs, bpsi,
-                                mode):
+                                mode, nu=None):
     """Batched fan: f0 [F], elevation [E] → dict of [F, E, ...] arrays.
 
     One XLA launch for the whole (frequency × elevation) fan — this is the
@@ -358,11 +394,12 @@ def trace_rays_cartesian_snells(f0_Hz, elevation_deg, alt_km, Ne, Babs, bpsi,
                            jnp.asarray(Ne, dtype=float),
                            jnp.asarray(Babs, dtype=float),
                            jnp.asarray(bpsi, dtype=float),
+                           _resolve_nu(nu, alt_km),
                            mode_mult=mode_multiplier(mode))
 
 
 def trace_rays_spherical_snells(f0_Hz, elevation_deg, alt_km, Ne, Babs, bpsi,
-                                mode="O", R_E=None):
+                                mode="O", R_E=None, nu=None):
     """Batched spherical fan: [F] × [E] → dict of [F, E, ...] arrays."""
     re = globals()["R_E"] if R_E is None else float(R_E)
     return _snell_sph_fan(jnp.asarray(f0_Hz, dtype=float),
@@ -371,4 +408,5 @@ def trace_rays_spherical_snells(f0_Hz, elevation_deg, alt_km, Ne, Babs, bpsi,
                           jnp.asarray(Ne, dtype=float),
                           jnp.asarray(Babs, dtype=float),
                           jnp.asarray(bpsi, dtype=float),
+                          _resolve_nu(nu, alt_km),
                           mode_mult=mode_multiplier(mode), re=re)

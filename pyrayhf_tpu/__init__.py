@@ -67,3 +67,5 @@ from . import oblique
 from .absorption import (absorption_coefficient, collision_frequency,
                          vertical_absorption_operator)
 from . import absorption
+from .true_height import retrieve_profile, retrieve_profile_batch
+from . import true_height

@@ -1,0 +1,249 @@
+"""Non-parametric true-height inversion: ionogram vh(f) → Ne(h) profile.
+
+Capability beyond the reference: PyRayHF's inversion is parametric-only —
+``minimize_parameters`` fits two scalars (hmF2, B_bot) of an IRI-shaped
+layer (ref ``/root/reference/PyRayHF/library.py:672-825``). Real ionosonde
+processing also needs the classic *true-height* problem (POLAN, Titheridge
+1985; ARTIST): recover the electron-density profile itself from the trace,
+without assuming an IRI shape.
+
+Method — lamination, the classical recursion, built on this package's full
+magnetoionic operator instead of the historical field-simplified kernels:
+
+* the unknowns are the reflection (true) heights ``h_j`` of the observed
+  frequencies ``f_1 < … < f_K``; the densities there are known from
+  theory (O-mode: ``Ne_j = freq2den(f_j)``; X-mode: ``X + Y = 1`` gives
+  ``fN² = f(f − f_H(h_j))`` with the gyrofrequency at the knot height);
+* ``vh(f_i)`` depends only on the profile **below** ``h_i`` — the system
+  is triangular, so the knots solve bottom-up, one at a time;
+* for fixed lower knots, ``vh(f_i)`` is strictly increasing in ``h_i``
+  (raising the reflection point both lengthens the path and shallows the
+  density slope, and the group index exceeds 1 everywhere), so each
+  1-D solve is a guaranteed bisection — no Jacobian, no step control, no
+  local minima. A fixed bisection budget keeps every shape static: the
+  whole inversion is one ``lax.scan`` over frequencies with a
+  ``fori``-bisection per knot, each iteration evaluating the
+  single-frequency forward operator on its stretched reflection grid.
+
+A joint Levenberg–Marquardt on all K heights through ``jax.jacobian`` was
+tried first and crawls: the near-peak rows make the least-squares
+landscape violently nonlinear (|∂vh/∂h| explodes as f → foF2), shrinking
+the trust region to nothing. The triangular structure is the fix, not
+damping — the same insight behind every production true-height method.
+
+The classical caveats apply unchanged: underlying ionization below the
+first reflection is not sensed (the *starting problem* — a linear ramp
+from a small seed density is assumed, and its retardation is absorbed by
+the lowest knots), and E-valleys are invisible to a monotone profile.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .constants import G_P
+from .forward import vh_and_mask
+from .magnetoionic import freq2den, mode_multiplier
+
+__all__ = ["retrieve_profile", "retrieve_profile_batch"]
+
+# The lid above a trial knot must keep RISING: the regrid truncates the
+# profile PEAK-EXCLUSIVE (ref :371-375), so a flat lid's single argmax node
+# gets cut and the cutoff crossing vanishes — a rising wedge leaves many
+# super-cutoff nodes in place.
+_SEED_FRAC = 0.05       # floor plasma frequency = this × f_1 (start model)
+
+
+def _knot_density(f_hz, h, alt, b_mag, mode_mult):
+    """Reflection density for one frequency (O: X=1; X: X+Y=1 at h)."""
+    if mode_mult > 0:
+        return freq2den(f_hz)
+    f_gyro = G_P * jnp.interp(h, alt, b_mag)
+    return freq2den(jnp.sqrt(jnp.maximum(f_hz * (f_hz - f_gyro), 0.0)))
+
+
+@partial(jax.jit,
+         static_argnames=("mode_mult", "n_points", "n_bisect", "n_passes"))
+def _retrieve_profile_core(f_sorted_hz, obs_sorted, alt, b_mag, b_psi,
+                           mode_mult, n_points, n_bisect, n_passes,
+                           start_gap):
+    freq_mhz = f_sorted_hz / 1e6
+    alt0, alt_top = alt[0], alt[-1]
+    k = f_sorted_hz.shape[0]
+    ne_floor = freq2den(_SEED_FRAC * f_sorted_hz[0])
+
+    def vh_one(f_mhz_i, den):
+        vh, valid = vh_and_mask(f_mhz_i[None], den, b_mag, b_psi, alt,
+                                mode_mult=mode_mult, n_points=n_points)
+        return jnp.where(valid[0], vh[0], jnp.inf)
+
+    def place_knot(carry, xs):
+        den_below, h_prev, ne_prev = carry
+        f_hz_i, f_mhz_i, obs_i, gap, lid_prev = xs
+
+        def candidate(h):
+            """Profile with the trial knot (h, ne_i) on top of den_below.
+
+            The first knot's segment rises from the floor over ``gap`` km
+            (the start model); later knots anchor at the previous knot
+            (``gap`` is +inf for them). The lid above the trial knot uses
+            the previous pass's slope toward the NEXT knot when available
+            (NaN on the first pass), else continues the segment's slope —
+            the lid slope sets where the regrid's interpolated cutoff
+            crossing lands, i.e. the μ' tail just above the reflection
+            point, so matching the final assembled profile matters.
+            """
+            ne_i = _knot_density(f_hz_i, h, alt, b_mag, mode_mult)
+            anchor_h = jnp.maximum(h_prev, h - gap)
+            anchor_ne = jnp.where(anchor_h > h_prev, ne_floor, ne_prev)
+            slope = (ne_i - anchor_ne) / jnp.maximum(h - anchor_h, 1e-9)
+            seg = anchor_ne + (alt - anchor_h) * slope
+            # floor the lid slope so degenerate (near-duplicate-frequency)
+            # knots still produce a rising wedge above the cutoff
+            lid_slope = jnp.maximum(
+                jnp.where(jnp.isfinite(lid_prev), lid_prev, slope),
+                ne_i * 1e-6)
+            lid = ne_i + lid_slope * (alt - h)
+            den = jnp.where(alt <= h_prev, den_below,
+                            jnp.where(alt <= anchor_h, ne_floor,
+                                      jnp.where(alt <= h, seg, lid)))
+            return den, ne_i
+
+        # vh(h) is monotone increasing; vh >= h always (mu' >= 1), so the
+        # observed virtual height bounds the true height from above
+        lo0 = h_prev + 1e-2
+        hi0 = jnp.clip(obs_i, lo0 + 1e-2, alt_top - 1.0)
+
+        def bisect(_, bounds):
+            lo, hi = bounds
+            mid = 0.5 * (lo + hi)
+            vh_mid = vh_one(f_mhz_i, candidate(mid)[0])
+            go_down = vh_mid > obs_i
+            return (jnp.where(go_down, lo, mid),
+                    jnp.where(go_down, mid, hi))
+
+        lo, hi = jax.lax.fori_loop(0, n_bisect, bisect, (lo0, hi0))
+        h_i = 0.5 * (lo + hi)
+        den_i, ne_i = candidate(h_i)
+        # freeze the profile below the new knot for the next laminations
+        den_next = jnp.where(alt <= h_i, den_i, 0.0)
+        return (den_next, h_i, ne_i), (h_i, ne_i)
+
+    den0 = jnp.where(alt <= alt0, ne_floor, 0.0)
+    gaps = jnp.full((k,), jnp.inf).at[0].set(start_gap)
+    lid_slopes = jnp.full((k,), jnp.nan)
+    for _ in range(n_passes):
+        (_, _, _), (h, ne) = jax.lax.scan(
+            place_knot, (den0, alt0, ne_floor),
+            (f_sorted_hz, freq_mhz, obs_sorted, gaps, lid_slopes))
+        # refinement passes replace the continuation lid above knot i with
+        # this pass's actual slope toward knot i+1 (last knot keeps NaN →
+        # continuation)
+        lid_slopes = jnp.concatenate(
+            [jnp.diff(ne) / jnp.maximum(jnp.diff(h), 1e-9),
+             jnp.full((1,), jnp.nan)])
+
+    # final profile: start ramp + all knots + a peak wedge wide enough to
+    # survive the peak-exclusive truncation on the caller's grid, then a
+    # descending (unsensed, purely cosmetic) topside
+    w = 3.0 * jnp.max(jnp.diff(alt))
+    h_peak = jnp.minimum(h[-1] + w, alt_top - 1e-3)
+    slope_top = jnp.maximum((ne[-1] - ne[-2])
+                            / jnp.maximum(h[-1] - h[-2], 1e-9),
+                            ne[-1] * 1e-6)
+    anchor0 = jnp.clip(h[0] - start_gap, alt0 + 1e-3, h[0] - 1e-3)
+    h_all = jnp.concatenate([alt[:1] - 1e-6, anchor0[None], h,
+                             h_peak[None], alt[-1:] + 1e-3])
+    ne_all = jnp.concatenate([ne_floor[None], ne_floor[None], ne,
+                              (ne[-1] + slope_top * (h_peak - h[-1]))[None],
+                              ne[-1:] * 0.5])
+    den_fit = jnp.interp(alt, h_all, ne_all)
+    vh_fit, valid = vh_and_mask(freq_mhz, den_fit, b_mag, b_psi, alt,
+                                mode_mult=mode_mult, n_points=n_points)
+    vh_fit = jnp.where(valid, vh_fit, jnp.nan)
+    return h, ne, den_fit, vh_fit
+
+
+def retrieve_profile(f_in, vh_obs, alt, b_mag, b_psi, mode="O",
+                     n_points=200, n_bisect=36, n_passes=2,
+                     start_gap_km=20.0):
+    """Invert an ionogram into a monotone Ne(h) profile (true height).
+
+    Args mirror :func:`pyrayhf_tpu.retrieval.minimize_parameters`
+    (``f_in`` in MHz like the retrieval module, ``vh_obs`` in km;
+    non-finite pairs are dropped). Returns a dict:
+
+    * ``h_knots_km`` [K] — retrieved reflection (true) height of each
+      observed frequency, the lamination unknowns;
+    * ``ne_knots_m3`` [K] — plasma density at each knot (from theory);
+    * ``den_fit`` [N_alt] — the fitted profile on ``alt``;
+    * ``vh_fit`` [K] — the model ionogram at the solution;
+    * ``rms_km`` — final RMS vh misfit;
+    * ``f_sorted_hz`` [K] — the frequencies actually fitted (ascending).
+
+    ``n_bisect`` bisection steps resolve each height to
+    ``(vh_obs − h_prev) / 2**n_bisect`` km (36 ⇒ sub-micrometre — the
+    residual misfit measures model-class error, not solver error).
+    ``n_passes`` lamination sweeps: passes beyond the first replace the
+    slope-continuation lid above each trial knot with the previous pass's
+    actual inter-knot slope, tightening the μ' tail geometry at each
+    reflection (in-model-class ionograms refit to ≲0.1 km rms with 2).
+
+    ``start_gap_km`` is the start model: ionization is assumed to rise
+    from a negligible floor over this many km below the first reflection
+    height. Vertical ionograms cannot sense underlying/valley ionization
+    (the classical starting problem), so this assumption — not the solver
+    — sets the absolute height accuracy of the lowest knots; E-valleys
+    bias the heights above the valley upward, exactly as in every
+    true-height method since POLAN.
+    """
+    f = jnp.asarray(f_in, dtype=float) * 1e6
+    obs = jnp.asarray(vh_obs, dtype=float)
+    ok = jnp.isfinite(f) & jnp.isfinite(obs)
+    order = jnp.argsort(jnp.where(ok, f, jnp.inf))
+    k = int(jnp.sum(ok))
+    if k < 2:
+        raise ValueError("retrieve_profile needs at least 2 finite "
+                         "(frequency, virtual height) samples")
+    f_sorted = jnp.sort(jnp.where(ok, f, jnp.inf))[:k]
+    obs_sorted = obs[order][:k]
+    alt = jnp.asarray(alt, dtype=float)
+    h, ne, den_fit, vh_fit = _retrieve_profile_core(
+        f_sorted, obs_sorted, alt, jnp.asarray(b_mag, dtype=float),
+        jnp.asarray(b_psi, dtype=float),
+        mode_mult=mode_multiplier(mode), n_points=n_points,
+        n_bisect=n_bisect, n_passes=n_passes,
+        start_gap=jnp.asarray(start_gap_km, float))
+    rms = jnp.sqrt(jnp.nanmean((vh_fit - obs_sorted) ** 2))
+    return {"h_knots_km": h, "ne_knots_m3": ne, "den_fit": den_fit,
+            "vh_fit": vh_fit, "rms_km": rms, "f_sorted_hz": f_sorted}
+
+
+def retrieve_profile_batch(f_in, vh_obs_batch, alt, b_mag, b_psi, mode="O",
+                           n_points=200, n_bisect=36, n_passes=2,
+                           start_gap_km=20.0):
+    """Batched true-height inversion: ``vh_obs_batch`` [B, K] → stacked
+    results (one ``vmap``ped lamination scan, single XLA launch).
+
+    All B ionograms share the frequency grid ``f_in`` [MHz] (the usual
+    campaign layout) and must be all-finite — pre-filter with the
+    single-ionogram entry point if traces have gaps.
+    """
+    f = jnp.asarray(f_in, dtype=float) * 1e6
+    obs = jnp.asarray(vh_obs_batch, dtype=float)
+    order = jnp.argsort(f)
+    f_sorted = f[order]
+    obs_sorted = obs[:, order]
+    alt = jnp.asarray(alt, dtype=float)
+    core = partial(_retrieve_profile_core,
+                   mode_mult=mode_multiplier(mode), n_points=n_points,
+                   n_bisect=n_bisect, n_passes=n_passes,
+                   start_gap=jnp.asarray(start_gap_km, float))
+    h, ne, den_fit, vh_fit = jax.vmap(
+        lambda o: core(f_sorted, o, alt,
+                       jnp.asarray(b_mag, dtype=float),
+                       jnp.asarray(b_psi, dtype=float)))(obs_sorted)
+    rms = jnp.sqrt(jnp.nanmean((vh_fit - obs_sorted) ** 2, axis=1))
+    return {"h_knots_km": h, "ne_knots_m3": ne, "den_fit": den_fit,
+            "vh_fit": vh_fit, "rms_km": rms, "f_sorted_hz": f_sorted}

@@ -41,6 +41,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .constants import G_P
 from .forward import vh_and_mask
@@ -53,6 +54,31 @@ __all__ = ["retrieve_profile", "retrieve_profile_batch"]
 # gets cut and the cutoff crossing vanishes — a rising wedge leaves many
 # super-cutoff nodes in place.
 _SEED_FRAC = 0.05       # floor plasma frequency = this × f_1 (start model)
+
+
+def _check_inputs(f_sorted_hz, b_mag, mode_mult, n_passes, n_bisect):
+    """Host-side validation shared by both entry points.
+
+    Returns the effective ``n_bisect`` (capped at 24 under f32, where
+    the midpoint update stalls at float resolution — see docstrings).
+    """
+    if n_passes < 1:
+        raise ValueError("n_passes must be >= 1")
+    if mode_mult < 0:
+        # the X-mode knot relation fN² = f(f − fH) is only meaningful
+        # above the gyrofrequency; sub-gyro samples would silently get
+        # zero knot density and corrupt every knot above
+        f_gyro_max = float(G_P * np.max(np.asarray(b_mag)))
+        f_min = float(f_sorted_hz[0])
+        if f_min <= f_gyro_max:
+            raise ValueError(
+                f"X-mode true-height inversion needs every frequency "
+                f"above the gyrofrequency (min f = {f_min / 1e6:.3f} MHz "
+                f"<= max fH = {f_gyro_max / 1e6:.3f} MHz) — drop the "
+                f"sub-gyro samples")
+    if jnp.asarray(1.0).dtype != jnp.float64:
+        n_bisect = min(n_bisect, 24)
+    return n_bisect
 
 
 def _knot_density(f_hz, h, alt, b_mag, mode_mult):
@@ -72,6 +98,12 @@ def _retrieve_profile_core(f_sorted_hz, obs_sorted, alt, b_mag, b_psi,
     alt0, alt_top = alt[0], alt[-1]
     k = f_sorted_hz.shape[0]
     ne_floor = freq2den(_SEED_FRAC * f_sorted_hz[0])
+    dmax = jnp.max(jnp.diff(alt))
+    # knot ceiling: keep >= 2 grid nodes above any trial knot so the
+    # peak-exclusive flat-extension cannot erase the cutoff crossing on
+    # coarse grids; w is the final peak-wedge width for the same reason
+    h_ceil = alt_top - 2.0 * dmax
+    w = 3.0 * dmax
 
     def vh_one(f_mhz_i, den):
         vh, valid = vh_and_mask(f_mhz_i[None], den, b_mag, b_psi, alt,
@@ -111,9 +143,16 @@ def _retrieve_profile_core(f_sorted_hz, obs_sorted, alt, b_mag, b_psi,
             return den, ne_i
 
         # vh(h) is monotone increasing; vh >= h always (mu' >= 1), so the
-        # observed virtual height bounds the true height from above
+        # observed virtual height bounds the true height from above. The
+        # ceiling leaves >= 2 grid nodes above the knot (the regrid's
+        # peak-exclusive truncation needs super-cutoff nodes to survive);
+        # the hi >= lo floor keeps the bracket proper even when a
+        # saturated predecessor sits at the ceiling — knots then stack
+        # 1e-2 apart instead of inverting the bracket (which would feed
+        # unsorted xp into the final jnp.interp).
         lo0 = h_prev + 1e-2
-        hi0 = jnp.clip(obs_i, lo0 + 1e-2, alt_top - 1.0)
+        hi0 = jnp.maximum(jnp.clip(obs_i, lo0 + 1e-2, h_ceil),
+                          lo0 + 1e-2)
 
         def bisect(_, bounds):
             lo, hi = bounds
@@ -146,15 +185,19 @@ def _retrieve_profile_core(f_sorted_hz, obs_sorted, alt, b_mag, b_psi,
 
     # final profile: start ramp + all knots + a peak wedge wide enough to
     # survive the peak-exclusive truncation on the caller's grid, then a
-    # descending (unsensed, purely cosmetic) topside
-    w = 3.0 * jnp.max(jnp.diff(alt))
-    h_peak = jnp.minimum(h[-1] + w, alt_top - 1e-3)
+    # descending (unsensed, purely cosmetic) topside. Each assembled node
+    # is forced above its predecessor so jnp.interp always sees sorted xp
+    # even when saturated knots stacked at the ceiling.
+    h_peak = jnp.maximum(jnp.minimum(h[-1] + w, alt_top - 1e-3),
+                         h[-1] + 1e-3)
     slope_top = jnp.maximum((ne[-1] - ne[-2])
                             / jnp.maximum(h[-1] - h[-2], 1e-9),
                             ne[-1] * 1e-6)
     anchor0 = jnp.clip(h[0] - start_gap, alt0 + 1e-3, h[0] - 1e-3)
     h_all = jnp.concatenate([alt[:1] - 1e-6, anchor0[None], h,
-                             h_peak[None], alt[-1:] + 1e-3])
+                             h_peak[None],
+                             jnp.maximum(alt[-1:] + 1e-3,
+                                         h_peak[None] + 1e-3)])
     ne_all = jnp.concatenate([ne_floor[None], ne_floor[None], ne,
                               (ne[-1] + slope_top * (h_peak - h[-1]))[None],
                               ne[-1:] * 0.5])
@@ -183,8 +226,12 @@ def retrieve_profile(f_in, vh_obs, alt, b_mag, b_psi, mode="O",
     * ``f_sorted_hz`` [K] — the frequencies actually fitted (ascending).
 
     ``n_bisect`` bisection steps resolve each height to
-    ``(vh_obs − h_prev) / 2**n_bisect`` km (36 ⇒ sub-micrometre — the
-    residual misfit measures model-class error, not solver error).
+    ``(vh_obs − h_prev) / 2**n_bisect`` km (36 ⇒ sub-micrometre under
+    f64 — the residual misfit measures model-class error, not solver
+    error). Under default-f32 JAX the midpoint update stalls at float32
+    resolution after ~24 steps, so ``n_bisect`` is capped at 24 there
+    (every step past the stall would re-run the full single-frequency
+    forward for zero refinement).
     ``n_passes`` lamination sweeps: passes beyond the first replace the
     slope-continuation lid above each trial knot with the previous pass's
     actual inter-knot slope, tightening the μ' tail geometry at each
@@ -206,13 +253,16 @@ def retrieve_profile(f_in, vh_obs, alt, b_mag, b_psi, mode="O",
     if k < 2:
         raise ValueError("retrieve_profile needs at least 2 finite "
                          "(frequency, virtual height) samples")
-    f_sorted = jnp.sort(jnp.where(ok, f, jnp.inf))[:k]
+    f_sorted = f[order][:k]
     obs_sorted = obs[order][:k]
     alt = jnp.asarray(alt, dtype=float)
+    mode_mult = mode_multiplier(mode)
+    n_bisect = _check_inputs(f_sorted, b_mag, mode_mult, n_passes,
+                             n_bisect)
     h, ne, den_fit, vh_fit = _retrieve_profile_core(
         f_sorted, obs_sorted, alt, jnp.asarray(b_mag, dtype=float),
         jnp.asarray(b_psi, dtype=float),
-        mode_mult=mode_multiplier(mode), n_points=n_points,
+        mode_mult=mode_mult, n_points=n_points,
         n_bisect=n_bisect, n_passes=n_passes,
         start_gap=jnp.asarray(start_gap_km, float))
     rms = jnp.sqrt(jnp.nanmean((vh_fit - obs_sorted) ** 2))
@@ -232,12 +282,23 @@ def retrieve_profile_batch(f_in, vh_obs_batch, alt, b_mag, b_psi, mode="O",
     """
     f = jnp.asarray(f_in, dtype=float) * 1e6
     obs = jnp.asarray(vh_obs_batch, dtype=float)
+    if f.shape[0] < 2:
+        raise ValueError("retrieve_profile_batch needs at least 2 "
+                         "(frequency, virtual height) samples")
+    if not (np.all(np.isfinite(np.asarray(f)))
+            and np.all(np.isfinite(np.asarray(obs)))):
+        raise ValueError("retrieve_profile_batch requires all-finite "
+                         "frequencies and traces (pre-filter gapped "
+                         "traces with retrieve_profile)")
     order = jnp.argsort(f)
     f_sorted = f[order]
     obs_sorted = obs[:, order]
     alt = jnp.asarray(alt, dtype=float)
+    mode_mult = mode_multiplier(mode)
+    n_bisect = _check_inputs(f_sorted, b_mag, mode_mult, n_passes,
+                             n_bisect)
     core = partial(_retrieve_profile_core,
-                   mode_mult=mode_multiplier(mode), n_points=n_points,
+                   mode_mult=mode_mult, n_points=n_points,
                    n_bisect=n_bisect, n_passes=n_passes,
                    start_gap=jnp.asarray(start_gap_km, float))
     h, ne, den_fit, vh_fit = jax.vmap(

@@ -111,3 +111,38 @@ def test_too_few_samples_raises(chapman):
     alt, den, bmag, bpsi, _ = chapman
     with pytest.raises(ValueError, match="at least 2"):
         retrieve_profile([5.0], [250.0], alt, bmag, bpsi)
+    with pytest.raises(ValueError, match="at least 2"):
+        retrieve_profile_batch([5.0], [[250.0]], alt, bmag, bpsi)
+
+
+def test_input_guards(chapman):
+    alt, den, bmag, bpsi, _ = chapman
+    with pytest.raises(ValueError, match="n_passes"):
+        retrieve_profile([3.0, 5.0], [150.0, 250.0], alt, bmag, bpsi,
+                         n_passes=0)
+    with pytest.raises(ValueError, match="all-finite"):
+        retrieve_profile_batch([3.0, 5.0], [[150.0, np.nan]], alt,
+                               bmag, bpsi)
+    # X-mode knot relation fN^2 = f(f - fH) needs f above the
+    # gyrofrequency (fH ~ 1.26 MHz for |B| = 4.5e-5 T)
+    with pytest.raises(ValueError, match="gyrofrequency"):
+        retrieve_profile([1.0, 5.0], [120.0, 250.0], alt, bmag, bpsi,
+                         mode="X")
+
+
+def test_saturated_trace_stays_sorted(chapman):
+    """Observed vh beyond what the model can reach within the grid must
+    not corrupt the profile assembly (knots saturate at the ceiling and
+    stack, den_fit stays monotone-interpolable)."""
+    alt, den, bmag, bpsi, freq = chapman
+    vh = np.asarray(vertical_forward_operator(freq, den, bmag, bpsi, alt,
+                                              mode="O"))
+    vh_bad = vh.copy()
+    vh_bad[-3:] = 2000.0            # unreachable spike near foF2
+    out = retrieve_profile(freq, vh_bad, alt, bmag, bpsi)
+    h = np.asarray(out["h_knots_km"])
+    assert np.all(np.diff(h) > 0)
+    assert np.all(np.isfinite(np.asarray(out["den_fit"])))
+    # the untouched lower trace still fits
+    resid = np.asarray(out["vh_fit"])[:-3] - vh[:-3]
+    assert np.nanmax(np.abs(resid)) < 1.0

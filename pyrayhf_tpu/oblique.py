@@ -23,21 +23,22 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from .constants import C_KM_S, R_E
 from .snell import trace_rays_cartesian_snells, trace_rays_spherical_snells
 
 __all__ = ["synthesize_oblique_ionogram",
            "synthesize_oblique_ionogram_2d"]
 
 
-def _crossings(range_e, delay_e, absorb_e, elev, target, max_jump,
+def _crossings(range_e, delay_e, absorb_e, path_e, elev, target, max_jump,
                delay_min):
     """Low/high-ray delays+elevations from one frequency's elevation fan.
 
-    ``range_e``/``delay_e``/``absorb_e``: [E] landing range / group delay /
-    path absorption per elevation (NaN where the ray escapes); finds sign
-    changes of (range − target) between consecutive valid elevations and
-    linearly interpolates delay and absorption. Two spurious-crossing
-    filters:
+    ``range_e``/``delay_e``/``absorb_e``/``path_e``: [E] landing range /
+    group delay / path absorption / group path per elevation (NaN where
+    the ray escapes); finds sign changes of (range − target) between
+    consecutive valid elevations and linearly interpolates the channels.
+    Two spurious-crossing filters:
 
     * pairs whose landing range JUMPS by more than ``max_jump`` are
       layer-transition discontinuities (e.g. E-hop → F-hop), not real
@@ -48,7 +49,9 @@ def _crossings(range_e, delay_e, absorb_e, elev, target, max_jump,
       several sub-``max_jump`` steps.
 
     Returns (delay_low, delay_high, elev_low, elev_high,
-    absorb_low, absorb_high).
+    absorb_low, absorb_high, path_low, path_high, slope_low, slope_high)
+    where slope is the crossing pair's dD/dβ [km/rad] — the ray-tube
+    divergence the focusing gain needs.
     """
     d = range_e - target
     ok = jnp.isfinite(d)
@@ -65,6 +68,9 @@ def _crossings(range_e, delay_e, absorb_e, elev, target, max_jump,
     dl_pair = delay_e[:-1] + t * (delay_e[1:] - delay_e[:-1])
     el_pair = elev[:-1] + t * (elev[1:] - elev[:-1])
     ab_pair = absorb_e[:-1] + t * (absorb_e[1:] - absorb_e[:-1])
+    pa_pair = path_e[:-1] + t * (path_e[1:] - path_e[:-1])
+    sl_pair = ((range_e[1:] - range_e[:-1])
+               / jnp.deg2rad(elev[1:] - elev[:-1]))
     valid = cross & (dl_pair >= delay_min)
     any_cross = jnp.any(valid)
 
@@ -76,7 +82,36 @@ def _crossings(range_e, delay_e, absorb_e, elev, target, max_jump,
             jnp.where(any_cross, el_pair[first], nan),
             jnp.where(any_cross, el_pair[last], nan),
             jnp.where(any_cross, ab_pair[first], nan),
-            jnp.where(any_cross, ab_pair[last], nan))
+            jnp.where(any_cross, ab_pair[last], nan),
+            jnp.where(any_cross, pa_pair[first], nan),
+            jnp.where(any_cross, pa_pair[last], nan),
+            jnp.where(any_cross, sl_pair[first], nan),
+            jnp.where(any_cross, sl_pair[last], nan))
+
+
+def _focusing_gain_db(path_km, slope_km_rad, elev_deg, d_total_km,
+                      geometry):
+    """Ionospheric focusing gain [dB] relative to free space over the
+    same (group) path length.
+
+    Ray-tube argument (Davies, *Ionospheric Radio*, ch. 7): a tube
+    launched into solid angle cosβ·dβ·dφ lands on a ground annulus of
+    width |dD/dβ|·dβ at great-circle radius D, with arrival elevation β
+    (symmetric path), so the power ratio to free space at distance s is
+
+        G = s² cosβ / (R_E·sin(D/R_E) · |dD/dβ| · sinβ)
+
+    (flat Earth: R_E·sin(D/R_E) → D). Near the skip distance / MUF nose
+    |dD/dβ| → 0 and G diverges — the classical caustic focusing of the
+    high (Pedersen) and low rays merging; the finite elevation sampling
+    keeps the reported value finite but large there.
+    """
+    beta = jnp.deg2rad(elev_deg)
+    spread = (d_total_km if geometry == "cartesian"
+              else R_E * jnp.sin(d_total_km / R_E))
+    g = (path_km ** 2 * jnp.cos(beta)
+         / (spread * jnp.abs(slope_km_rad) * jnp.sin(beta)))
+    return 10.0 * jnp.log10(g)
 
 
 def synthesize_oblique_ionogram(f0s_hz, ground_range_km, alt_km, Ne, Babs,
@@ -92,8 +127,15 @@ def synthesize_oblique_ionogram(f0s_hz, ground_range_km, alt_km, Ne, Babs,
     elevations [deg] and path absorptions [dB] that land at the target
     range (NaN above the link MUF). Keys: ``delay_low_sec``,
     ``delay_high_sec``, ``elev_low_deg``, ``elev_high_deg``,
-    ``absorption_low_db``, ``absorption_high_db``, plus the raw fan
-    (``fan_range_km``, ``fan_delay_sec``, ``elevations_deg``).
+    ``absorption_low_db``, ``absorption_high_db``,
+    ``group_path_low_km``/``..._high_km``, and
+    ``focusing_gain_low_db``/``..._high_db`` — the ionospheric focusing
+    term of the link budget (received power vs free space over the same
+    group path; see :func:`_focusing_gain_db` — diverges toward the MUF
+    nose where low and high rays merge at the skip-distance caustic),
+    plus the raw fan (``fan_range_km``, ``fan_delay_sec``,
+    ``elevations_deg``). Link budget: free-space loss at the group path
+    − ``absorption_*_db`` + ``focusing_gain_*_db``.
 
     ``geometry``: 'cartesian' (flat Earth) or 'spherical'.
     ``max_range_jump_km`` rejects crossings interpolated across
@@ -122,10 +164,10 @@ def synthesize_oblique_ionogram(f0s_hz, ground_range_km, alt_km, Ne, Babs,
     range_fe = jnp.asarray(fan["ground_range_km"])        # [F, E]
     delay_fe = jnp.asarray(fan["group_delay_sec"])
     absorb_fe = jnp.asarray(fan["absorption_db"])
+    path_fe = jnp.asarray(fan["group_path_km"])
 
     # per-hop target; physical floor: per-hop chord distance / c
     # (μ' ≥ 1 ⇒ no ray is faster)
-    from .constants import C_KM_S, R_E
     D = float(ground_range_km) / n_hops
     chord = (D if geometry == "cartesian"
              else 2.0 * R_E * jnp.sin(0.5 * D / R_E))
@@ -133,13 +175,24 @@ def synthesize_oblique_ionogram(f0s_hz, ground_range_km, alt_km, Ne, Babs,
                  target=jnp.asarray(D, dtype=float),
                  max_jump=jnp.asarray(max_range_jump_km, dtype=float),
                  delay_min=jnp.asarray(chord, dtype=float) / C_KM_S)
-    dl_lo, dl_hi, el_lo, el_hi, ab_lo, ab_hi = jax.vmap(
-        lambda r, d, a: fn(r, d, a))(range_fe, delay_fe, absorb_fe)
+    (dl_lo, dl_hi, el_lo, el_hi, ab_lo, ab_hi, pa_lo, pa_hi, sl_lo,
+     sl_hi) = jax.vmap(lambda r, d, a, p: fn(r, d, a, p))(
+        range_fe, delay_fe, absorb_fe, path_fe)
+    # n identical hops: total path and total dD/dβ both scale by n
+    d_tot = float(ground_range_km)
+    fg_lo = _focusing_gain_db(n_hops * pa_lo, n_hops * sl_lo, el_lo,
+                              d_tot, geometry)
+    fg_hi = _focusing_gain_db(n_hops * pa_hi, n_hops * sl_hi, el_hi,
+                              d_tot, geometry)
     return {"delay_low_sec": n_hops * dl_lo,
             "delay_high_sec": n_hops * dl_hi,
             "elev_low_deg": el_lo, "elev_high_deg": el_hi,
             "absorption_low_db": n_hops * ab_lo,
             "absorption_high_db": n_hops * ab_hi,
+            "group_path_low_km": n_hops * pa_lo,
+            "group_path_high_km": n_hops * pa_hi,
+            "focusing_gain_low_db": fg_lo,
+            "focusing_gain_high_db": fg_hi,
             "fan_range_km": range_fe, "fan_delay_sec": delay_fe,
             "elevations_deg": elevs}
 
@@ -222,11 +275,11 @@ def _fan_2d_fn(z_np, x_np, mode, geometry, n_elev, n_steps, n_hops):
                     n_hops=n_hops, kappa_func=kapf)
             out = jax.vmap(fn)(elevs)
             return (out["ground_range_km"], out["group_delay_sec"],
-                    out["absorption_db"])
+                    out["absorption_db"], out["group_path_km"])
 
-        range_fe, delay_fe, absorb_fe = jax.vmap(per_freq)(mu_f, mup_f,
-                                                           kappa_f)
-        return range_fe, delay_fe, absorb_fe, elevs
+        range_fe, delay_fe, absorb_fe, path_fe = jax.vmap(per_freq)(
+            mu_f, mup_f, kappa_f)
+        return range_fe, delay_fe, absorb_fe, path_fe, elevs
 
     if len(_FAN_2D_CACHE) > 16:
         _FAN_2D_CACHE.clear()
@@ -270,7 +323,6 @@ def synthesize_oblique_ionogram_2d(f0s_hz, ground_range_km, x_grid_km,
     import numpy as np
 
     from .absorption import collision_frequency
-    from .constants import C_KM_S, R_E
 
     if geometry not in ("cartesian", "spherical"):
         raise ValueError("geometry must be 'cartesian' or 'spherical'")
@@ -298,7 +350,7 @@ def synthesize_oblique_ionogram_2d(f0s_hz, ground_range_km, x_grid_km,
     n_steps = int(round(float(s_max_km) / float(step_km)))
     fan = _fan_2d_fn(z, x, mode, geometry, int(n_elev), n_steps,
                      int(n_hops))
-    range_fe, delay_fe, absorb_fe, elevs = fan(
+    range_fe, delay_fe, absorb_fe, path_fe, elevs = fan(
         jnp.asarray(f0s), jnp.asarray([float(elev_min_deg),
                                        float(elev_max_deg)]),
         jnp.asarray(Ne2d), jnp.asarray(Babs2d), jnp.asarray(bpsi2d),
@@ -312,10 +364,19 @@ def synthesize_oblique_ionogram_2d(f0s_hz, ground_range_km, x_grid_km,
                  max_jump=jnp.asarray(max_range_jump_km, dtype=float),
                  delay_min=jnp.asarray(int(n_hops) * chord_1,
                                        dtype=float) / C_KM_S)
-    dl_lo, dl_hi, el_lo, el_hi, ab_lo, ab_hi = jax.vmap(
-        lambda r, d, a: fn(r, d, a))(range_fe, delay_fe, absorb_fe)
+    (dl_lo, dl_hi, el_lo, el_hi, ab_lo, ab_hi, pa_lo, pa_hi, sl_lo,
+     sl_hi) = jax.vmap(lambda r, d, a, p: fn(r, d, a, p))(
+        range_fe, delay_fe, absorb_fe, path_fe)
+    # fan ranges/paths are already n-hop totals here (true through-the-
+    # bounce tracing); launch elevation stands in for arrival elevation
+    # in the focusing formula — exact for symmetric paths, an
+    # approximation under tilts
+    fg_lo = _focusing_gain_db(pa_lo, sl_lo, el_lo, D, geometry)
+    fg_hi = _focusing_gain_db(pa_hi, sl_hi, el_hi, D, geometry)
     return {"delay_low_sec": dl_lo, "delay_high_sec": dl_hi,
             "elev_low_deg": el_lo, "elev_high_deg": el_hi,
             "absorption_low_db": ab_lo, "absorption_high_db": ab_hi,
+            "group_path_low_km": pa_lo, "group_path_high_km": pa_hi,
+            "focusing_gain_low_db": fg_lo, "focusing_gain_high_db": fg_hi,
             "fan_range_km": range_fe, "fan_delay_sec": delay_fe,
             "elevations_deg": elevs}

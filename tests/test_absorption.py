@@ -227,3 +227,47 @@ def test_oblique_2d_multihop_homing():
     assert np.abs(d2[m] / dr[m] - 1).max() < 0.02
     a2 = np.asarray(out2["absorption_low_db"])
     assert (a2[m] > 0).all()
+
+
+def test_focusing_gain_mirror_limit():
+    """Ray-tube algebra check: a steep quasi-mirror layer on flat Earth
+    focuses nothing — D = 2h/tanβ gives G ≡ 1 exactly, so the reported
+    focusing gain must be ~0 dB (and the homed elevation analytic)."""
+    from pyrayhf_tpu.magnetoionic import freq2den
+    from pyrayhf_tpu.oblique import synthesize_oblique_ionogram
+
+    alt = np.arange(0.0, 400.0, 0.5)
+    ne_top = freq2den(25e6)
+    den = np.clip((alt - 250.0) / 20.0, 0.0, 1.0) * ne_top + 1e6
+    bmag = np.full_like(alt, 1e-9)
+    bpsi = np.full_like(alt, 45.0)
+    out = synthesize_oblique_ionogram(
+        np.array([8e6]), 800.0, alt, den, bmag, bpsi,
+        mode="O", geometry="cartesian", n_elev=1024)
+    fg = float(out["focusing_gain_low_db"][0])
+    assert abs(fg) < 0.3, fg
+    # reflection ~1.6 km into the ramp: atan(2*251.6/800) = 32.2 deg
+    assert abs(float(out["elev_low_deg"][0]) - 32.1) < 0.5
+    # group path ≈ 2*hypot(400, 251.6) (mirror geometry + retardation)
+    assert abs(float(out["group_path_low_km"][0]) - 944.0) < 5.0
+
+
+def test_focusing_gain_keys_and_nan_structure(profile):
+    """Focusing/path keys follow the delay NaN structure and are finite
+    below the link MUF in both geometries."""
+    from pyrayhf_tpu.oblique import synthesize_oblique_ionogram
+
+    alt, den, bmag, bpsi = profile
+    f0s = np.arange(4e6, 13e6, 1e6)
+    for geom in ("cartesian", "spherical"):
+        o = synthesize_oblique_ionogram(f0s, 1000.0, alt, den, bmag, bpsi,
+                                        geometry=geom, n_elev=181)
+        d = np.asarray(o["delay_low_sec"])
+        fg = np.asarray(o["focusing_gain_low_db"])
+        pa = np.asarray(o["group_path_low_km"])
+        m = np.isfinite(d)
+        assert m.any()
+        assert np.isfinite(fg[m]).all() and np.isfinite(pa[m]).all()
+        assert np.isnan(fg[~m]).all() and np.isnan(pa[~m]).all()
+        # every physical path exceeds the straight-line link distance
+        assert (pa[m] > 1000.0).all()

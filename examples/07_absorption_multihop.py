@@ -57,19 +57,29 @@ def main():
     # --- oblique link budget: 1 hop vs 2 hops over the same range ---
     D = 2400.0
     f0s = np.arange(6e6, 30e6, 2e6)
-    print(f"\noblique link budget, {D:.0f} km (spherical Earth):")
-    print(f"{'f [MHz]':>8} | {'1-hop ms':>9} {'loss dB':>8} | "
-          f"{'2-hop ms':>9} {'loss dB':>8}")
+    print(f"\noblique link budget, {D:.0f} km (spherical Earth; total =")
+    print("free-space over the group path + absorption - focusing):")
+    print(f"{'f [MHz]':>8} | {'1-hop ms':>9} {'abs dB':>7} {'foc dB':>7} "
+          f"{'tot dB':>7} | {'2-hop ms':>9} {'tot dB':>7}")
     outs = {n: prt.synthesize_oblique_ionogram(
         f0s, D, alt, den, bmag, bpsi, geometry="spherical",
         n_elev=512, n_hops=n) for n in (1, 2)}
     for i in range(f0s.size):
-        cols = [f"{f0s[i]/1e6:8.1f}"]
-        for n in (1, 2):
-            dl = float(np.asarray(outs[n]["delay_low_sec"])[i])
-            ab = float(np.asarray(outs[n]["absorption_low_db"])[i])
-            cols.append(f"{dl*1e3:9.3f} {ab:8.2f}" if np.isfinite(dl)
-                        else f"{'--':>9} {'--':>8}")
+        o1 = outs[1]
+        dl = float(np.asarray(o1["delay_low_sec"])[i])
+        if np.isfinite(dl):
+            cols = [f"{f0s[i]/1e6:8.1f}",
+                    f"{dl*1e3:9.3f} "
+                    f"{float(np.asarray(o1['absorption_low_db'])[i]):7.2f} "
+                    f"{float(np.asarray(o1['focusing_gain_low_db'])[i]):+7.2f} "
+                    f"{float(np.asarray(o1['link_loss_low_db'])[i]):7.1f}"]
+        else:
+            cols = [f"{f0s[i]/1e6:8.1f}",
+                    f"{'--':>9} {'--':>7} {'--':>7} {'--':>7}"]
+        dl2 = float(np.asarray(outs[2]["delay_low_sec"])[i])
+        cols.append(f"{dl2*1e3:9.3f} "
+                    f"{float(np.asarray(outs[2]['link_loss_low_db'])[i]):7.1f}"
+                    if np.isfinite(dl2) else f"{'--':>9} {'--':>7}")
         print(" | ".join(cols))
     for n in (1, 2):
         dl = np.asarray(outs[n]["delay_low_sec"])

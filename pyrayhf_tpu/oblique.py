@@ -114,6 +114,15 @@ def _focusing_gain_db(path_km, slope_km_rad, elev_deg, d_total_km,
     return 10.0 * jnp.log10(g)
 
 
+def _link_loss_db(f0s_hz, path_km, absorb_db, focus_db):
+    """Total one-way link loss [dB]: free-space spreading over the group
+    path (32.45 + 20·log₁₀ f[MHz] + 20·log₁₀ d[km], isotropic antennas)
+    + collisional absorption − focusing gain."""
+    fspl = (32.45 + 20.0 * jnp.log10(f0s_hz / 1e6)
+            + 20.0 * jnp.log10(path_km))
+    return fspl + absorb_db - focus_db
+
+
 def synthesize_oblique_ionogram(f0s_hz, ground_range_km, alt_km, Ne, Babs,
                                 bpsi, mode="O", geometry="cartesian",
                                 n_elev=512, elev_min_deg=5.0,
@@ -133,9 +142,10 @@ def synthesize_oblique_ionogram(f0s_hz, ground_range_km, alt_km, Ne, Babs,
     term of the link budget (received power vs free space over the same
     group path; see :func:`_focusing_gain_db` — diverges toward the MUF
     nose where low and high rays merge at the skip-distance caustic),
-    plus the raw fan (``fan_range_km``, ``fan_delay_sec``,
-    ``elevations_deg``). Link budget: free-space loss at the group path
-    − ``absorption_*_db`` + ``focusing_gain_*_db``.
+    plus ``link_loss_low/high_db`` (the assembled one-way budget:
+    free-space spreading over the group path + absorption − focusing,
+    isotropic antennas) and the raw fan (``fan_range_km``,
+    ``fan_delay_sec``, ``elevations_deg``).
 
     ``geometry``: 'cartesian' (flat Earth) or 'spherical'.
     ``max_range_jump_km`` rejects crossings interpolated across
@@ -193,6 +203,10 @@ def synthesize_oblique_ionogram(f0s_hz, ground_range_km, alt_km, Ne, Babs,
             "group_path_high_km": n_hops * pa_hi,
             "focusing_gain_low_db": fg_lo,
             "focusing_gain_high_db": fg_hi,
+            "link_loss_low_db": _link_loss_db(
+                f0s, n_hops * pa_lo, n_hops * ab_lo, fg_lo),
+            "link_loss_high_db": _link_loss_db(
+                f0s, n_hops * pa_hi, n_hops * ab_hi, fg_hi),
             "fan_range_km": range_fe, "fan_delay_sec": delay_fe,
             "elevations_deg": elevs}
 
@@ -378,5 +392,9 @@ def synthesize_oblique_ionogram_2d(f0s_hz, ground_range_km, x_grid_km,
             "absorption_low_db": ab_lo, "absorption_high_db": ab_hi,
             "group_path_low_km": pa_lo, "group_path_high_km": pa_hi,
             "focusing_gain_low_db": fg_lo, "focusing_gain_high_db": fg_hi,
+            "link_loss_low_db": _link_loss_db(jnp.asarray(f0s, float),
+                                              pa_lo, ab_lo, fg_lo),
+            "link_loss_high_db": _link_loss_db(jnp.asarray(f0s, float),
+                                               pa_hi, ab_hi, fg_hi),
             "fan_range_km": range_fe, "fan_delay_sec": delay_fe,
             "elevations_deg": elevs}

@@ -271,3 +271,29 @@ def test_focusing_gain_keys_and_nan_structure(profile):
         assert np.isnan(fg[~m]).all() and np.isnan(pa[~m]).all()
         # every physical path exceeds the straight-line link distance
         assert (pa[m] > 1000.0).all()
+
+
+def test_link_loss_assembly(profile):
+    """link_loss_*_db is exactly FSPL(f, n_hops·path) + absorption −
+    focusing, with the standard 32.45 dB free-space constant."""
+    from pyrayhf_tpu.oblique import synthesize_oblique_ionogram
+
+    alt, den, bmag, bpsi = profile
+    f0s = np.arange(5e6, 12e6, 1e6)
+    o = synthesize_oblique_ionogram(f0s, 1200.0, alt, den, bmag, bpsi,
+                                    geometry="spherical", n_elev=181,
+                                    n_hops=2)
+    d = np.asarray(o["delay_low_sec"])
+    m = np.isfinite(d)
+    assert m.any()
+    for leg in ("low", "high"):
+        pa = np.asarray(o[f"group_path_{leg}_km"])
+        ab = np.asarray(o[f"absorption_{leg}_db"])
+        fg = np.asarray(o[f"focusing_gain_{leg}_db"])
+        ll = np.asarray(o[f"link_loss_{leg}_db"])
+        mk = np.isfinite(np.asarray(o[f"delay_{leg}_sec"]))
+        fspl = 32.45 + 20 * np.log10(f0s / 1e6) + 20 * np.log10(pa)
+        np.testing.assert_allclose(ll[mk], (fspl + ab - fg)[mk], rtol=1e-6)
+        assert np.isnan(ll[~mk]).all()
+        # HF skywave losses over 1200 km land in a physical band
+        assert (ll[mk] > 80).all() and (ll[mk] < 200).all()

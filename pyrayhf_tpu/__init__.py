@@ -16,7 +16,8 @@ from .magnetoionic import (den2freq, find_mu_mup, find_mu_mup_masked, find_X,
                            find_Y, freq2den, mode_multiplier)
 from .grid import regrid_to_nonuniform_grid, smooth_nonuniform_grid
 from .forward import (find_vh, vertical_forward_operator,
-                      vertical_forward_operator_batch, vh_and_mask)
+                      vertical_forward_operator_batch, vertical_phase_operator,
+                      vh_and_mask)
 from .fields import (build_mup_function,
                      build_refractive_index_interpolator_cartesian,
                      build_refractive_index_interpolator_spherical)
@@ -69,3 +70,5 @@ from .absorption import (absorption_coefficient, collision_frequency,
 from . import absorption
 from .true_height import retrieve_profile, retrieve_profile_batch
 from . import true_height
+from .faraday import faraday_rotation_vertical
+from . import faraday

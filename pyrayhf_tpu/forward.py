@@ -33,7 +33,8 @@ from .magnetoionic import (find_X, find_Y, find_mu_mup, find_mu_mup_masked,
                            mode_multiplier)
 
 __all__ = ["find_vh", "vertical_forward_operator",
-           "vertical_forward_operator_batch", "vh_and_mask"]
+           "vertical_forward_operator_batch", "vh_and_mask",
+           "vertical_phase_operator"]
 
 
 def find_vh(X, Y, bpsi, dh, alt_min, mode, arithmetic="stable"):
@@ -206,6 +207,45 @@ def vertical_forward_operator_batch(freq, den, bmag, bpsi, alt,
     return _forward_batch_core(jnp.asarray(freq), den, jnp.asarray(bmag),
                                jnp.asarray(bpsi), alt,
                                mode_mult=mm, n_points=n_points)
+
+
+@partial(jax.jit, static_argnames=("mode_mult", "n_points"))
+def _phase_core(freq_mhz, den, bmag, bpsi, alt, mode_mult, n_points):
+    freq_hz = jnp.asarray(freq_mhz, dtype=float) * 1e6
+    rg = regrid_core(freq_hz, den, bmag, bpsi, alt,
+                     mode_mult=mode_mult, n_points=n_points)
+    aX = find_X(rg["den"], rg["freq"])
+    aY = find_Y(rg["freq"], rg["bmag"])
+    mode = "O" if mode_mult > 0 else "X"
+    mu, _ = find_mu_mup(aX, aY, rg["bpsi"], mode)
+    # μ → 0 at the reflection height, so the integrand is bounded (no
+    # ceiling needed, unlike μ' in find_vh); NaN rows are escaped rays
+    mu = jnp.where(jnp.isfinite(mu) & (mu >= 0.0), mu, jnp.nan)
+    ph = jnp.nansum(mu * rg["dist"], axis=1)
+    ph = jnp.where(ph == 0.0, jnp.nan, ph)
+    return ph + jnp.min(alt)
+
+
+def vertical_phase_operator(freq, den, bmag, bpsi, alt, mode=None,
+                            n_points=None, config=None):
+    """Phase height h_p(f) = alt_min + ∫ μ dh [km] per frequency [MHz].
+
+    Companion to :func:`vertical_forward_operator` (which integrates the
+    group index μ'); same regrid discretisation, arguments and NaN-escape
+    semantics. Beyond the reference: since μ ≤ 1 ≤ μ', always
+    h_p(f) ≤ true reflection height ≤ virtual height h'(f). The O−X phase
+    difference at a common frequency feeds Faraday-rotation estimates
+    (see :mod:`pyrayhf_tpu.faraday`), and ∂h_p/∂t of a time-parameterised
+    profile gives the vertical-incidence Doppler shift −(f/c)·2·dh_p/dt
+    via ``jax.grad``.
+    """
+    from .config import resolve
+    mode = resolve(config, "mode", mode, "O")
+    n_points = resolve(config, "n_points", n_points, 200)
+    return _phase_core(jnp.asarray(freq), jnp.asarray(den),
+                       jnp.asarray(bmag), jnp.asarray(bpsi),
+                       jnp.asarray(alt),
+                       mode_mult=mode_multiplier(mode), n_points=n_points)
 
 
 @partial(jax.jit, static_argnames=("mode_mult", "n_points"))

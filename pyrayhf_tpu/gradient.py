@@ -254,7 +254,7 @@ def _integrate_adaptive(rhs, y0, n_attempts, s_max, h0, rtol, atol,
     return ys, alive, status
 
 
-def _path_metrics(x_path, z_path, ds_seg, mup_mid, status):
+def _path_metrics(x_path, z_path, ds_seg, mup_mid, status, mu_mid=None):
     group_path = jnp.nansum(ds_seg)
     valid = jnp.isfinite(mup_mid)
     group_delay = jnp.nansum(
@@ -268,10 +268,15 @@ def _path_metrics(x_path, z_path, ds_seg, mup_mid, status):
     z_mid = z_path[mid_idx]
     landed = status == _STATUS["ground"]
     ground_range = jnp.where(landed, x_path[-1], jnp.nan)
-    return {"group_path_km": group_path, "group_delay_sec": group_delay,
-            "x_midpoint": x_mid, "z_midpoint": z_mid,
-            "ground_range_km": ground_range,
-            "x_apex_km": x_apex, "z_apex_km": z_apex}
+    out = {"group_path_km": group_path, "group_delay_sec": group_delay,
+           "x_midpoint": x_mid, "z_midpoint": z_mid,
+           "ground_range_km": ground_range,
+           "x_apex_km": x_apex, "z_apex_km": z_apex}
+    if mu_mid is not None:
+        # phase path P = ∫ μ ds (beyond the reference; see snell._metrics)
+        out["phase_path_km"] = jnp.nansum(
+            jnp.where(jnp.isfinite(mu_mid), mu_mid * ds_seg, 0.0))
+    return out
 
 
 @partial(jax.jit, static_argnames=("n_and_grad", "mup_func", "n_steps",
@@ -316,7 +321,8 @@ def _cart_gradient_core(n_and_grad, mup_func, x0, z0, elevation_deg, ds,
     x_m = 0.5 * (x_path[:-1] + x_path[1:])
     z_m = 0.5 * (z_path[:-1] + z_path[1:])
     mup_mid = mup_func(x_m, z_m)
-    out = _path_metrics(x_path, z_path, ds_seg, mup_mid, status)
+    mu_mid = n_and_grad(x_m, z_m)[0]
+    out = _path_metrics(x_path, z_path, ds_seg, mup_mid, status, mu_mid)
     if kappa_func is not None:
         kappa_mid = kappa_func(x_m, z_m)
         out["absorption_db"] = jnp.nansum(
@@ -472,7 +478,9 @@ def _sph_gradient_core(n_and_grad_rphi, mup_func, x0, z0, elevation_deg, ds,
     x_m = 0.5 * (x_path[:-1] + x_path[1:])
     z_m = 0.5 * (z_path[:-1] + z_path[1:])
     mup_mid = mup_func(x_m, z_m)
-    out = _path_metrics(x_path, z_path, ds_seg, mup_mid, status)
+    phi_m = 0.5 * (phi_path[:-1] + phi_path[1:])
+    mu_mid = n_and_grad_rphi(phi_m, re + z_m)[0]
+    out = _path_metrics(x_path, z_path, ds_seg, mup_mid, status, mu_mid)
     if kappa_func is not None:
         kappa_mid = kappa_func(x_m, z_m)
         out["absorption_db"] = jnp.nansum(

@@ -30,15 +30,15 @@ __all__ = ["synthesize_oblique_ionogram",
            "synthesize_oblique_ionogram_2d"]
 
 
-def _crossings(range_e, delay_e, absorb_e, path_e, elev, target, max_jump,
-               delay_min):
-    """Low/high-ray delays+elevations from one frequency's elevation fan.
+def _crossings(range_e, chans, elev, target, max_jump, delay_min):
+    """Low/high-ray crossings from one frequency's elevation fan.
 
-    ``range_e``/``delay_e``/``absorb_e``/``path_e``: [E] landing range /
-    group delay / path absorption / group path per elevation (NaN where
-    the ray escapes); finds sign changes of (range − target) between
-    consecutive valid elevations and linearly interpolates the channels.
-    Two spurious-crossing filters:
+    ``range_e``: [E] landing range per elevation (NaN where the ray
+    escapes); ``chans``: tuple of [E] channels to interpolate at the
+    crossings, group delay FIRST (it feeds the physicality filter).
+    Finds sign changes of (range − target) between consecutive valid
+    elevations and linearly interpolates every channel. Two
+    spurious-crossing filters:
 
     * pairs whose landing range JUMPS by more than ``max_jump`` are
       layer-transition discontinuities (e.g. E-hop → F-hop), not real
@@ -48,10 +48,10 @@ def _crossings(range_e, delay_e, absorb_e, path_e, elev, target, max_jump,
       this catches transitions the elevation sampling smears into
       several sub-``max_jump`` steps.
 
-    Returns (delay_low, delay_high, elev_low, elev_high,
-    absorb_low, absorb_high, path_low, path_high, slope_low, slope_high)
-    where slope is the crossing pair's dD/dβ [km/rad] — the ray-tube
-    divergence the focusing gain needs.
+    Returns (lo, hi): each a tuple of the interpolated ``chans`` followed
+    by the crossing elevation [deg] and the crossing pair's slope dD/dβ
+    [km/rad] (the ray-tube divergence the focusing gain needs). All NaN
+    when no physical crossing exists (above the link MUF).
     """
     d = range_e - target
     ok = jnp.isfinite(d)
@@ -65,28 +65,20 @@ def _crossings(range_e, delay_e, absorb_e, path_e, elev, target, max_jump,
     d0, d1 = d[:-1], d[1:]
     t = jnp.where(d1 != d0, d0 / jnp.where(d1 != d0, d0 - d1, 1.0), 0.0)
     t = jnp.clip(t, 0.0, 1.0)
-    dl_pair = delay_e[:-1] + t * (delay_e[1:] - delay_e[:-1])
     el_pair = elev[:-1] + t * (elev[1:] - elev[:-1])
-    ab_pair = absorb_e[:-1] + t * (absorb_e[1:] - absorb_e[:-1])
-    pa_pair = path_e[:-1] + t * (path_e[1:] - path_e[:-1])
     sl_pair = ((range_e[1:] - range_e[:-1])
                / jnp.deg2rad(elev[1:] - elev[:-1]))
-    valid = cross & (dl_pair >= delay_min)
+    pairs = [c[:-1] + t * (c[1:] - c[:-1]) for c in chans]
+    pairs += [el_pair, sl_pair]
+    valid = cross & (pairs[0] >= delay_min)
     any_cross = jnp.any(valid)
 
     first = jnp.argmax(valid)
     last = d.shape[0] - 2 - jnp.argmax(valid[::-1])
     nan = jnp.nan
-    return (jnp.where(any_cross, dl_pair[first], nan),
-            jnp.where(any_cross, dl_pair[last], nan),
-            jnp.where(any_cross, el_pair[first], nan),
-            jnp.where(any_cross, el_pair[last], nan),
-            jnp.where(any_cross, ab_pair[first], nan),
-            jnp.where(any_cross, ab_pair[last], nan),
-            jnp.where(any_cross, pa_pair[first], nan),
-            jnp.where(any_cross, pa_pair[last], nan),
-            jnp.where(any_cross, sl_pair[first], nan),
-            jnp.where(any_cross, sl_pair[last], nan))
+    lo = tuple(jnp.where(any_cross, p[first], nan) for p in pairs)
+    hi = tuple(jnp.where(any_cross, p[last], nan) for p in pairs)
+    return lo, hi
 
 
 def _focusing_gain_db(path_km, slope_km_rad, elev_deg, d_total_km,
@@ -137,7 +129,10 @@ def synthesize_oblique_ionogram(f0s_hz, ground_range_km, alt_km, Ne, Babs,
     range (NaN above the link MUF). Keys: ``delay_low_sec``,
     ``delay_high_sec``, ``elev_low_deg``, ``elev_high_deg``,
     ``absorption_low_db``, ``absorption_high_db``,
-    ``group_path_low_km``/``..._high_km``, and
+    ``group_path_low_km``/``..._high_km``,
+    ``phase_path_low_km``/``..._high_km`` (P = ∫μ ds at the link — its
+    time derivative through a time-parameterised ionosphere is the
+    link Doppler), and
     ``focusing_gain_low_db``/``..._high_db`` — the ionospheric focusing
     term of the link budget (received power vs free space over the same
     group path; see :func:`_focusing_gain_db` — diverges toward the MUF
@@ -175,6 +170,7 @@ def synthesize_oblique_ionogram(f0s_hz, ground_range_km, alt_km, Ne, Babs,
     delay_fe = jnp.asarray(fan["group_delay_sec"])
     absorb_fe = jnp.asarray(fan["absorption_db"])
     path_fe = jnp.asarray(fan["group_path_km"])
+    phase_fe = jnp.asarray(fan["phase_path_km"])
 
     # per-hop target; physical floor: per-hop chord distance / c
     # (μ' ≥ 1 ⇒ no ray is faster)
@@ -185,9 +181,10 @@ def synthesize_oblique_ionogram(f0s_hz, ground_range_km, alt_km, Ne, Babs,
                  target=jnp.asarray(D, dtype=float),
                  max_jump=jnp.asarray(max_range_jump_km, dtype=float),
                  delay_min=jnp.asarray(chord, dtype=float) / C_KM_S)
-    (dl_lo, dl_hi, el_lo, el_hi, ab_lo, ab_hi, pa_lo, pa_hi, sl_lo,
-     sl_hi) = jax.vmap(lambda r, d, a, p: fn(r, d, a, p))(
-        range_fe, delay_fe, absorb_fe, path_fe)
+    lo, hi = jax.vmap(lambda r, c: fn(r, c))(
+        range_fe, (delay_fe, absorb_fe, path_fe, phase_fe))
+    dl_lo, ab_lo, pa_lo, ph_lo, el_lo, sl_lo = lo
+    dl_hi, ab_hi, pa_hi, ph_hi, el_hi, sl_hi = hi
     # n identical hops: total path and total dD/dβ both scale by n
     d_tot = float(ground_range_km)
     fg_lo = _focusing_gain_db(n_hops * pa_lo, n_hops * sl_lo, el_lo,
@@ -201,6 +198,8 @@ def synthesize_oblique_ionogram(f0s_hz, ground_range_km, alt_km, Ne, Babs,
             "absorption_high_db": n_hops * ab_hi,
             "group_path_low_km": n_hops * pa_lo,
             "group_path_high_km": n_hops * pa_hi,
+            "phase_path_low_km": n_hops * ph_lo,
+            "phase_path_high_km": n_hops * ph_hi,
             "focusing_gain_low_db": fg_lo,
             "focusing_gain_high_db": fg_hi,
             "link_loss_low_db": _link_loss_db(
@@ -289,11 +288,12 @@ def _fan_2d_fn(z_np, x_np, mode, geometry, n_elev, n_steps, n_hops):
                     n_hops=n_hops, kappa_func=kapf)
             out = jax.vmap(fn)(elevs)
             return (out["ground_range_km"], out["group_delay_sec"],
-                    out["absorption_db"], out["group_path_km"])
+                    out["absorption_db"], out["group_path_km"],
+                    out["phase_path_km"])
 
-        range_fe, delay_fe, absorb_fe, path_fe = jax.vmap(per_freq)(
-            mu_f, mup_f, kappa_f)
-        return range_fe, delay_fe, absorb_fe, path_fe, elevs
+        range_fe, delay_fe, absorb_fe, path_fe, phase_fe = jax.vmap(
+            per_freq)(mu_f, mup_f, kappa_f)
+        return range_fe, delay_fe, absorb_fe, path_fe, phase_fe, elevs
 
     if len(_FAN_2D_CACHE) > 16:
         _FAN_2D_CACHE.clear()
@@ -364,7 +364,7 @@ def synthesize_oblique_ionogram_2d(f0s_hz, ground_range_km, x_grid_km,
     n_steps = int(round(float(s_max_km) / float(step_km)))
     fan = _fan_2d_fn(z, x, mode, geometry, int(n_elev), n_steps,
                      int(n_hops))
-    range_fe, delay_fe, absorb_fe, path_fe, elevs = fan(
+    range_fe, delay_fe, absorb_fe, path_fe, phase_fe, elevs = fan(
         jnp.asarray(f0s), jnp.asarray([float(elev_min_deg),
                                        float(elev_max_deg)]),
         jnp.asarray(Ne2d), jnp.asarray(Babs2d), jnp.asarray(bpsi2d),
@@ -378,9 +378,10 @@ def synthesize_oblique_ionogram_2d(f0s_hz, ground_range_km, x_grid_km,
                  max_jump=jnp.asarray(max_range_jump_km, dtype=float),
                  delay_min=jnp.asarray(int(n_hops) * chord_1,
                                        dtype=float) / C_KM_S)
-    (dl_lo, dl_hi, el_lo, el_hi, ab_lo, ab_hi, pa_lo, pa_hi, sl_lo,
-     sl_hi) = jax.vmap(lambda r, d, a, p: fn(r, d, a, p))(
-        range_fe, delay_fe, absorb_fe, path_fe)
+    lo, hi = jax.vmap(lambda r, c: fn(r, c))(
+        range_fe, (delay_fe, absorb_fe, path_fe, phase_fe))
+    dl_lo, ab_lo, pa_lo, ph_lo, el_lo, sl_lo = lo
+    dl_hi, ab_hi, pa_hi, ph_hi, el_hi, sl_hi = hi
     # fan ranges/paths are already n-hop totals here (true through-the-
     # bounce tracing); launch elevation stands in for arrival elevation
     # in the focusing formula — exact for symmetric paths, an
@@ -391,6 +392,7 @@ def synthesize_oblique_ionogram_2d(f0s_hz, ground_range_km, x_grid_km,
             "elev_low_deg": el_lo, "elev_high_deg": el_hi,
             "absorption_low_db": ab_lo, "absorption_high_db": ab_hi,
             "group_path_low_km": pa_lo, "group_path_high_km": pa_hi,
+            "phase_path_low_km": ph_lo, "phase_path_high_km": ph_hi,
             "focusing_gain_low_db": fg_lo, "focusing_gain_high_db": fg_hi,
             "link_loss_low_db": _link_loss_db(jnp.asarray(f0s, float),
                                               pa_lo, ab_lo, fg_lo),

@@ -107,7 +107,7 @@ def _mirror(x_up, z_up):
     return x_full, z_full
 
 
-def _metrics(x_full, z_full, ds, mup_seg, ok, kappa_seg=None):
+def _metrics(x_full, z_full, ds, mup_seg, ok, kappa_seg=None, mu_seg=None):
     """Path length, group delay, midpoint, ground range (ref :1239-1258).
 
     The reference finds the midpoint by searchsorted on the cumulative arc;
@@ -142,6 +142,14 @@ def _metrics(x_full, z_full, ds, mup_seg, ok, kappa_seg=None):
         absorb = jnp.nansum(jnp.where(jnp.isfinite(kappa_seg),
                                       kappa_seg * ds, 0.0))
         res["absorption_db"] = jnp.where(ok, absorb, nan)
+    if mu_seg is not None:
+        # phase path P = ∫ μ ds (beyond the reference, which integrates
+        # only μ'). P ≤ geometric length ≤ group path since μ ≤ 1 ≤ μ';
+        # the O−X phase-path difference feeds Faraday-rotation estimates
+        # (see faraday.py), and ∂P/∂t of a time-parameterised ionosphere
+        # gives the Doppler shift −(f/c)·dP/dt via jax.grad.
+        phase = jnp.nansum(mu_seg * ds)
+        res["phase_path_km"] = jnp.where(ok, phase, nan)
     return res
 
 
@@ -200,7 +208,9 @@ def _snell_cart_ray(prep, alt, elevation_deg):
     mup_seg = 0.5 * (mup_path[1:] + mup_path[:-1])
     kappa_path = jnp.concatenate([kappa_up, kappa_up[::-1][1:]])
     kappa_seg = 0.5 * (kappa_path[1:] + kappa_path[:-1])
-    return _metrics(x_full, z_full, ds, mup_seg, ok, kappa_seg)
+    mu_path = jnp.concatenate([mu_up, mu_up[::-1][1:]])
+    mu_seg = 0.5 * (mu_path[1:] + mu_path[:-1])
+    return _metrics(x_full, z_full, ds, mup_seg, ok, kappa_seg, mu_seg)
 
 
 @partial(jax.jit, static_argnames=("mode_mult",))
@@ -320,7 +330,9 @@ def _snell_sph_ray(prep, alt, elevation_deg, re):
     mup_seg = 0.5 * (mup_path[:-1] + mup_path[1:])
     kappa_path = jnp.concatenate([kappa_up, kappa_up[::-1][1:]])
     kappa_seg = 0.5 * (kappa_path[:-1] + kappa_path[1:])
-    return _metrics(x_full, z_full, ds, mup_seg, ok, kappa_seg)
+    mu_path = jnp.concatenate([mu_up, mu_up[::-1][1:]])
+    mu_seg = 0.5 * (mu_path[:-1] + mu_path[1:])
+    return _metrics(x_full, z_full, ds, mup_seg, ok, kappa_seg, mu_seg)
 
 
 @partial(jax.jit, static_argnames=("mode_mult",))

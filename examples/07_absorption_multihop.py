@@ -55,15 +55,17 @@ def main():
           f"nu(90km)={nu[1]:.2e} nu(110km)={nu[2]:.2e} 1/s")
 
     # --- oblique link budget: 1 hop vs 2 hops over the same range ---
+    # (2-hop bounces off medium dry ground — Fresnel loss, ground.py)
     D = 2400.0
     f0s = np.arange(6e6, 30e6, 2e6)
     print(f"\noblique link budget, {D:.0f} km (spherical Earth; total =")
-    print("free-space over the group path + absorption - focusing):")
+    print("free-space over the group path + absorption + ground - focusing;")
+    print("2-hop mid-bounce on 'medium' ground, gnd = its Fresnel dB):")
     print(f"{'f [MHz]':>8} | {'1-hop ms':>9} {'abs dB':>7} {'foc dB':>7} "
-          f"{'tot dB':>7} | {'2-hop ms':>9} {'tot dB':>7}")
+          f"{'tot dB':>7} | {'2-hop ms':>9} {'gnd dB':>7} {'tot dB':>7}")
     outs = {n: prt.synthesize_oblique_ionogram(
         f0s, D, alt, den, bmag, bpsi, geometry="spherical",
-        n_elev=512, n_hops=n) for n in (1, 2)}
+        n_elev=512, n_hops=n, ground="medium") for n in (1, 2)}
     for i in range(f0s.size):
         o1 = outs[1]
         dl = float(np.asarray(o1["delay_low_sec"])[i])
@@ -77,9 +79,11 @@ def main():
             cols = [f"{f0s[i]/1e6:8.1f}",
                     f"{'--':>9} {'--':>7} {'--':>7} {'--':>7}"]
         dl2 = float(np.asarray(outs[2]["delay_low_sec"])[i])
-        cols.append(f"{dl2*1e3:9.3f} "
-                    f"{float(np.asarray(outs[2]['link_loss_low_db'])[i]):7.1f}"
-                    if np.isfinite(dl2) else f"{'--':>9} {'--':>7}")
+        cols.append(
+            f"{dl2*1e3:9.3f} "
+            f"{float(np.asarray(outs[2]['ground_loss_low_db'])[i]):7.2f} "
+            f"{float(np.asarray(outs[2]['link_loss_low_db'])[i]):7.1f}"
+            if np.isfinite(dl2) else f"{'--':>9} {'--':>7} {'--':>7}")
         print(" | ".join(cols))
     for n in (1, 2):
         dl = np.asarray(outs[n]["delay_low_sec"])

@@ -106,13 +106,28 @@ def _focusing_gain_db(path_km, slope_km_rad, elev_deg, d_total_km,
     return 10.0 * jnp.log10(g)
 
 
-def _link_loss_db(f0s_hz, path_km, absorb_db, focus_db):
+def _link_loss_db(f0s_hz, path_km, absorb_db, focus_db, ground_db=0.0):
     """Total one-way link loss [dB]: free-space spreading over the group
     path (32.45 + 20·log₁₀ f[MHz] + 20·log₁₀ d[km], isotropic antennas)
-    + collisional absorption − focusing gain."""
+    + collisional absorption + ground-bounce loss − focusing gain."""
     fspl = (32.45 + 20.0 * jnp.log10(f0s_hz / 1e6)
             + 20.0 * jnp.log10(path_km))
-    return fspl + absorb_db - focus_db
+    return fspl + absorb_db + ground_db - focus_db
+
+
+def _ground_loss_db(f0s_hz, elev_deg, ground, n_hops):
+    """Total loss of the n_hops−1 intermediate specular bounces [dB].
+
+    Grazing angle = per-hop arrival elevation (= launch elevation for the
+    symmetric hops of the 1-D homing; an approximation under the tilts of
+    the 2-D variant). ``ground=None`` keeps the perfect-reflector model
+    (0 dB), preserving the NaN structure of the elevations.
+    """
+    if ground is None or n_hops < 2:
+        return 0.0 * elev_deg
+    from .ground import ground_reflection_loss_db
+    return (n_hops - 1) * ground_reflection_loss_db(f0s_hz, elev_deg,
+                                                    ground)
 
 
 def synthesize_oblique_ionogram(f0s_hz, ground_range_km, alt_km, Ne, Babs,
@@ -120,7 +135,7 @@ def synthesize_oblique_ionogram(f0s_hz, ground_range_km, alt_km, Ne, Babs,
                                 n_elev=512, elev_min_deg=5.0,
                                 elev_max_deg=85.0,
                                 max_range_jump_km=200.0, n_hops=1,
-                                nu=None):
+                                nu=None, ground=None):
     """Oblique ionogram for a link of length ``ground_range_km``.
 
     Traces the full (frequency × elevation) Snell fan in one launch and
@@ -148,10 +163,15 @@ def synthesize_oblique_ionogram(f0s_hz, ground_range_km, alt_km, Ne, Babs,
     whose landing ranges differ by more than this are different hops).
 
     ``n_hops``: an n-hop ray through this horizontally-uniform ionosphere
-    is n identical single hops off a perfect ground reflector, so the
+    is n identical single hops off a specular ground reflector, so the
     n-hop ionogram is EXACT here: home each hop at ``D/n`` and scale
-    delay/absorption by n (ground reflection loss 0 dB — compose your own
-    reflector model on top). ``nu``: collision-frequency override, see
+    delay/absorption by n. ``ground``: electrical ground model for the
+    n_hops−1 intermediate bounces — ``None`` (perfect reflector, 0 dB), a
+    preset name from :data:`pyrayhf_tpu.ground.GROUND_PRESETS` ('sea',
+    'wet', 'medium', 'dry') or an ``(eps_r, sigma)`` pair; the Fresnel
+    loss at the per-hop arrival elevation is reported as
+    ``ground_loss_low/high_db`` and included in the link loss. ``nu``:
+    collision-frequency override, see
     :func:`pyrayhf_tpu.absorption.collision_frequency`.
     """
     f0s = jnp.atleast_1d(jnp.asarray(f0s_hz, dtype=float))
@@ -191,6 +211,8 @@ def synthesize_oblique_ionogram(f0s_hz, ground_range_km, alt_km, Ne, Babs,
                               d_tot, geometry)
     fg_hi = _focusing_gain_db(n_hops * pa_hi, n_hops * sl_hi, el_hi,
                               d_tot, geometry)
+    gl_lo = _ground_loss_db(f0s, el_lo, ground, n_hops)
+    gl_hi = _ground_loss_db(f0s, el_hi, ground, n_hops)
     return {"delay_low_sec": n_hops * dl_lo,
             "delay_high_sec": n_hops * dl_hi,
             "elev_low_deg": el_lo, "elev_high_deg": el_hi,
@@ -202,10 +224,12 @@ def synthesize_oblique_ionogram(f0s_hz, ground_range_km, alt_km, Ne, Babs,
             "phase_path_high_km": n_hops * ph_hi,
             "focusing_gain_low_db": fg_lo,
             "focusing_gain_high_db": fg_hi,
+            "ground_loss_low_db": gl_lo,
+            "ground_loss_high_db": gl_hi,
             "link_loss_low_db": _link_loss_db(
-                f0s, n_hops * pa_lo, n_hops * ab_lo, fg_lo),
+                f0s, n_hops * pa_lo, n_hops * ab_lo, fg_lo, gl_lo),
             "link_loss_high_db": _link_loss_db(
-                f0s, n_hops * pa_hi, n_hops * ab_hi, fg_hi),
+                f0s, n_hops * pa_hi, n_hops * ab_hi, fg_hi, gl_hi),
             "fan_range_km": range_fe, "fan_delay_sec": delay_fe,
             "elevations_deg": elevs}
 
@@ -308,7 +332,7 @@ def synthesize_oblique_ionogram_2d(f0s_hz, ground_range_km, x_grid_km,
                                    elev_min_deg=5.0, elev_max_deg=85.0,
                                    step_km=2.0, s_max_km=4000.0,
                                    max_range_jump_km=200.0, n_hops=1,
-                                   nu=None):
+                                   nu=None, ground=None):
     """Oblique ionogram through a RANGE-DEPENDENT (2-D) ionosphere.
 
     The 1-D variant assumes the profile is the same everywhere along the
@@ -333,6 +357,9 @@ def synthesize_oblique_ionogram_2d(f0s_hz, ground_range_km, x_grid_km,
     crossings home the FULL target range of the n-hop landing.
     ``nu``: ν(z) [s⁻¹] on ``z_grid_km`` for the absorption channel
     (default :func:`pyrayhf_tpu.absorption.collision_frequency`).
+    ``ground``: Fresnel model for the intermediate bounces (see the 1-D
+    variant); the grazing angle is approximated by the launch elevation —
+    exact for symmetric hops, approximate under tilts.
     """
     import numpy as np
 
@@ -388,15 +415,19 @@ def synthesize_oblique_ionogram_2d(f0s_hz, ground_range_km, x_grid_km,
     # approximation under tilts
     fg_lo = _focusing_gain_db(pa_lo, sl_lo, el_lo, D, geometry)
     fg_hi = _focusing_gain_db(pa_hi, sl_hi, el_hi, D, geometry)
+    f0s_j = jnp.asarray(f0s, float)
+    gl_lo = _ground_loss_db(f0s_j, el_lo, ground, int(n_hops))
+    gl_hi = _ground_loss_db(f0s_j, el_hi, ground, int(n_hops))
     return {"delay_low_sec": dl_lo, "delay_high_sec": dl_hi,
             "elev_low_deg": el_lo, "elev_high_deg": el_hi,
             "absorption_low_db": ab_lo, "absorption_high_db": ab_hi,
             "group_path_low_km": pa_lo, "group_path_high_km": pa_hi,
             "phase_path_low_km": ph_lo, "phase_path_high_km": ph_hi,
             "focusing_gain_low_db": fg_lo, "focusing_gain_high_db": fg_hi,
-            "link_loss_low_db": _link_loss_db(jnp.asarray(f0s, float),
-                                              pa_lo, ab_lo, fg_lo),
-            "link_loss_high_db": _link_loss_db(jnp.asarray(f0s, float),
-                                               pa_hi, ab_hi, fg_hi),
+            "ground_loss_low_db": gl_lo, "ground_loss_high_db": gl_hi,
+            "link_loss_low_db": _link_loss_db(f0s_j, pa_lo, ab_lo, fg_lo,
+                                              gl_lo),
+            "link_loss_high_db": _link_loss_db(f0s_j, pa_hi, ab_hi, fg_hi,
+                                               gl_hi),
             "fan_range_km": range_fe, "fan_delay_sec": delay_fe,
             "elevations_deg": elevs}

@@ -511,6 +511,79 @@ print(f"top-knot height spread {htop.std():.2f} km (mean {htop.mean():.1f})")
 ]
 
 
+# ---------------------------------------------------------------- 08
+NOTEBOOKS["08_link_budget_muf.ipynb"] = [
+    ("md", """\
+# HF link budget, MUF and phase observables
+
+Capabilities beyond the reference: the oblique homing fan
+(`synthesize_oblique_ionogram`) assembles a full one-way link budget —
+free-space spreading over the group path, D-region absorption, Fresnel
+ground-bounce loss (`ground.py`) and ionospheric focusing gain — and
+`muf.py` scales the vertical ionogram onto any link distance with the
+exact inverse of the reference's curvature-corrected secant law
+(`oblique_to_vertical`, ref `library.py:2697-2742`). Phase observables
+(`vertical_phase_operator`, `faraday.py`) come from the same
+Appleton–Hartree core.
+"""),
+    ("code", SETUP),
+    ("code", """\
+alt, den, bmag, bpsi = day_profile()
+D = 2000.0
+f0s = np.arange(8e6, 30e6, 1e6)
+o = prt.synthesize_oblique_ionogram(f0s, D, alt, den, bmag, bpsi,
+                                    geometry="spherical", n_elev=256,
+                                    n_hops=2, ground="medium")
+m = np.isfinite(np.asarray(o["delay_low_sec"]))
+print(f"2-hop link MUF ~ {f0s[m][-1]/1e6:.0f} MHz; at "
+      f"{f0s[m][0]/1e6:.0f} MHz the budget is "
+      f"{float(np.asarray(o['link_loss_low_db'])[m][0]):.1f} dB "
+      f"(abs {float(np.asarray(o['absorption_low_db'])[m][0]):.1f}, "
+      f"ground {float(np.asarray(o['ground_loss_low_db'])[m][0]):.1f}, "
+      f"focus {float(np.asarray(o['focusing_gain_low_db'])[m][0]):+.1f})")
+"""),
+    ("code", """\
+fig, ax = plt.subplots(1, 2, figsize=(11, 4))
+for leg, c in (("low", "tab:blue"), ("high", "tab:red")):
+    ax[0].plot(f0s / 1e6, np.asarray(o[f"delay_{leg}_sec"]) * 1e3,
+               ".-", color=c, label=f"{leg} ray")
+    ax[1].plot(f0s / 1e6, np.asarray(o[f"link_loss_{leg}_db"]),
+               ".-", color=c, label=f"{leg} ray")
+ax[0].set_xlabel("frequency [MHz]"); ax[0].set_ylabel("delay [ms]")
+ax[0].set_title(f"2-hop oblique ionogram, {D:.0f} km"); ax[0].legend()
+ax[1].set_xlabel("frequency [MHz]")
+ax[1].set_ylabel("one-way link loss [dB]")
+ax[1].set_title("assembled budget (medium ground)"); ax[1].legend()
+fig.tight_layout()
+"""),
+    ("md", """\
+MUF(D) by transmission-curve scaling — the whole distance scan is one
+broadcast, and the suite pins it within 5% of the ray-traced link MUF.
+"""),
+    ("code", """\
+Ds = np.arange(500.0, 4001.0, 250.0)
+muf = np.asarray(prt.muf_from_profile(Ds, den, bmag, bpsi, alt))
+foF2 = float(prt.den2freq(np.max(den))) / 1e6
+fig, ax = plt.subplots(figsize=(6.5, 4))
+ax.plot(Ds, muf, "o-")
+ax.axhline(foF2, color="grey", lw=0.8)
+ax.annotate(f"foF2 = {foF2:.1f} MHz", (Ds[0], foF2 + 0.4))
+ax.set_xlabel("link distance D [km]"); ax.set_ylabel("MUF(D) [MHz]")
+ax.set_title("transmission-curve MUF")
+fig.tight_layout()
+print(f"M(3000)F2 = {float(prt.muf_from_profile(3000.0, den, bmag, bpsi, alt))/foF2:.2f}")
+"""),
+    ("code", """\
+# Faraday rotation through the whole ionosphere (exact O-X AH phase
+# difference; the QL closed form is its high-frequency limit)
+f = np.array([40e6, 100e6, 400e6, 1575.42e6])
+om = np.asarray(prt.faraday_rotation_vertical(f, den, bmag, bpsi, alt))
+for fi, oi in zip(f, om):
+    print(f"{fi/1e6:8.1f} MHz: {oi:9.3f} rad ({np.degrees(oi):8.1f} deg)")
+"""),
+]
+
+
 def main():
     OUT.mkdir(parents=True, exist_ok=True)
     names = sys.argv[1:] or sorted(NOTEBOOKS)

@@ -23,7 +23,7 @@ jax.config.update("jax_enable_x64", True)
 # persistent compile cache: the suite is dominated by XLA compiles of the
 # big shard_map/LM programs (~3 min of the wall clock); repeat runs reuse
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tests")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import pathlib  # noqa: E402
 
@@ -64,3 +64,21 @@ def goldens():
     if not path.exists():
         pytest.skip("reference goldens not generated")
     return dict(np.load(path, allow_pickle=False))
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _drop_jax_executables_between_modules():
+    """Clear in-process XLA executables after every test module.
+
+    With ~150 tests in one process the XLA:CPU (LLVM JIT) backend
+    eventually SEGFAULTS while compiling yet another program — observed
+    deterministically in full-suite runs and never in any half-suite
+    subset. Dropping the live executables between modules keeps the JIT
+    code pools small; the on-disk compilation cache (min_compile_time
+    0.5 s) makes the re-JITs cheap.
+    """
+    yield
+    import gc
+
+    jax.clear_caches()
+    gc.collect()

@@ -19,12 +19,41 @@ import jax.numpy as jnp
 
 from .constants import R_E
 
-__all__ = ["bilinear", "gradient_ord2", "RefractiveField",
+__all__ = ["bilinear", "gradient_ord2", "grad_axis_ord2", "RefractiveField",
            "n_and_grad", "eval_refractive_index_and_grad", "make_n_and_grad",
            "n_and_grad_rphi",
            "build_refractive_index_interpolator_cartesian",
            "build_refractive_index_interpolator_spherical",
            "build_mup_function"]
+
+
+def grad_axis_ord2(f, c, axis):
+    """np.gradient(f, c, axis=axis, edge_order=2) for any-rank ``f``.
+
+    Non-uniform 2nd-order central differences in the interior, one-sided
+    2nd-order at the edges (the reference builds its interpolated gradient
+    fields the same way, ref ``library.py:1805-1812``).
+    """
+    f = jnp.moveaxis(f, axis, 0)
+    h = jnp.diff(c)
+    hs, hd = h[:-1], h[1:]
+    # interior: non-uniform central differences (2nd order)
+    num = (hs ** 2 * f[2:].T - (hs ** 2 - hd ** 2) * f[1:-1].T
+           - hd ** 2 * f[:-2].T).T
+    interior = (num.T / (hs * hd * (hs + hd))).T
+    # edges: one-sided 2nd order
+    h0, h1 = h[0], h[1]
+    a0 = -(2 * h0 + h1) / (h0 * (h0 + h1))
+    b0 = (h0 + h1) / (h0 * h1)
+    c0 = -h0 / (h1 * (h0 + h1))
+    first = a0 * f[0] + b0 * f[1] + c0 * f[2]
+    hm1, hm2 = h[-1], h[-2]
+    am = (2 * hm1 + hm2) / (hm1 * (hm1 + hm2))
+    bm = -(hm1 + hm2) / (hm1 * hm2)
+    cm = hm1 / (hm2 * (hm1 + hm2))
+    last = am * f[-1] + bm * f[-2] + cm * f[-3]
+    out = jnp.concatenate([first[None], interior, last[None]], axis=0)
+    return jnp.moveaxis(out, 0, axis)
 
 
 def gradient_ord2(f, z, x):
@@ -33,29 +62,7 @@ def gradient_ord2(f, z, x):
     ``f``: [nz, nx]; ``z``/``x``: 1-D coords (non-uniform allowed).
     Returns (df/dz, df/dx).
     """
-    def _grad_axis(f, c, axis):
-        f = jnp.moveaxis(f, axis, 0)
-        h = jnp.diff(c)
-        hs, hd = h[:-1], h[1:]
-        # interior: non-uniform central differences (2nd order)
-        num = (hs ** 2 * f[2:].T - (hs ** 2 - hd ** 2) * f[1:-1].T
-               - hd ** 2 * f[:-2].T).T
-        interior = (num.T / (hs * hd * (hs + hd))).T
-        # edges: one-sided 2nd order
-        h0, h1 = h[0], h[1]
-        a0 = -(2 * h0 + h1) / (h0 * (h0 + h1))
-        b0 = (h0 + h1) / (h0 * h1)
-        c0 = -h0 / (h1 * (h0 + h1))
-        first = a0 * f[0] + b0 * f[1] + c0 * f[2]
-        hm1, hm2 = h[-1], h[-2]
-        am = (2 * hm1 + hm2) / (hm1 * (hm1 + hm2))
-        bm = -(hm1 + hm2) / (hm1 * hm2)
-        cm = hm1 / (hm2 * (hm1 + hm2))
-        last = am * f[-1] + bm * f[-2] + cm * f[-3]
-        out = jnp.concatenate([first[None], interior, last[None]], axis=0)
-        return jnp.moveaxis(out, 0, axis)
-
-    return _grad_axis(f, z, 0), _grad_axis(f, x, 1)
+    return grad_axis_ord2(f, z, 0), grad_axis_ord2(f, x, 1)
 
 
 def bilinear(zq, xq, z_grid, x_grid, field, fill_value=jnp.nan):

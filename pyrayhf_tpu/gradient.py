@@ -45,7 +45,7 @@ def _rk4_step(rhs, y, ds):
 
 
 def _integrate(rhs, y0, n_steps, ds, event_value, reflect_slot=None,
-               max_bounces=0):
+               max_bounces=0, v_slice=slice(2, 4), reflect_fn=None):
     """Scan a fixed-step RK4 with freeze-on-event semantics.
 
     ``event_value(y)`` returns a vector of signed boundary distances
@@ -59,21 +59,29 @@ def _integrate(rhs, y0, n_steps, ds, event_value, reflect_slot=None,
     specularly — backtrack to the crossing, flip that slot — instead of
     freezing; the ray freezes on ground hit ``max_bounces + 1``. The
     reference has no multi-hop anywhere (its ground event is terminal,
-    ref ``library.py:1009-1012``).
+    ref ``library.py:1009-1012``). A position-dependent mirror (the 3-D
+    tracer's local-vertical reflection) passes ``reflect_fn(y) → y``
+    instead of a slot.
+
+    ``v_slice``: the direction components renormalised every step
+    (2:4 for the 2-D tracers, 3:6 for the 3-D ECEF state).
 
     Returns (ys [n_steps+1, dim], alive [n_steps+1], status_code).
     """
+    if reflect_fn is None and reflect_slot is not None:
+        def reflect_fn(y):
+            return y.at[reflect_slot].set(jnp.abs(y[reflect_slot]))
 
     def step(carry, _):
         y, alive, status, bounces = carry
 
         def do_step(y):
             y_new = _rk4_step(rhs, y, ds)
-            # renormalise the direction components (slots 2:4)
-            v = y_new[2:4]
+            # renormalise the direction components
+            v = y_new[v_slice]
             vmag = jnp.linalg.norm(v)
             v = jnp.where(vmag > 0, v / jnp.where(vmag > 0, vmag, 1.0), v)
-            return y_new.at[2:4].set(v)
+            return y_new.at[v_slice].set(v)
 
         y_new = do_step(y)
         ev_old = event_value(y)
@@ -88,10 +96,9 @@ def _integrate(rhs, y0, n_steps, ds, event_value, reflect_slot=None,
         t = jnp.clip(t, 0.0, 1.0)
         y_cross = y + t * (y_new - y)
         ground_hit = any_cross & (j == 0)
-        if reflect_slot is not None:
+        if reflect_fn is not None:
             bounce = ground_hit & (bounces < max_bounces)
-            y_refl = y_cross.at[reflect_slot].set(
-                jnp.abs(y_cross[reflect_slot]))
+            y_refl = reflect_fn(y_cross)
             y_cross = jnp.where(bounce, y_refl, y_cross)
             bounces = bounces + jnp.where(bounce, 1, 0)
             # a bounce step lands on the (reflected) crossing state, not

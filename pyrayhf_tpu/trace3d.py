@@ -1,0 +1,311 @@
+"""3-D magnetoionic ray tracing over (alt, lat, lon) fields.
+
+New capability beyond the reference: PyRayHF's most general tracer is
+2-D — a great-circle slice with no out-of-plane physics (ref
+``library.py:2128-2337``). This module traces rays through a full 3-D
+electron-density volume Ne(alt, lat, lon), capturing the horizontal
+gradients that deflect rays OFF the launch great circle (cross-track
+deviation, azimuth-dependent MUF, skewed propagation near the terminator
+or the equatorial-anomaly crests).
+
+Design (TPU-first, same architecture as the 2-D tracers):
+
+* the refractive index μ (and μ', κ) are precomputed once per frequency
+  on the (alt, lat, lon) grid — one broadcast Appleton–Hartree
+  evaluation — with the same fixed vertical-incidence ψ convention the
+  2-D tracers and the reference use (the field is anisotropically
+  *computed* but isotropically *traced*);
+* the ray state is Cartesian ECEF [x, y, z, vx, vy, vz] (km, unit v):
+  no spherical-coordinate singularities, and the RHS is the same
+  Haselgrove form as the 2-D Cartesian tracer,
+  dv/ds = (∇μ − (∇μ·v)v)/μ, with ∇μ assembled from the (alt, lat, lon)
+  grid gradients by the spherical chain rule;
+* integration is the shared fixed-step RK4 ``lax.scan``
+  (:func:`pyrayhf_tpu.gradient._integrate`) with freeze-on-event
+  semantics and specular multi-hop ground bounces about the LOCAL
+  vertical (``reflect_fn``);
+* a whole (elevation × azimuth) fan traces in one ``vmap`` launch.
+
+Spherical Earth of radius ``R_E`` (consistent with the 2-D spherical
+tracer); longitudes must form a contiguous monotone window (no wrap
+through ±180° inside the grid).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .constants import C_KM_S, R_E
+from .fields import grad_axis_ord2
+from .gradient import _STATUS, _integrate
+from .magnetoionic import find_X, find_Y, find_mu_mup
+
+__all__ = ["build_field_3d", "trace_ray_3d", "trace_rays_3d", "trilinear"]
+
+
+def trilinear(aq, bq, cq, a_grid, b_grid, c_grid, field, fill_value=jnp.nan):
+    """Trilinear interpolation of ``field[na, nb, nc]`` at (aq, bq, cq).
+
+    Out-of-domain queries return ``fill_value``. Query shapes broadcast.
+    """
+    aq, bq, cq = jnp.broadcast_arrays(jnp.asarray(aq, dtype=float),
+                                      jnp.asarray(bq, dtype=float),
+                                      jnp.asarray(cq, dtype=float))
+    na, nb, nc = field.shape
+    ia = jnp.clip(jnp.searchsorted(a_grid, aq, side="right") - 1, 0, na - 2)
+    ib = jnp.clip(jnp.searchsorted(b_grid, bq, side="right") - 1, 0, nb - 2)
+    ic = jnp.clip(jnp.searchsorted(c_grid, cq, side="right") - 1, 0, nc - 2)
+    ta = (aq - a_grid[ia]) / (a_grid[ia + 1] - a_grid[ia])
+    tb = (bq - b_grid[ib]) / (b_grid[ib + 1] - b_grid[ib])
+    tc = (cq - c_grid[ic]) / (c_grid[ic + 1] - c_grid[ic])
+    out = jnp.zeros_like(aq)
+    for da, wa in ((0, 1.0 - ta), (1, ta)):
+        for db, wb in ((0, 1.0 - tb), (1, tb)):
+            for dc, wc in ((0, 1.0 - tc), (1, tc)):
+                out = out + wa * wb * wc * field[ia + da, ib + db, ic + dc]
+    inside = ((aq >= a_grid[0]) & (aq <= a_grid[-1])
+              & (bq >= b_grid[0]) & (bq <= b_grid[-1])
+              & (cq >= c_grid[0]) & (cq <= c_grid[-1]))
+    return jnp.where(inside, out, fill_value)
+
+
+def build_field_3d(alt_km, lat_deg, lon_deg, Ne, Babs, bpsi, f0_Hz,
+                   mode="O", nu=None):
+    """Precompute the μ/μ'/κ volume and its grid gradients for one
+    frequency.
+
+    ``Ne``/``Babs``/``bpsi``: [N_alt, N_lat, N_lon] on the monotone grids
+    ``alt_km``/``lat_deg``/``lon_deg`` (e.g. stacked
+    :func:`pyrayhf_tpu.envgen.generate_input_1D` columns). Returns the
+    field dict :func:`trace_ray_3d` consumes. ψ is the vertical-incidence
+    magnetic angle per column — the same convention as the 2-D builders
+    (ref ``library.py:1764-1835``).
+
+    ``nu``: ν(alt) [s⁻¹] for the absorption channel (default model).
+    """
+    from .absorption import absorption_coefficient, collision_frequency
+
+    alt = jnp.asarray(alt_km, dtype=float)
+    lat = jnp.asarray(lat_deg, dtype=float)
+    lon = jnp.asarray(lon_deg, dtype=float)
+    Ne = jnp.asarray(Ne, dtype=float)
+    if Ne.shape != (alt.size, lat.size, lon.size):
+        raise ValueError(
+            f"Ne shape {Ne.shape} != (N_alt, N_lat, N_lon) = "
+            f"({alt.size}, {lat.size}, {lon.size})")
+    X = find_X(Ne, f0_Hz)
+    Y = find_Y(f0_Hz, jnp.asarray(Babs, dtype=float))
+    mu, mup = find_mu_mup(X, Y, jnp.asarray(bpsi, dtype=float), mode)
+    mu = jnp.where(jnp.isfinite(mu) & (mu > 0.0), mu, jnp.nan)
+    mup = jnp.where(jnp.isfinite(mup) & (mup > 0.0), mup, jnp.nan)
+    nu_a = (collision_frequency(alt) if nu is None
+            else jnp.asarray(nu, dtype=float))
+    kappa = absorption_coefficient(Ne, nu_a[:, None, None], f0_Hz,
+                                   jnp.asarray(Babs, dtype=float),
+                                   jnp.asarray(bpsi, dtype=float), mu, mode)
+    kappa = jnp.where(jnp.isfinite(kappa), kappa, 0.0)
+    # gradients per km / per RADIAN of lat / per RADIAN of lon
+    lat_r = jnp.deg2rad(lat)
+    lon_r = jnp.deg2rad(lon)
+    return {"alt": alt, "lat": lat, "lon": lon,
+            "mu": mu, "mup": mup, "kappa": kappa,
+            "dmu_dalt": grad_axis_ord2(mu, alt, 0),
+            "dmu_dlat": grad_axis_ord2(mu, lat_r, 1),
+            "dmu_dlon": grad_axis_ord2(mu, lon_r, 2)}
+
+
+def _ecef(lat_rad, lon_rad, r_km):
+    cl = jnp.cos(lat_rad)
+    return r_km * jnp.stack([cl * jnp.cos(lon_rad), cl * jnp.sin(lon_rad),
+                             jnp.sin(lat_rad)], axis=-1)
+
+
+def _geodetic(p):
+    """ECEF [..., 3] → (r, lat_rad, lon_rad); spherical Earth."""
+    r = jnp.linalg.norm(p, axis=-1)
+    lat = jnp.arcsin(jnp.clip(p[..., 2] / r, -1.0, 1.0))
+    lon = jnp.arctan2(p[..., 1], p[..., 0])
+    return r, lat, lon
+
+
+def _local_frame(lat, lon):
+    """(r̂, ê_north, ê_east) unit vectors at (lat, lon) [rad]."""
+    sl, cl = jnp.sin(lat), jnp.cos(lat)
+    so, co = jnp.sin(lon), jnp.cos(lon)
+    rhat = jnp.stack([cl * co, cl * so, sl], axis=-1)
+    north = jnp.stack([-sl * co, -sl * so, cl], axis=-1)
+    east = jnp.stack([-so, co, jnp.zeros_like(so)], axis=-1)
+    return rhat, north, east
+
+
+@partial(jax.jit, static_argnames=("n_steps", "n_hops"))
+def _trace3d_core(field, lat0_deg, lon0_deg, elevation_deg, azimuth_deg,
+                  ds, n_steps, z_ground, n_hops=1):
+    alt_g = field["alt"]
+    lat_g = field["lat"]
+    lon_g = field["lon"]
+
+    def interp(f, alt, latd, lond, fill=jnp.nan):
+        return trilinear(alt, latd, lond, alt_g, lat_g, lon_g, f,
+                         fill_value=fill)
+
+    def rhs(y):
+        p, v = y[:3], y[3:]
+        r, lat, lon = _geodetic(p)
+        alt = r - R_E
+        latd, lond = jnp.rad2deg(lat), jnp.rad2deg(lon)
+        mu = interp(field["mu"], alt, latd, lond)
+        g_a = interp(field["dmu_dalt"], alt, latd, lond, fill=0.0)
+        g_la = interp(field["dmu_dlat"], alt, latd, lond, fill=0.0)
+        g_lo = interp(field["dmu_dlon"], alt, latd, lond, fill=0.0)
+        rhat, north, east = _local_frame(lat, lon)
+        cl = jnp.maximum(jnp.cos(lat), 1e-9)
+        grad = (g_a * rhat + (g_la / r) * north
+                + (g_lo / (r * cl)) * east)
+        ok = jnp.isfinite(mu) & (mu > 0.0) & jnp.all(jnp.isfinite(grad))
+        mu_s = jnp.where(ok, mu, 1.0)
+        gdv = jnp.dot(grad, v)
+        dv = (grad - gdv * v) / mu_s
+        return jnp.where(ok, jnp.concatenate([v, dv]), jnp.zeros(6))
+
+    # free space below the field's bottom altitude: rays fly straight
+    # (∇μ = 0, μ = 1) until they enter the grid — matching the 2-D
+    # homing's free-space ground extension
+    alt_bot = alt_g[0]
+
+    def rhs_with_freespace(y):
+        r = jnp.linalg.norm(y[:3])
+        below = (r - R_E) < alt_bot
+        straight = jnp.concatenate([y[3:], jnp.zeros(3)])
+        return jnp.where(below, straight, rhs(y))
+
+    def events(y):
+        p = y[:3]
+        r, lat, lon = _geodetic(p)
+        latd, lond = jnp.rad2deg(lat), jnp.rad2deg(lon)
+        return jnp.array([
+            r - (R_E + z_ground) - 1e-3,      # ground (index 0)
+            (R_E + alt_g[-1]) - r,            # top
+            latd - lat_g[0], lat_g[-1] - latd,
+            lond - lon_g[0], lon_g[-1] - lond,
+        ])
+
+    def reflect(y):
+        p, v = y[:3], y[3:]
+        rhat = p / jnp.linalg.norm(p)
+        vr = jnp.dot(v, rhat)
+        v_new = v - 2.0 * jnp.minimum(vr, 0.0) * rhat
+        return y.at[3:].set(v_new)
+
+    lat0 = jnp.deg2rad(lat0_deg)
+    lon0 = jnp.deg2rad(lon0_deg)
+    p0 = _ecef(lat0, lon0, R_E + z_ground + 1e-2)
+    rhat0, north0, east0 = _local_frame(lat0, lon0)
+    el = jnp.deg2rad(elevation_deg)
+    az = jnp.deg2rad(azimuth_deg)
+    v0 = (jnp.sin(el) * rhat0
+          + jnp.cos(el) * (jnp.cos(az) * north0 + jnp.sin(az) * east0))
+    y0 = jnp.concatenate([p0, v0])
+
+    hop_kw = dict(reflect_fn=reflect, max_bounces=n_hops - 1) \
+        if n_hops > 1 else {}
+    ys, alive, status = _integrate(rhs_with_freespace, y0, n_steps, ds,
+                                   events, v_slice=slice(3, 6), **hop_kw)
+    p_path = ys[:, :3]
+    r_path, lat_path, lon_path = _geodetic(p_path)
+    alt_path = r_path - R_E
+
+    dseg = jnp.linalg.norm(jnp.diff(p_path, axis=0), axis=1)
+    pm = 0.5 * (p_path[:-1] + p_path[1:])
+    rm, latm, lonm = _geodetic(pm)
+    latd_m, lond_m = jnp.rad2deg(latm), jnp.rad2deg(lonm)
+    alt_m = rm - R_E
+    # below the grid: free space (μ = μ' = 1, κ = 0)
+    below = alt_m < alt_bot
+    mup_m = jnp.where(below, 1.0,
+                      interp(field["mup"], alt_m, latd_m, lond_m))
+    mu_m = jnp.where(below, 1.0,
+                     interp(field["mu"], alt_m, latd_m, lond_m))
+    kap_m = jnp.where(below, 0.0,
+                      interp(field["kappa"], alt_m, latd_m, lond_m, fill=0.0))
+    vfin = jnp.isfinite(mup_m)
+    group_path = jnp.nansum(dseg)
+    group_delay = jnp.nansum(jnp.where(vfin, mup_m / C_KM_S * dseg, 0.0))
+    phase_path = jnp.nansum(
+        jnp.where(jnp.isfinite(mu_m), mu_m * dseg, 0.0))
+    absorb = jnp.nansum(jnp.where(jnp.isfinite(kap_m), kap_m * dseg, 0.0))
+
+    # landing geometry (spherical): great-circle range + signed cross-track
+    # relative to the launch great circle; n̂ = d̂0 × r̂0 points to the
+    # RIGHT of the launch azimuth (east when heading north)
+    rhat_end = p_path[-1] / r_path[-1]
+    cosc = jnp.clip(jnp.dot(rhat0, rhat_end), -1.0, 1.0)
+    ground_range = R_E * jnp.arccos(cosc)
+    d0 = jnp.cos(az) * north0 + jnp.sin(az) * east0
+    nhat = jnp.cross(d0, rhat0)
+    nhat = nhat / jnp.linalg.norm(nhat)
+    cross_track = R_E * jnp.arcsin(
+        jnp.clip(jnp.dot(rhat_end, nhat), -1.0, 1.0))
+    landed = status == _STATUS["ground"]
+    nan = jnp.nan
+    return {
+        "lat": jnp.rad2deg(lat_path), "lon": jnp.rad2deg(lon_path),
+        "alt": alt_path, "ecef": p_path, "alive": alive,
+        "status_code": status,
+        "group_path_km": group_path, "group_delay_sec": group_delay,
+        "phase_path_km": phase_path, "absorption_db": absorb,
+        "apex_alt_km": jnp.nanmax(alt_path),
+        "ground_range_km": jnp.where(landed, ground_range, nan),
+        "cross_track_km": jnp.where(landed, cross_track, nan),
+        "landing_lat_deg": jnp.where(landed, jnp.rad2deg(lat_path[-1]),
+                                     nan),
+        "landing_lon_deg": jnp.where(landed, jnp.rad2deg(lon_path[-1]),
+                                     nan),
+    }
+
+
+def trace_ray_3d(field, lat0_deg, lon0_deg, elevation_deg, azimuth_deg, *,
+                 step_km=1.0, s_max_km=6000.0, z_ground_km=0.0, n_hops=1):
+    """Trace one ray through a 3-D field (see :func:`build_field_3d`).
+
+    Launches from (``lat0_deg``, ``lon0_deg``) at ``z_ground_km`` toward
+    ``azimuth_deg`` (deg east of north) with ``elevation_deg`` above the
+    horizon; fixed-step RK4 of ``step_km`` (beyond the reference — its
+    tracers are 2-D, ref ``library.py:2128-2337``). Returns the
+    (lat, lon, alt) path, ``status`` (ground/top/domain/length),
+    group/phase path metrics, absorption, and the landing geometry —
+    ``ground_range_km`` (great-circle) plus ``cross_track_km``, the
+    signed offset from the launch great circle that only horizontal
+    gradients can produce (positive to the right of the launch azimuth).
+    ``n_hops``: specular bounces about the local vertical.
+    """
+    n_steps = int(round(float(s_max_km) / float(step_km)))
+    out = _trace3d_core(field, jnp.asarray(lat0_deg, dtype=float),
+                        jnp.asarray(lon0_deg, dtype=float),
+                        jnp.asarray(elevation_deg, dtype=float),
+                        jnp.asarray(azimuth_deg, dtype=float),
+                        jnp.asarray(step_km, dtype=float), n_steps,
+                        jnp.asarray(z_ground_km, dtype=float),
+                        n_hops=int(n_hops))
+    code = int(out.pop("status_code"))
+    out["status"] = {v: k for k, v in _STATUS.items()}[code]
+    return out
+
+
+def trace_rays_3d(field, lat0_deg, lon0_deg, elevation_deg, azimuth_deg, *,
+                  step_km=1.0, s_max_km=6000.0, z_ground_km=0.0, n_hops=1):
+    """Batched fan: elevation [E] × azimuth [A] → dict of [E, A, ...].
+
+    One XLA launch for the whole solid-angle fan — the 3-D analogue of
+    the 2-D (frequency × elevation) fans.
+    """
+    n_steps = int(round(float(s_max_km) / float(step_km)))
+    els = jnp.asarray(elevation_deg, dtype=float)
+    azs = jnp.asarray(azimuth_deg, dtype=float)
+    fn = lambda el, az: _trace3d_core(
+        field, jnp.asarray(lat0_deg, dtype=float),
+        jnp.asarray(lon0_deg, dtype=float), el, az,
+        jnp.asarray(step_km, dtype=float), n_steps,
+        jnp.asarray(z_ground_km, dtype=float), n_hops=int(n_hops))
+    return jax.vmap(lambda el: jax.vmap(lambda az: fn(el, az))(azs))(els)

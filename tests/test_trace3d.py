@@ -1,0 +1,137 @@
+"""3-D magnetoionic ray tracer: parity, symmetry, deflection physics."""
+
+import numpy as np
+import pytest
+
+import pyrayhf_tpu as prt
+from pyrayhf_tpu.constants import C_KM_S
+from pyrayhf_tpu.magnetoionic import find_X, find_Y, find_mu_mup
+from pyrayhf_tpu.trace3d import build_field_3d, trace_ray_3d, trace_rays_3d
+
+
+@pytest.fixture(scope="module")
+def day(day_profile):
+    d = day_profile
+    return (np.asarray(d["alt"], float), np.asarray(d["den"], float),
+            np.asarray(d["bmag"], float), np.asarray(d["bpsi"], float))
+
+
+@pytest.fixture(scope="module")
+def uniform_field(day):
+    """Horizontally-uniform 3-D field from the day profile."""
+    alt, den, bmag, bpsi = day
+    lat = np.linspace(20.0, 55.0, 36)
+    lon = np.linspace(-90.0, -50.0, 41)
+    shape = (alt.size, lat.size, lon.size)
+    return build_field_3d(alt, lat, lon,
+                          np.broadcast_to(den[:, None, None], shape),
+                          np.broadcast_to(bmag[:, None, None], shape),
+                          np.broadcast_to(bpsi[:, None, None], shape),
+                          8e6, "O"), (alt, den, bmag, bpsi)
+
+
+def _trace_2d_spherical(alt, den, bmag, bpsi, f0, elev, step_km=2.0):
+    zg = np.concatenate([np.arange(0.0, alt[0], 2.0), alt])
+    ext = lambda v, v0: np.concatenate([np.full(zg.size - alt.size, v0), v])
+    deng, bg, pg = ext(den, 1e6), ext(bmag, bmag[0]), ext(bpsi, bpsi[0])
+    X = find_X(deng, f0)
+    Y = find_Y(f0, bg)
+    mu, mup = find_mu_mup(X, Y, pg, "O")
+    x = np.linspace(0.0, 2500.0, 64)
+    mu2 = np.broadcast_to(np.asarray(mu)[:, None], (zg.size, x.size))
+    mup2 = np.broadcast_to(np.asarray(mup)[:, None], (zg.size, x.size))
+    nag = prt.build_refractive_index_interpolator_spherical(zg, x, mu2)
+    mupf = prt.build_mup_function(mup2, x, zg, geometry="spherical")
+    return prt.trace_ray_spherical_gradient(nag, mupf, 0.0, 0.0, elev,
+                                            step_km=step_km)
+
+
+def test_matches_2d_spherical_on_uniform_field(uniform_field):
+    """On a horizontally-uniform ionosphere the 3-D ECEF trace reduces to
+    the 2-D spherical tracer (range/path/delay < 0.5%), with machine-zero
+    cross-track."""
+    field, (alt, den, bmag, bpsi) = uniform_field
+    o = trace_ray_3d(field, 30.0, -75.0, 40.0, 0.0, step_km=2.0)
+    g = _trace_2d_spherical(alt, den, bmag, bpsi, 8e6, 40.0)
+    assert o["status"] == "ground" and g["status"] == "ground"
+    for k in ("ground_range_km", "group_path_km", "group_delay_sec"):
+        assert abs(float(o[k]) / float(g[k]) - 1.0) < 5e-3, k
+    assert abs(float(o["cross_track_km"])) < 1e-6
+    # phase ordering holds in 3-D too
+    pp, gp = float(o["phase_path_km"]), float(o["group_path_km"])
+    assert pp < gp < float(o["group_delay_sec"]) * C_KM_S
+
+
+def test_azimuth_invariance_uniform(uniform_field):
+    """A uniform field has no preferred azimuth: the same elevation lands
+    at the same range for any launch direction (inside the domain)."""
+    field, _ = uniform_field
+    o_n = trace_ray_3d(field, 32.0, -70.0, 45.0, 0.0, step_km=2.0)
+    o_e = trace_ray_3d(field, 32.0, -70.0, 45.0, 90.0, step_km=2.0)
+    o_sw = trace_ray_3d(field, 38.0, -60.0, 45.0, 225.0, step_km=2.0)
+    r = [float(o["ground_range_km"]) for o in (o_n, o_e, o_sw)]
+    assert np.isfinite(r).all()
+    np.testing.assert_allclose(r[1:], r[0], rtol=2e-3)
+
+
+def test_transverse_gradient_deflects_ray(day):
+    """An eastward density increase pushes a northbound ray WEST (toward
+    higher μ): cross-track < 0, and the landing longitude shifts west."""
+    alt, den, bmag, bpsi = day
+    lat = np.linspace(20.0, 55.0, 36)
+    lon = np.linspace(-90.0, -50.0, 41)
+    shape = (alt.size, lat.size, lon.size)
+    ramp = 1.0 + 0.5 * (lon[None, None, :] + 75.0) / 25.0   # +50%/25° east
+    Ne = np.broadcast_to(den[:, None, None], shape) * ramp
+    field = build_field_3d(
+        alt, lat, lon, Ne,
+        np.broadcast_to(bmag[:, None, None], shape),
+        np.broadcast_to(bpsi[:, None, None], shape), 8e6, "O")
+    o = trace_ray_3d(field, 30.0, -75.0, 35.0, 0.0, step_km=2.0)
+    assert o["status"] == "ground"
+    ct = float(o["cross_track_km"])
+    assert ct < -1.0, ct                      # deflected west of the plane
+    assert float(o["landing_lon_deg"]) < -75.0
+
+
+def test_multihop_composition_3d(uniform_field):
+    """Two specular hops through a uniform field double the single-hop
+    great-circle range (same elevation)."""
+    field, _ = uniform_field
+    o1 = trace_ray_3d(field, 26.0, -75.0, 40.0, 0.0, step_km=2.0,
+                      s_max_km=3000.0)
+    o2 = trace_ray_3d(field, 26.0, -75.0, 40.0, 0.0, step_km=2.0,
+                      s_max_km=3000.0, n_hops=2)
+    r1, r2 = float(o1["ground_range_km"]), float(o2["ground_range_km"])
+    assert o1["status"] == "ground" and o2["status"] == "ground"
+    assert abs(r2 / (2.0 * r1) - 1.0) < 0.01
+    assert abs(float(o2["group_path_km"])
+               / (2.0 * float(o1["group_path_km"])) - 1.0) < 0.01
+
+
+def test_fan_batching(uniform_field):
+    """[E, A] fan in one launch, consistent with single-ray calls.
+
+    Near-vertical rays freeze at the μ→0 layer (NaN landing) — the same
+    zero-RHS semantics as the 2-D tracers and the reference
+    (ref ``library.py:987-988``); oblique rays land."""
+    field, _ = uniform_field
+    els = np.array([25.0, 45.0, 85.0])
+    azs = np.array([0.0, 90.0])
+    out = trace_rays_3d(field, 30.0, -75.0, els, azs, step_km=2.0,
+                        s_max_km=2500.0)
+    rng = np.asarray(out["ground_range_km"])
+    assert rng.shape == (3, 2)
+    # single-ray consistency
+    o = trace_ray_3d(field, 30.0, -75.0, 45.0, 90.0, step_km=2.0,
+                     s_max_km=2500.0)
+    np.testing.assert_allclose(rng[1, 1], float(o["ground_range_km"]),
+                               rtol=1e-10)
+    assert np.isfinite(rng[:2]).all()         # oblique rays land
+    assert np.isnan(rng[2]).all()             # near-vertical: frozen at μ→0
+    # the frozen rays stalled at the column's first evanescent sample
+    mu_col = np.asarray(field["mu"])[:, 0, 0]
+    alt_g = np.asarray(field["alt"])
+    z_evan = alt_g[np.argmax(~np.isfinite(mu_col))]
+    np.testing.assert_allclose(np.asarray(out["apex_alt_km"])[2], z_evan,
+                               atol=3.0)

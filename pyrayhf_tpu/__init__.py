@@ -42,7 +42,7 @@ from .pallas_vh import (ionogram_fast_xla, ionogram_pallas,
 from . import edp, envgen, fields, geodesy, gradient, grid, igrf, io, \
     magnetoionic, parallel, profiling, retrieval, snell
 from .envgen import (find_mean_gradient_error, generate_input_1D,
-                     generate_input_2D)
+                     generate_input_2D, generate_input_3D)
 from .igrf import calculate_magnetic_field
 from .io import load_input, save_to_file
 from . import config, rays

@@ -37,7 +37,7 @@ from .igrf import calculate_magnetic_field
 from .io import save_to_file
 
 __all__ = ["solar_zenith_angle", "climatology_parameters",
-           "generate_input_1D", "generate_input_2D",
+           "generate_input_1D", "generate_input_2D", "generate_input_3D",
            "find_mean_gradient_error"]
 
 
@@ -232,6 +232,46 @@ def generate_input_2D(year, month, day, UT, tlat, tlon, dx, aalt, gcd, az,
            "E": {k: np.asarray(v) for k, v in E.items()},
            "year": year, "month": month, "day": day, "UT": UT,
            "F107": F107, "tlat": tlat, "tlon": tlon, "az": az}
+    if save_path:
+        save_to_file(out, save_path)
+    return out
+
+
+def generate_input_3D(year, month, day, UT, lat_grid, lon_grid, aalt, F107,
+                      save_path="", coeffs=None):
+    """3-D ray-tracing input volume on an (alt × lat × lon) grid.
+
+    Beyond the reference (whose generators stop at 2-D slices, ref
+    ``library.py:2458-2587``): builds the den/bmag/bpsi volumes that
+    :func:`pyrayhf_tpu.trace3d.build_field_3d` consumes directly —
+    climatology parameters and the EDP builder evaluate on the flattened
+    lat×lon point set in one broadcast, exactly like the 2-D generator's
+    great-circle samples, then reshape to [N_alt, N_lat, N_lon].
+    """
+    aalt = jnp.asarray(aalt, dtype=float)
+    lat_grid = jnp.asarray(lat_grid, dtype=float)
+    lon_grid = jnp.asarray(lon_grid, dtype=float)
+    glat, glon = jnp.meshgrid(lat_grid, lon_grid, indexing="ij")
+    flat_lat, flat_lon = jnp.ravel(glat), jnp.ravel(glon)
+    shape3 = (aalt.size, lat_grid.size, lon_grid.size)
+    bmag, bpsi = calculate_magnetic_field(year, month, day, flat_lat,
+                                          flat_lon, aalt, coeffs=coeffs)
+    F2, F1, E = climatology_parameters(year, month, day, UT, flat_lat,
+                                       flat_lon, F107)
+    den = _edp_from_params(F2, F1, E, aalt).T          # [N_alt, n_pts]
+    out = {"alt": np.asarray(aalt), "lat": np.asarray(lat_grid),
+           "lon": np.asarray(lon_grid),
+           "den": np.asarray(den).reshape(shape3),
+           "bmag": np.asarray(bmag).reshape(shape3),
+           "bpsi": np.asarray(bpsi).reshape(shape3),
+           "F2": {k: np.asarray(v).reshape(shape3[1:])
+                  for k, v in F2.items()},
+           "F1": {k: np.asarray(v).reshape(shape3[1:])
+                  for k, v in F1.items()},
+           "E": {k: np.asarray(v).reshape(shape3[1:])
+                 for k, v in E.items()},
+           "year": year, "month": month, "day": day, "UT": UT,
+           "F107": F107}
     if save_path:
         save_to_file(out, save_path)
     return out

@@ -240,3 +240,28 @@ def test_checkpoint_dotted_keys_roundtrip(tmp_path):
     assert set(back.keys()) == {"2.5", "a.b.c"}
     assert_allclose(back["2.5"], [1.0, 2.0])
     assert int(back["a.b.c"]) == 9
+
+
+def test_generate_input_3d_columns_match_1d():
+    """Every column of the 3-D volume equals the 1-D generator at that
+    (lat, lon); the volume plugs straight into the 3-D field builder."""
+    import pyrayhf_tpu as prt
+
+    aalt = np.linspace(90.0, 500.0, 60)
+    lat = np.array([10.0, 25.0, 40.0])
+    lon = np.array([-80.0, -60.0])
+    vol = prt.generate_input_3D(2025, 9, 1, 20.0, lat, lon, aalt, 150.0)
+    assert vol["den"].shape == (aalt.size, lat.size, lon.size)
+    for i, j in ((0, 0), (2, 1)):
+        col = prt.generate_input_1D(2025, 9, 1, 20.0, float(lat[i]),
+                                    float(lon[j]), aalt, 150.0)
+        assert_allclose(vol["den"][:, i, j], col["den"], rtol=1e-10)
+        assert_allclose(vol["bmag"][:, i, j], col["bmag"], rtol=1e-10)
+        assert_allclose(vol["bpsi"][:, i, j], col["bpsi"], rtol=1e-10)
+    # end-to-end: volume -> 3-D field -> one ray lands
+    field = prt.build_field_3d(aalt, lat, lon, vol["den"], vol["bmag"],
+                               vol["bpsi"], 6e6, "O")
+    o = prt.trace_ray_3d(field, 25.0, -70.0, 35.0, 180.0, step_km=2.0,
+                         s_max_km=2000.0)
+    assert o["status"] == "ground"
+    assert np.isfinite(float(o["ground_range_km"]))

@@ -210,3 +210,30 @@ def test_oblique_phase_keys(day):
         assert np.array_equal(np.isfinite(ph), m)
         assert (ph[m] < gp[m]).all()
         assert (ph[m] > 1000.0).all()   # exceeds the straight-line link
+
+
+def test_doppler_via_autodiff(day):
+    """The vertical-incidence Doppler shift −(2f/c)·d h_p/dt of a
+    time-parameterised ionosphere via jax.grad matches finite
+    differences, with the physical sign (rising density → falling phase
+    height → positive Doppler)."""
+    import jax
+    import jax.numpy as jnp
+
+    alt, den, bmag, bpsi = day
+    f_mhz = jnp.asarray([5.0])
+    rate = 0.02          # fractional density growth per second
+
+    def phase_height(t):
+        den_t = jnp.asarray(den) * (1.0 + rate * t)
+        return prt.vertical_phase_operator(f_mhz, den_t, bmag, bpsi,
+                                           alt)[0]
+
+    dh_dt = float(jax.grad(phase_height)(0.0))
+    eps = 1e-3
+    fd = (float(phase_height(eps)) - float(phase_height(-eps))) / (2 * eps)
+    np.testing.assert_allclose(dh_dt, fd, rtol=1e-4)
+    assert dh_dt < 0.0                       # phase height drops
+    f_hz = 5e6
+    doppler = -2.0 * f_hz / (C_KM_S) * dh_dt
+    assert 0.0 < doppler < 100.0             # physical Hz-scale shift

@@ -71,15 +71,9 @@ def modip_deg(year, month, day, lat, lon, coeffs=None):
     the magnetic (not geographic) equator — the natural latitude for the
     equatorial-anomaly terms of the climatology.
     """
-    from . import igrf13_table
-    from .igrf import igrf_field
+    from .igrf import coefficients_for_date, igrf_field
     if coeffs is None:
-        import datetime
-        d = datetime.date(int(year), int(month), int(day))
-        ystart = datetime.date(d.year, 1, 1)
-        ylen = (datetime.date(d.year + 1, 1, 1) - ystart).days
-        coeffs = igrf13_table.coefficients_at_epoch(
-            d.year + (d - ystart).days / ylen)
+        coeffs = coefficients_for_date(year, month, day)
     lat = jnp.asarray(lat, dtype=float)
     _, _, _, _, inc = igrf_field(lat, jnp.asarray(lon, dtype=float),
                                  300.0, coeffs=coeffs, geodetic=True)
@@ -197,7 +191,8 @@ def generate_input_1D(year, month, day, UT, tlat, tlon, aalt, F107,
                                           coeffs=coeffs)
     F2, F1, E = climatology_parameters(year, month, day, UT,
                                        jnp.atleast_1d(float(tlat)),
-                                       jnp.atleast_1d(float(tlon)), F107)
+                                       jnp.atleast_1d(float(tlon)), F107,
+                                       coeffs=coeffs)
     den = _edp_from_params(F2, F1, E, aalt)[0]
     out = {"alt": np.asarray(aalt), "den": np.asarray(den),
            "bmag": np.asarray(bmag[:, 0]), "bpsi": np.asarray(bpsi[:, 0]),
@@ -221,7 +216,7 @@ def generate_input_2D(year, month, day, UT, tlat, tlon, dx, aalt, gcd, az,
     bmag, bpsi = calculate_magnetic_field(year, month, day, xlat, xlon,
                                           aalt, coeffs=coeffs)
     F2, F1, E = climatology_parameters(year, month, day, UT, xlat, xlon,
-                                       F107)
+                                       F107, coeffs=coeffs)
     den = _edp_from_params(F2, F1, E, aalt).T          # [N_alt, n_x]
     out = {"xgrid": np.asarray(xgrid), "zgrid": np.asarray(aalt),
            "xlat": np.asarray(xlat), "xlon": np.asarray(xlon),
@@ -257,7 +252,7 @@ def generate_input_3D(year, month, day, UT, lat_grid, lon_grid, aalt, F107,
     bmag, bpsi = calculate_magnetic_field(year, month, day, flat_lat,
                                           flat_lon, aalt, coeffs=coeffs)
     F2, F1, E = climatology_parameters(year, month, day, UT, flat_lat,
-                                       flat_lon, F107)
+                                       flat_lon, F107, coeffs=coeffs)
     den = _edp_from_params(F2, F1, E, aalt).T          # [N_alt, n_pts]
     out = {"alt": np.asarray(aalt), "lat": np.asarray(lat_grid),
            "lon": np.asarray(lon_grid),

@@ -33,7 +33,24 @@ from . import igrf13_table
 from .constants import R_E
 
 __all__ = ["IGRF13_2020_N3", "load_igrf_coefficients", "igrf_field",
-           "calculate_magnetic_field", "dipole_field"]
+           "calculate_magnetic_field", "coefficients_for_date",
+           "dipole_field"]
+
+
+def coefficients_for_date(year, month, day):
+    """Coefficient table at the decimal epoch of a calendar date.
+
+    The single source of the date→epoch→table resolution shared by
+    :func:`calculate_magnetic_field` and the climatology's modip
+    evaluation (envgen.modip_deg), so both always use the same field
+    epoch within one ``generate_input_*`` call.
+    """
+    import datetime
+    d = datetime.date(int(year), int(month), int(day))
+    ystart = datetime.date(d.year, 1, 1)
+    ylen = (datetime.date(d.year + 1, 1, 1) - ystart).days
+    return igrf13_table.coefficients_at_epoch(
+        d.year + (d - ystart).days / ylen)
 
 # IGRF-13 main-field coefficients, epoch 2020.0, degrees 1..3 [nT]
 # (g[n][m], h[n][m]); the dominant dipole + quadrupole + octupole terms.
@@ -241,12 +258,7 @@ def calculate_magnetic_field(year, month, day, lat, lon, aalt, coeffs=None):
     instead. Inputs are geodetic like the reference's PyIRI call.
     """
     if coeffs is None:
-        import datetime
-        d = datetime.date(int(year), int(month), int(day))
-        ystart = datetime.date(d.year, 1, 1)
-        ylen = (datetime.date(d.year + 1, 1, 1) - ystart).days
-        epoch = d.year + (d - ystart).days / ylen
-        coeffs = igrf13_table.coefficients_at_epoch(epoch)
+        coeffs = coefficients_for_date(year, month, day)
     lat = jnp.atleast_1d(jnp.asarray(lat, dtype=float))
     lon = jnp.atleast_1d(jnp.asarray(lon, dtype=float))
     aalt = jnp.atleast_1d(jnp.asarray(aalt, dtype=float))

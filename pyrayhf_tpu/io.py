@@ -79,13 +79,19 @@ def save_checkpoint(state, file_path):
 def load_checkpoint(file_path):
     """Inverse of :func:`save_checkpoint` — rebuilds the nested dict.
 
-    Files written by the early '.'-separated flatten format (before the
-    U+001F separator) lack the ``__fmt_v2__`` marker and are split on '.'
-    as a best effort; marked files are split only on U+001F, so new-format
-    keys containing dots (e.g. '2.5') round-trip unchanged.
+    Three generations of files: marked (``__fmt_v2__``) → split only on
+    U+001F, so keys containing dots (e.g. '2.5') round-trip unchanged;
+    unmarked with U+001F in some key → the marker-less U+001F format of
+    the previous release; unmarked without → the original '.'-separated
+    flatten, split on '.' as a best effort.
     """
     data = np.load(file_path, allow_pickle=False)
-    sep = _SEP if _FMT_MARKER in data.files else "."
+    if _FMT_MARKER in data.files:
+        sep = _SEP
+    elif any(_SEP in k for k in data.files):
+        sep = _SEP
+    else:
+        sep = "."
     out = {}
     for key in data.files:
         if key == _FMT_MARKER:

@@ -208,6 +208,11 @@ def _snell_cart_ray(prep, alt, elevation_deg):
     mup_seg = 0.5 * (mup_path[1:] + mup_path[:-1])
     kappa_path = jnp.concatenate([kappa_up, kappa_up[::-1][1:]])
     kappa_seg = 0.5 * (kappa_path[1:] + kappa_path[:-1])
+    # the prepended ground→alt[0] legs (first/last segment) are free
+    # space: the Ne/ν clamp extension exists only for the reference's μ
+    # geometry (ref :1174-1182) and would otherwise charge a fictitious
+    # constant-density D-region below the profile for tens of km
+    kappa_seg = kappa_seg.at[0].set(0.0).at[-1].set(0.0)
     mu_path = jnp.concatenate([mu_up, mu_up[::-1][1:]])
     mu_seg = 0.5 * (mu_path[1:] + mu_path[:-1])
     return _metrics(x_full, z_full, ds, mup_seg, ok, kappa_seg, mu_seg)
@@ -235,7 +240,9 @@ def trace_ray_cartesian_snells(f0_Hz, elevation_deg, alt_km, Ne, Babs, bpsi,
     padded paths (repeated apex/landing nodes carry zero-length segments).
     Beyond the reference, ``absorption_db`` integrates the QL collisional
     loss along the path (``nu``: ν [s⁻¹] on ``alt_km``, defaulting to
-    :func:`pyrayhf_tpu.absorption.collision_frequency`).
+    :func:`pyrayhf_tpu.absorption.collision_frequency`); the leg below
+    ``alt_km[0]`` is free space (no fictitious loss from the clamped
+    ground extension).
     """
     return _snell_cartesian_core(jnp.asarray(f0_Hz, dtype=float),
                                  jnp.asarray(elevation_deg, dtype=float),
@@ -330,6 +337,8 @@ def _snell_sph_ray(prep, alt, elevation_deg, re):
     mup_seg = 0.5 * (mup_path[:-1] + mup_path[1:])
     kappa_path = jnp.concatenate([kappa_up, kappa_up[::-1][1:]])
     kappa_seg = 0.5 * (kappa_path[:-1] + kappa_path[1:])
+    # free-space ground legs: see the Cartesian ray
+    kappa_seg = kappa_seg.at[0].set(0.0).at[-1].set(0.0)
     mu_path = jnp.concatenate([mu_up, mu_up[::-1][1:]])
     mu_seg = 0.5 * (mu_path[:-1] + mu_path[1:])
     return _metrics(x_full, z_full, ds, mup_seg, ok, kappa_seg, mu_seg)

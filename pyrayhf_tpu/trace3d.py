@@ -86,6 +86,8 @@ def build_field_3d(alt_km, lat_deg, lon_deg, Ne, Babs, bpsi, f0_Hz,
     """
     from .absorption import absorption_coefficient, collision_frequency
 
+    import numpy as _np
+
     alt = jnp.asarray(alt_km, dtype=float)
     lat = jnp.asarray(lat_deg, dtype=float)
     lon = jnp.asarray(lon_deg, dtype=float)
@@ -94,6 +96,12 @@ def build_field_3d(alt_km, lat_deg, lon_deg, Ne, Babs, bpsi, f0_Hz,
         raise ValueError(
             f"Ne shape {Ne.shape} != (N_alt, N_lat, N_lon) = "
             f"({alt.size}, {lat.size}, {lon.size})")
+    for name, g in (("alt_km", alt), ("lat_deg", lat), ("lon_deg", lon)):
+        if not bool(_np.all(_np.diff(_np.asarray(g)) > 0)):
+            raise ValueError(
+                f"{name} must be strictly ascending (searchsorted-based "
+                "trilinear interpolation; flip descending datasets with "
+                "[::-1] on the grid and the matching field axis)")
     X = find_X(Ne, f0_Hz)
     Y = find_Y(f0_Hz, jnp.asarray(Babs, dtype=float))
     mu, mup = find_mu_mup(X, Y, jnp.asarray(bpsi, dtype=float), mode)

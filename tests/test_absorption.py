@@ -297,3 +297,25 @@ def test_link_loss_assembly(profile):
         assert np.isnan(ll[~mk]).all()
         # HF skywave losses over 1200 km land in a physical band
         assert (ll[mk] > 80).all() and (ll[mk] < 200).all()
+
+
+def test_no_subprofile_absorption(profile):
+    """A profile starting at 80 km must absorb like the same profile
+    zero-extended to the ground: the below-profile leg is free space,
+    not a clamped constant-density D region."""
+    from pyrayhf_tpu.snell import trace_ray_cartesian_snells
+
+    alt, den, bmag, bpsi = profile
+    lo = np.arange(0.0, alt[0], 2.0)
+    altg = np.concatenate([lo, alt])
+    ext = lambda v, v0: np.concatenate([np.full(lo.size, v0), v])
+    o_raw = trace_ray_cartesian_snells(6e6, 25.0, alt, den, bmag, bpsi,
+                                       "O")
+    o_ext = trace_ray_cartesian_snells(6e6, 25.0, altg, ext(den, 0.0),
+                                       ext(bmag, bmag[0]),
+                                       ext(bpsi, bpsi[0]), "O")
+    a_raw = float(o_raw["absorption_db"])
+    a_ext = float(o_ext["absorption_db"])
+    assert np.isfinite(a_raw) and a_ext > 0
+    # within the single-segment quadrature difference of the D region
+    assert abs(a_raw / a_ext - 1.0) < 0.25, (a_raw, a_ext)

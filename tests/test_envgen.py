@@ -265,3 +265,15 @@ def test_generate_input_3d_columns_match_1d():
                          s_max_km=2000.0)
     assert o["status"] == "ground"
     assert np.isfinite(float(o["ground_range_km"]))
+
+
+def test_checkpoint_unmarked_sep_generation(tmp_path):
+    """Files from the marker-less U+001F release load correctly: the
+    separator is detected from the keys when the __fmt_v2__ marker is
+    absent (code-review regression)."""
+    p = str(tmp_path / "mid.npz")
+    np.savez_compressed(p, **{"meta\x1fn_points": np.array(200),
+                              "best": np.array([1.0, 2.0])})
+    back = load_checkpoint(p)
+    assert int(back["meta"]["n_points"]) == 200
+    assert_allclose(back["best"], [1.0, 2.0])

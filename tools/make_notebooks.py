@@ -584,6 +584,67 @@ for fi, oi in zip(f, om):
 ]
 
 
+# ---------------------------------------------------------------- 09
+NOTEBOOKS["09_trace3d.ipynb"] = [
+    ("md", """\
+# 3-D ray tracing through (alt, lat, lon) volumes
+
+Capability beyond the reference (its most general tracer is a 2-D
+great-circle slice, ref `library.py:2128-2337`): `trace3d.py` traces
+rays through full 3-D electron-density volumes in Cartesian ECEF
+coordinates, capturing the **cross-track deflection** that horizontal
+gradients produce — rays leave the launch great circle, an effect no
+slice tracer can represent. `generate_input_3D` builds matching
+climatology + IGRF volumes.
+"""),
+    ("code", SETUP),
+    ("code", """\
+# climatology volume over the Caribbean sector, 20 UT
+aalt = np.linspace(80.0, 600.0, 100)
+lat = np.linspace(5.0, 45.0, 33)
+lon = np.linspace(-90.0, -50.0, 33)
+vol = prt.generate_input_3D(2025, 9, 1, 20.0, lat, lon, aalt, 150.0)
+print("den volume", vol["den"].shape,
+      f"foF2 range {np.sqrt(vol['F2']['Nm'].min()/1.24e10):.1f}-"
+      f"{np.sqrt(vol['F2']['Nm'].max()/1.24e10):.1f} MHz")
+field = prt.build_field_3d(aalt, lat, lon, vol["den"], vol["bmag"],
+                           vol["bpsi"], 9e6, "O")
+"""),
+    ("code", """\
+# one launch: a 3 x 5 (elevation x azimuth) fan from (35N, 75W)
+els = np.array([15.0, 25.0, 35.0])
+azs = np.array([150.0, 165.0, 180.0, 195.0, 210.0])
+out = prt.trace_rays_3d(field, 35.0, -75.0, els, azs, step_km=2.0,
+                        s_max_km=3000.0)
+rng = np.asarray(out["ground_range_km"])
+ct = np.asarray(out["cross_track_km"])
+print("range [km] (el x az):"); print(np.round(rng, 0))
+print("cross-track [km] — the out-of-plane physics:")
+print(np.round(ct, 1))
+"""),
+    ("code", """\
+fig, ax = plt.subplots(1, 2, figsize=(11, 4.2))
+pc = ax[0].pcolormesh(lon, lat, np.sqrt(
+    vol["F2"]["Nm"] / 1.24e10), shading="auto")
+fig.colorbar(pc, ax=ax[0], label="foF2 [MHz]")
+for i in range(els.size):
+    for j in range(azs.size):
+        ax[0].plot(np.asarray(out["lon"])[i, j],
+                   np.asarray(out["lat"])[i, j], "w-", lw=0.7)
+ax[0].plot(-75.0, 35.0, "r^", ms=8)
+ax[0].set_xlabel("lon [deg]"); ax[0].set_ylabel("lat [deg]")
+ax[0].set_title("ray ground tracks over the foF2 map")
+for j, a in enumerate(azs):
+    ax[1].plot(np.asarray(out["lat"])[1, j],
+               np.asarray(out["alt"])[1, j], label=f"az {a:.0f}")
+ax[1].set_ylim(0, 500)
+ax[1].set_xlabel("lat [deg]"); ax[1].set_ylabel("alt [km]")
+ax[1].set_title("el=25 ray altitude profiles"); ax[1].legend(fontsize=8)
+fig.tight_layout()
+"""),
+]
+
+
 def main():
     OUT.mkdir(parents=True, exist_ok=True)
     names = sys.argv[1:] or sorted(NOTEBOOKS)

@@ -41,7 +41,8 @@ from .fields import grad_axis_ord2
 from .gradient import _STATUS, _integrate
 from .magnetoionic import find_X, find_Y, find_mu_mup
 
-__all__ = ["build_field_3d", "trace_ray_3d", "trace_rays_3d", "trilinear"]
+__all__ = ["build_field_3d", "home_ray_3d", "trace_ray_3d",
+           "trace_rays_3d", "trilinear"]
 
 
 def trilinear(aq, bq, cq, a_grid, b_grid, c_grid, field, fill_value=jnp.nan):
@@ -317,3 +318,96 @@ def trace_rays_3d(field, lat0_deg, lon0_deg, elevation_deg, azimuth_deg, *,
         jnp.asarray(step_km, dtype=float), n_steps,
         jnp.asarray(z_ground_km, dtype=float), n_hops=int(n_hops))
     return jax.vmap(lambda el: jax.vmap(lambda az: fn(el, az))(azs))(els)
+
+
+def home_ray_3d(field, tx_lat, tx_lon, rx_lat, rx_lon, *, n_elev=48,
+                n_az=9, az_span_deg=8.0, elev_min_deg=5.0,
+                elev_max_deg=75.0, step_km=2.0, s_max_km=4000.0,
+                n_hops=1, max_range_jump_km=200.0):
+    """Point-to-point homing THROUGH a 3-D volume, with azimuth correction.
+
+    The 1-D/2-D homing (:mod:`pyrayhf_tpu.oblique`) scans elevation along
+    the fixed transmitter→receiver great circle; horizontal gradients
+    deflect real rays OFF that circle, so the true solution launches at a
+    corrected azimuth. This solves both angles: an (elevation × azimuth)
+    fan around the great-circle bearing traces in one launch, each
+    azimuth column is homed in range like the 2-D problem (low/high
+    rays), and the signed landing miss (cross-track relative to the
+    receiver bearing) is interpolated to zero across azimuth.
+
+    Returns a dict with ``delay_low/high_sec``, ``elev_low/high_deg``,
+    ``azimuth_low/high_deg`` (absolute launch bearings),
+    ``azimuth_offset_low/high_deg`` (correction from the great-circle
+    bearing — identically ~0 in a horizontally-uniform ionosphere),
+    ``group_path_*/phase_path_*/absorption_*`` at the link, and the
+    bearing/distance of the link. NaN when no fan ray closes the link.
+    """
+    from .geodesy import azimuth_between_points, calculate_gcd
+    from .oblique import _crossings
+
+    az0 = float(azimuth_between_points(tx_lon, tx_lat, rx_lon, rx_lat))
+    D = float(jnp.deg2rad(calculate_gcd(tx_lon, tx_lat, rx_lon, rx_lat))
+              * R_E)
+    els = jnp.linspace(float(elev_min_deg), float(elev_max_deg),
+                       int(n_elev))
+    azs = az0 + jnp.linspace(-float(az_span_deg), float(az_span_deg),
+                             int(n_az))
+    fan = trace_rays_3d(field, tx_lat, tx_lon, els, azs, step_km=step_km,
+                        s_max_km=s_max_km, n_hops=n_hops)
+    # n̂ of the launch fan is per-azimuth; re-reference every landing to
+    # the RECEIVER bearing so "miss" means the same thing in all columns:
+    # signed offset of the landing from the tx→rx great circle
+    lat0r, lon0r = jnp.deg2rad(float(tx_lat)), jnp.deg2rad(float(tx_lon))
+    rhat0, north0, east0 = _local_frame(lat0r, lon0r)
+    az0r = jnp.deg2rad(az0)
+    d0 = jnp.cos(az0r) * north0 + jnp.sin(az0r) * east0
+    nhat = jnp.cross(d0, rhat0)
+    land = _ecef(jnp.deg2rad(fan["landing_lat_deg"]),
+                 jnp.deg2rad(fan["landing_lon_deg"]), 1.0)     # unit r̂
+    miss = R_E * jnp.arcsin(jnp.clip(
+        jnp.einsum("eak,k->ea", land, nhat), -1.0, 1.0))        # [E, A]
+
+    # per-azimuth elevation homing at range D (transposed: columns = az)
+    chord = 2.0 * R_E * jnp.sin(0.5 * D / R_E)
+    fn = partial(_crossings, elev=els, target=jnp.asarray(D),
+                 max_jump=jnp.asarray(float(max_range_jump_km)),
+                 delay_min=jnp.asarray(chord) / C_KM_S)
+    rng_ae = jnp.asarray(fan["ground_range_km"]).T              # [A, E]
+    chans = tuple(jnp.asarray(fan[k]).T for k in
+                  ("group_delay_sec", "phase_path_km", "group_path_km",
+                   "absorption_db")) + (miss.T,)
+    lo, hi = jax.vmap(lambda r, c: fn(r, c))(rng_ae, chans)
+    # each: tuple(delay, phase, path, absorb, miss, elev, slope) of [A]
+
+    def _across_azimuth(vals):
+        delay, phase, path, absorb, m, elev, _ = vals
+        ok = jnp.isfinite(m)
+        okp = ok[:-1] & ok[1:]
+        cross = okp & (jnp.sign(m[:-1]) * jnp.sign(m[1:]) <= 0.0) \
+            & ((m[:-1] != 0.0) | (m[1:] != 0.0))
+        any_c = jnp.any(cross)
+        j = jnp.argmax(cross)
+        den = m[j] - m[j + 1]
+        t = jnp.where(den != 0.0,
+                      m[j] / jnp.where(den != 0.0, den, 1.0), 0.0)
+        t = jnp.clip(t, 0.0, 1.0)
+        pick = lambda v: jnp.where(any_c, v[j] + t * (v[j + 1] - v[j]),
+                                   jnp.nan)
+        return {"delay_sec": pick(delay), "phase_path_km": pick(phase),
+                "group_path_km": pick(path), "absorption_db": pick(absorb),
+                "elev_deg": pick(elev), "azimuth_deg": pick(azs),
+                "miss_km": jnp.where(any_c, 0.0, jnp.nan)}
+
+    out = {}
+    for leg, vals in (("low", lo), ("high", hi)):
+        sol = _across_azimuth(vals)
+        out.update({f"delay_{leg}_sec": sol["delay_sec"],
+                    f"phase_path_{leg}_km": sol["phase_path_km"],
+                    f"group_path_{leg}_km": sol["group_path_km"],
+                    f"absorption_{leg}_db": sol["absorption_db"],
+                    f"elev_{leg}_deg": sol["elev_deg"],
+                    f"azimuth_{leg}_deg": sol["azimuth_deg"],
+                    f"azimuth_offset_{leg}_deg": sol["azimuth_deg"] - az0})
+    out.update({"bearing_deg": az0, "range_km": D,
+                "elevations_deg": els, "azimuths_deg": azs})
+    return out

@@ -135,3 +135,52 @@ def test_fan_batching(uniform_field):
     z_evan = alt_g[np.argmax(~np.isfinite(mu_col))]
     np.testing.assert_allclose(np.asarray(out["apex_alt_km"])[2], z_evan,
                                atol=3.0)
+
+
+def test_home_ray_3d_uniform_matches_2d(uniform_field, day):
+    """Uniform volume: the 3-D homing reduces to the 2-D great-circle
+    problem — machine-zero azimuth correction and the same low-ray
+    delay as synthesize_oblique_ionogram."""
+    from pyrayhf_tpu.trace3d import home_ray_3d
+
+    field, (alt, den, bmag, bpsi) = uniform_field
+    h = home_ray_3d(field, 38.0, -72.0, 33.7, -72.0, n_elev=64, n_az=9)
+    assert abs(float(h["azimuth_offset_low_deg"])) < 1e-8
+    D = float(h["range_km"])
+    o = prt.synthesize_oblique_ionogram(np.array([8e6]), D, alt, den,
+                                        bmag, bpsi, geometry="spherical",
+                                        n_elev=256)
+    assert abs(float(h["delay_low_sec"])
+               / float(o["delay_low_sec"][0]) - 1.0) < 2e-3
+    # phase < group at the link in 3-D too
+    assert float(h["phase_path_low_km"]) < float(h["group_path_low_km"])
+
+
+def test_home_ray_3d_ridge_correction(day):
+    """Through an east-west ridge the homed solution needs a nonzero
+    azimuth correction, and actually hits the receiver: re-tracing the
+    solved (elevation, azimuth) lands within 1 km of the target."""
+    from pyrayhf_tpu.geodesy import calculate_gcd
+    from pyrayhf_tpu.trace3d import build_field_3d, home_ray_3d, \
+        trace_ray_3d
+
+    alt, den, bmag, bpsi = day
+    lat = np.linspace(10.0, 45.0, 36)
+    lon = np.linspace(-90.0, -50.0, 41)
+    shape = (alt.size, lat.size, lon.size)
+    U = lambda v: np.broadcast_to(v[:, None, None], shape)
+    ridge = 1.0 + 0.4 * np.exp(-((lon + 65.0) / 8.0) ** 2)
+    field = build_field_3d(alt, lat, lon, U(den) * ridge[None, None, :],
+                           U(bmag), U(bpsi), 8e6, "O")
+    rx = (33.7, -72.0)
+    h = home_ray_3d(field, 38.0, -72.0, *rx, n_elev=64, n_az=11,
+                    az_span_deg=6.0)
+    off = float(h["azimuth_offset_low_deg"])
+    assert np.isfinite(off) and abs(off) > 0.02
+    o = trace_ray_3d(field, 38.0, -72.0, float(h["elev_low_deg"]),
+                     float(h["azimuth_low_deg"]), step_km=2.0)
+    miss = np.deg2rad(float(calculate_gcd(
+        float(o["landing_lon_deg"]), float(o["landing_lat_deg"]),
+        rx[1], rx[0]))) * 6371.0
+    assert o["status"] == "ground"
+    assert miss < 1.0, miss

@@ -96,3 +96,48 @@ def test_kernel_gradients_both_modes_on_device(day_profile, goldens):
         assert np.isfinite(g_rev) and np.isfinite(g_fwd), iname
         np.testing.assert_allclose(g_rev, g_ref, rtol=1e-4, err_msg=iname)
         np.testing.assert_allclose(g_fwd, g_ref, rtol=1e-4, err_msg=iname)
+
+
+def test_new_surfaces_smoke_on_device(day_profile):
+    """Round-3 additions run on the real chip: oblique link budget with
+    ground loss, MUF scaling, phase operator, Faraday, and a 3-D fan."""
+    import pyrayhf_tpu as prt
+
+    d = day_profile
+    alt, den = np.asarray(d["alt"]), np.asarray(d["den"])
+    bmag, bpsi = np.asarray(d["bmag"]), np.asarray(d["bpsi"])
+
+    o = prt.synthesize_oblique_ionogram(
+        np.array([8e6, 10e6]), 1500.0, alt, den, bmag, bpsi,
+        geometry="spherical", n_elev=181, n_hops=2, ground="medium")
+    dl = np.asarray(o["delay_low_sec"])
+    assert np.isfinite(dl).any()
+    m = np.isfinite(dl)
+    assert np.isfinite(np.asarray(o["link_loss_low_db"])[m]).all()
+    assert (np.asarray(o["ground_loss_low_db"])[m] > 0).all()
+    assert (np.asarray(o["phase_path_low_km"])[m]
+            < np.asarray(o["group_path_low_km"])[m]).all()
+
+    muf = float(prt.muf_from_profile(2000.0, den, bmag, bpsi, alt))
+    foF2 = float(prt.den2freq(den.max())) / 1e6
+    assert foF2 < muf < 3.5 * foF2
+
+    hp = np.asarray(prt.vertical_phase_operator(
+        np.array([5.0, 8.0]), den, bmag, bpsi, alt))
+    assert np.isfinite(hp).all()
+
+    om = float(prt.faraday_rotation_vertical(100e6, den, bmag, bpsi, alt))
+    assert 1.0 < om < 100.0
+
+    lat = np.linspace(20.0, 50.0, 16)
+    lon = np.linspace(-85.0, -55.0, 16)
+    shape = (alt.size, lat.size, lon.size)
+    field = prt.build_field_3d(alt, lat, lon,
+                               np.broadcast_to(den[:, None, None], shape),
+                               np.broadcast_to(bmag[:, None, None], shape),
+                               np.broadcast_to(bpsi[:, None, None], shape),
+                               8e6, "O")
+    out = prt.trace_rays_3d(field, 32.0, -70.0, np.array([30.0, 45.0]),
+                            np.array([180.0]), step_km=2.0,
+                            s_max_km=2000.0)
+    assert np.isfinite(np.asarray(out["ground_range_km"])).all()

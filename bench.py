@@ -20,8 +20,31 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _tunnel_alive(timeout_s=150):
+    """Probe the accelerator in a SUBPROCESS with a timeout.
+
+    The axon TPU tunnel occasionally dies in a way that makes
+    jax.devices() hang forever (not error); probing in-process would
+    hang the whole bench. A dead probe → fall back to host CPU so the
+    driver still records a JSON line.
+    """
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=timeout_s)
+        return r.returncode == 0 and "tpu" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     import jax
+    if not _tunnel_alive():
+        log("accelerator probe dead/hung -> forcing host-CPU fallback")
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp

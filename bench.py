@@ -35,7 +35,9 @@ def _tunnel_alive(timeout_s=150):
              "import jax; print(jax.devices()[0].platform)"],
             capture_output=True, text=True, timeout=timeout_s)
         return r.returncode == 0 and "tpu" in r.stdout
-    except subprocess.TimeoutExpired:
+    except Exception:
+        # TimeoutExpired, spawn failures, anything — the watchdog's one
+        # job is to guarantee a JSON line, so fall back to CPU
         return False
 
 

@@ -148,6 +148,19 @@ def _local_frame(lat, lon):
     return rhat, north, east
 
 
+def _bearing_frame(lat, lon, az):
+    """(r̂₀, d̂₀, n̂) at a point for bearing ``az`` [all rad].
+
+    n̂ = d̂₀ × r̂₀ is unit-norm and points to the RIGHT of the bearing
+    (east when heading north) — the sign convention of every
+    cross-track output in this module.
+    """
+    rhat, north, east = _local_frame(lat, lon)
+    d0 = jnp.cos(az) * north + jnp.sin(az) * east
+    nhat = jnp.cross(d0, rhat)
+    return rhat, d0, nhat / jnp.linalg.norm(nhat)
+
+
 @partial(jax.jit, static_argnames=("n_steps", "n_hops"))
 def _trace3d_core(field, lat0_deg, lon0_deg, elevation_deg, azimuth_deg,
                   ds, n_steps, z_ground, n_hops=1):
@@ -251,9 +264,7 @@ def _trace3d_core(field, lat0_deg, lon0_deg, elevation_deg, azimuth_deg,
     rhat_end = p_path[-1] / r_path[-1]
     cosc = jnp.clip(jnp.dot(rhat0, rhat_end), -1.0, 1.0)
     ground_range = R_E * jnp.arccos(cosc)
-    d0 = jnp.cos(az) * north0 + jnp.sin(az) * east0
-    nhat = jnp.cross(d0, rhat0)
-    nhat = nhat / jnp.linalg.norm(nhat)
+    _, _, nhat = _bearing_frame(lat0, lon0, az)
     cross_track = R_E * jnp.arcsin(
         jnp.clip(jnp.dot(rhat_end, nhat), -1.0, 1.0))
     landed = status == _STATUS["ground"]
@@ -345,6 +356,12 @@ def home_ray_3d(field, tx_lat, tx_lon, rx_lat, rx_lon, *, n_elev=48,
     from .geodesy import azimuth_between_points, calculate_gcd
     from .oblique import _crossings
 
+    if int(n_az) < 3:
+        raise ValueError("n_az must be >= 3 (the azimuth root-find needs "
+                         "a bracketing fan; use the 2-D homing for a "
+                         "fixed great-circle bearing)")
+    if int(n_elev) < 4:
+        raise ValueError("n_elev must be >= 4")
     az0 = float(azimuth_between_points(tx_lon, tx_lat, rx_lon, rx_lat))
     D = float(jnp.deg2rad(calculate_gcd(tx_lon, tx_lat, rx_lon, rx_lat))
               * R_E)
@@ -357,11 +374,9 @@ def home_ray_3d(field, tx_lat, tx_lon, rx_lat, rx_lon, *, n_elev=48,
     # n̂ of the launch fan is per-azimuth; re-reference every landing to
     # the RECEIVER bearing so "miss" means the same thing in all columns:
     # signed offset of the landing from the tx→rx great circle
-    lat0r, lon0r = jnp.deg2rad(float(tx_lat)), jnp.deg2rad(float(tx_lon))
-    rhat0, north0, east0 = _local_frame(lat0r, lon0r)
-    az0r = jnp.deg2rad(az0)
-    d0 = jnp.cos(az0r) * north0 + jnp.sin(az0r) * east0
-    nhat = jnp.cross(d0, rhat0)
+    _, _, nhat = _bearing_frame(jnp.deg2rad(float(tx_lat)),
+                                jnp.deg2rad(float(tx_lon)),
+                                jnp.deg2rad(az0))
     land = _ecef(jnp.deg2rad(fan["landing_lat_deg"]),
                  jnp.deg2rad(fan["landing_lon_deg"]), 1.0)     # unit r̂
     miss = R_E * jnp.arcsin(jnp.clip(
@@ -369,9 +384,10 @@ def home_ray_3d(field, tx_lat, tx_lon, rx_lat, rx_lon, *, n_elev=48,
 
     # per-azimuth elevation homing at range D (transposed: columns = az)
     chord = 2.0 * R_E * jnp.sin(0.5 * D / R_E)
+    delay_floor = jnp.asarray(chord) / C_KM_S
     fn = partial(_crossings, elev=els, target=jnp.asarray(D),
                  max_jump=jnp.asarray(float(max_range_jump_km)),
-                 delay_min=jnp.asarray(chord) / C_KM_S)
+                 delay_min=delay_floor)
     rng_ae = jnp.asarray(fan["ground_range_km"]).T              # [A, E]
     chans = tuple(jnp.asarray(fan[k]).T for k in
                   ("group_delay_sec", "phase_path_km", "group_path_km",
@@ -379,35 +395,27 @@ def home_ray_3d(field, tx_lat, tx_lon, rx_lat, rx_lon, *, n_elev=48,
     lo, hi = jax.vmap(lambda r, c: fn(r, c))(rng_ae, chans)
     # each: tuple(delay, phase, path, absorb, miss, elev, slope) of [A]
 
-    def _across_azimuth(vals):
-        delay, phase, path, absorb, m, elev, _ = vals
-        ok = jnp.isfinite(m)
-        okp = ok[:-1] & ok[1:]
-        cross = okp & (jnp.sign(m[:-1]) * jnp.sign(m[1:]) <= 0.0) \
-            & ((m[:-1] != 0.0) | (m[1:] != 0.0))
-        any_c = jnp.any(cross)
-        j = jnp.argmax(cross)
-        den = m[j] - m[j + 1]
-        t = jnp.where(den != 0.0,
-                      m[j] / jnp.where(den != 0.0, den, 1.0), 0.0)
-        t = jnp.clip(t, 0.0, 1.0)
-        pick = lambda v: jnp.where(any_c, v[j] + t * (v[j + 1] - v[j]),
-                                   jnp.nan)
-        return {"delay_sec": pick(delay), "phase_path_km": pick(phase),
-                "group_path_km": pick(path), "absorption_db": pick(absorb),
-                "elev_deg": pick(elev), "azimuth_deg": pick(azs),
-                "miss_km": jnp.where(any_c, 0.0, jnp.nan)}
-
     out = {}
     for leg, vals in (("low", lo), ("high", hi)):
-        sol = _across_azimuth(vals)
-        out.update({f"delay_{leg}_sec": sol["delay_sec"],
-                    f"phase_path_{leg}_km": sol["phase_path_km"],
-                    f"group_path_{leg}_km": sol["group_path_km"],
-                    f"absorption_{leg}_db": sol["absorption_db"],
-                    f"elev_{leg}_deg": sol["elev_deg"],
-                    f"azimuth_{leg}_deg": sol["azimuth_deg"],
-                    f"azimuth_offset_{leg}_deg": sol["azimuth_deg"] - az0})
+        delay, phase, path, absorb, m, elev, _ = vals
+        # azimuth stage: the miss channel crosses zero; reuse the guarded
+        # crossing finder (target 0, "range" = miss) so interpolating
+        # across a ray-family discontinuity (miss jump > the cap) is
+        # rejected instead of fabricating a solution — the azimuth
+        # analogue of max_range_jump_km in the elevation stage
+        sol, _ = _crossings(m, (delay, phase, path, absorb, elev),
+                            elev=azs, target=jnp.asarray(0.0),
+                            max_jump=jnp.asarray(
+                                float(max_range_jump_km)),
+                            delay_min=delay_floor)
+        s_delay, s_phase, s_path, s_absorb, s_elev, s_az, _ = sol
+        out.update({f"delay_{leg}_sec": s_delay,
+                    f"phase_path_{leg}_km": s_phase,
+                    f"group_path_{leg}_km": s_path,
+                    f"absorption_{leg}_db": s_absorb,
+                    f"elev_{leg}_deg": s_elev,
+                    f"azimuth_{leg}_deg": s_az,
+                    f"azimuth_offset_{leg}_deg": s_az - az0})
     out.update({"bearing_deg": az0, "range_km": D,
                 "elevations_deg": els, "azimuths_deg": azs})
     return out

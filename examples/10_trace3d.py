@@ -69,6 +69,23 @@ def main():
     print("absorption at el=20: "
           + "  ".join(f"{a:.1f}" for a in ab[0]) + " dB")
 
+    # point-to-point homing THROUGH the ridge: solves elevation AND the
+    # gradient-corrected launch bearing
+    rx = (33.0, -72.0)
+    h = prt.home_ray_3d(field, 38.0, -72.0, *rx, n_elev=64, n_az=11,
+                        az_span_deg=6.0, step_km=2.0)
+    print(f"\nhoming (38N,72W) -> ({rx[0]:.0f}N,{-rx[1]:.0f}W), "
+          f"D = {float(h['range_km']):.0f} km:")
+    print(f"  low ray : elev {float(h['elev_low_deg']):6.2f} deg, "
+          f"azimuth offset {float(h['azimuth_offset_low_deg']):+.3f} deg, "
+          f"delay {float(h['delay_low_sec'])*1e3:.3f} ms")
+    o = prt.trace_ray_3d(field, 38.0, -72.0, float(h["elev_low_deg"]),
+                         float(h["azimuth_low_deg"]), step_km=2.0)
+    miss = np.deg2rad(float(prt.calculate_gcd(
+        float(o["landing_lon_deg"]), float(o["landing_lat_deg"]),
+        rx[1], rx[0]))) * 6371.0
+    print(f"  re-traced landing miss from the receiver: {miss:.2f} km")
+
     # uniform-field control: cross-track collapses to machine zero
     f0 = prt.build_field_3d(alt, lat, lon,
                             np.broadcast_to(den[:, None, None], shape),

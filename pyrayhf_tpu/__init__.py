@@ -77,6 +77,7 @@ from . import ground
 from .muf import (muf_from_profile, muf_from_vertical_ionogram,
                   vertical_to_oblique)
 from . import muf
-from .trace3d import (build_field_3d, home_ray_3d, trace_ray_3d,
+from .trace3d import (build_field_3d, home_ray_3d,
+                      synthesize_oblique_ionogram_3d, trace_ray_3d,
                       trace_rays_3d)
 from . import trace3d

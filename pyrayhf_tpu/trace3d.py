@@ -41,7 +41,8 @@ from .fields import grad_axis_ord2
 from .gradient import _STATUS, _integrate
 from .magnetoionic import find_X, find_Y, find_mu_mup
 
-__all__ = ["build_field_3d", "home_ray_3d", "trace_ray_3d",
+__all__ = ["build_field_3d", "home_ray_3d",
+           "synthesize_oblique_ionogram_3d", "trace_ray_3d",
            "trace_rays_3d", "trilinear"]
 
 
@@ -418,4 +419,39 @@ def home_ray_3d(field, tx_lat, tx_lon, rx_lat, rx_lon, *, n_elev=48,
                     f"azimuth_offset_{leg}_deg": s_az - az0})
     out.update({"bearing_deg": az0, "range_km": D,
                 "elevations_deg": els, "azimuths_deg": azs})
+    return out
+
+
+def synthesize_oblique_ionogram_3d(f0s_hz, tx_lat, tx_lon, rx_lat, rx_lon,
+                                   alt_km, lat_deg, lon_deg, Ne, Babs,
+                                   bpsi, mode="O", nu=None, **home_kw):
+    """Oblique ionogram for a link THROUGH a 3-D volume.
+
+    The 3-D completion of :func:`pyrayhf_tpu.synthesize_oblique_ionogram`
+    (1-D profile) and ``synthesize_oblique_ionogram_2d`` (great-circle
+    slice): for every frequency, build the μ/μ'/κ volume and solve the
+    two-angle homing problem (:func:`home_ray_3d`) — low/high-ray delay,
+    elevation AND gradient-corrected launch bearing per frequency.
+    ``home_kw`` forwards fan/integration knobs to :func:`home_ray_3d`.
+
+    The per-frequency fan shapes are identical, so the loop compiles
+    once and re-executes; outputs are stacked [N_freq] arrays plus the
+    link geometry. NaN rows above the (azimuth-resolved) link MUF.
+    """
+    import numpy as np
+
+    f0s = np.atleast_1d(np.asarray(f0s_hz, dtype=float))
+    rows = []
+    for f0 in f0s:
+        field = build_field_3d(alt_km, lat_deg, lon_deg, Ne, Babs, bpsi,
+                               float(f0), mode=mode, nu=nu)
+        rows.append(home_ray_3d(field, tx_lat, tx_lon, rx_lat, rx_lon,
+                                **home_kw))
+    keys = [k for k in rows[0]
+            if k not in ("elevations_deg", "azimuths_deg")]
+    out = {k: np.stack([np.asarray(r[k]) for r in rows]) for k in keys}
+    out["bearing_deg"] = rows[0]["bearing_deg"]
+    out["range_km"] = rows[0]["range_km"]
+    out["elevations_deg"] = rows[0]["elevations_deg"]
+    out["azimuths_deg"] = rows[0]["azimuths_deg"]
     return out

@@ -184,3 +184,31 @@ def test_home_ray_3d_ridge_correction(day):
         rx[1], rx[0]))) * 6371.0
     assert o["status"] == "ground"
     assert miss < 1.0, miss
+
+
+def test_oblique_ionogram_3d_uniform_matches_1d(day):
+    """Uniform volume: the 3-D oblique ionogram (per-frequency two-angle
+    homing) reproduces the 1-D homing delays with ~zero azimuth offsets
+    and the same NaN (above-MUF) structure."""
+    from pyrayhf_tpu.trace3d import synthesize_oblique_ionogram_3d
+
+    alt, den, bmag, bpsi = day
+    lat = np.linspace(20.0, 55.0, 26)
+    lon = np.linspace(-90.0, -50.0, 26)
+    shape = (alt.size, lat.size, lon.size)
+    U = lambda v: np.broadcast_to(v[:, None, None], shape)
+    f0s = np.array([6e6, 9e6, 25e6])       # 25 MHz: above the link MUF
+    o3 = synthesize_oblique_ionogram_3d(
+        f0s, 36.0, -72.0, 30.0, -72.0, alt, lat, lon,
+        U(den), U(bmag), U(bpsi), n_elev=64, n_az=5, az_span_deg=3.0,
+        step_km=2.0)
+    D = float(o3["range_km"])
+    o1 = prt.synthesize_oblique_ionogram(f0s, D, alt, den, bmag, bpsi,
+                                         geometry="spherical", n_elev=256)
+    d3 = np.asarray(o3["delay_low_sec"])
+    d1 = np.asarray(o1["delay_low_sec"])
+    assert np.array_equal(np.isfinite(d3), np.isfinite(d1))
+    m = np.isfinite(d1)
+    assert m.sum() == 2
+    np.testing.assert_allclose(d3[m], d1[m], rtol=5e-3)
+    assert np.abs(np.asarray(o3["azimuth_offset_low_deg"])[m]).max() < 1e-6

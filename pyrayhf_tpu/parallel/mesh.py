@@ -35,7 +35,7 @@ from ..magnetoionic import find_X, find_Y, find_mu_mup_masked, mode_multiplier
 
 __all__ = ["ionogram_mesh", "synthesize_ionograms_sharded",
            "vh_height_sharded", "retrieval_step_sharded",
-           "retrieve_gradient_batch_sharded"]
+           "retrieve_gradient_batch_sharded", "trace_fan_3d_sharded"]
 
 
 def ionogram_mesh(devices=None, batch_axis=None):
@@ -294,3 +294,48 @@ def retrieve_gradient_batch_sharded(F2, F1, E, f_in, vh_obs, alt, b_mag,
         F2_fit[k] = np.concatenate(
             [np.asarray(p[2][k]).reshape(-1) for p in parts])
     return vh, edp, F2_fit, hist
+
+
+def trace_fan_3d_sharded(field, lat0_deg, lon0_deg, elevation_deg,
+                         azimuth_deg, mesh, axis="batch", *, step_km=2.0,
+                         s_max_km=3000.0, z_ground_km=0.0, n_hops=1):
+    """3-D (elevation × azimuth) fan with the elevation axis sharded.
+
+    Each device traces its elevation slice against the full azimuth set;
+    the μ/μ'/κ volume (closed over, so replicated to every device) is
+    read-only — pure DP over rays, no collectives. Output leaves are
+    [E, A, ...] arrays sharded on E, bitwise-identical to the unsharded
+    :func:`pyrayhf_tpu.trace3d.trace_rays_3d`.
+    """
+    from jax import shard_map
+
+    from ..trace3d import _trace3d_core
+
+    els = jnp.asarray(elevation_deg, dtype=float)
+    azs = jnp.asarray(azimuth_deg, dtype=float)
+    n_dev = mesh.shape[axis]
+    if els.size % n_dev:
+        raise ValueError(
+            f"elevation count ({els.size}) must be divisible by the "
+            f"'{axis}' mesh axis size ({n_dev})")
+    n_steps = int(round(float(s_max_km) / float(step_km)))
+    core = _trace3d_core.__wrapped__
+    args = (jnp.asarray(lat0_deg, dtype=float),
+            jnp.asarray(lon0_deg, dtype=float))
+
+    def shard_fn(els_t):
+        one = lambda el, az: core(field, *args, el, az,
+                                  jnp.asarray(step_km, dtype=float),
+                                  n_steps,
+                                  jnp.asarray(z_ground_km, dtype=float),
+                                  n_hops=int(n_hops))
+        return jax.vmap(lambda el: jax.vmap(
+            lambda az: one(el, az))(azs))(els_t)
+
+    # check_vma off: the tracer's scan carries constant-typed init values
+    # (alive flag, status code) that become device-varying through y0 —
+    # semantically fine for a collective-free pure map, but the varying-
+    # manual-axes checker rejects the mixed carry
+    fn = jax.jit(shard_map(shard_fn, mesh=mesh, in_specs=(P(axis),),
+                           out_specs=P(axis), check_vma=False))
+    return fn(els)

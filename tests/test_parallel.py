@@ -221,3 +221,34 @@ def test_sharded_pallas_engine_matches_xla(mesh8):
     assert np.array_equal(np.isnan(pal), np.isnan(xla))
     m = np.isfinite(xla)
     assert np.abs(pal[m] - xla[m]).max() < 1e-9
+
+
+def test_trace_fan_3d_sharded_matches_unsharded(day_profile):
+    """Elevation-sharded 3-D fan over the 8-device mesh equals the
+    unsharded trace (pure DP over rays, replicated volume)."""
+    import numpy as np
+
+    from pyrayhf_tpu.parallel.mesh import ionogram_mesh, \
+        trace_fan_3d_sharded
+    from pyrayhf_tpu.trace3d import build_field_3d, trace_rays_3d
+
+    d = day_profile
+    alt, den = np.asarray(d["alt"]), np.asarray(d["den"])
+    bmag, bpsi = np.asarray(d["bmag"]), np.asarray(d["bpsi"])
+    lat = np.linspace(20.0, 50.0, 11)
+    lon = np.linspace(-85.0, -55.0, 11)
+    shape = (alt.size, lat.size, lon.size)
+    U = lambda v: np.broadcast_to(v[:, None, None], shape)
+    field = build_field_3d(alt, lat, lon, U(den), U(bmag), U(bpsi),
+                           8e6, "O")
+    els = np.linspace(20.0, 55.0, 8)
+    azs = np.array([170.0, 190.0])
+    mesh = ionogram_mesh()
+    sh = trace_fan_3d_sharded(field, 35.0, -70.0, els, azs, mesh,
+                              step_km=4.0, s_max_km=1500.0)
+    un = trace_rays_3d(field, 35.0, -70.0, els, azs, step_km=4.0,
+                       s_max_km=1500.0)
+    for k in ("ground_range_km", "group_delay_sec", "phase_path_km",
+              "cross_track_km"):
+        np.testing.assert_allclose(np.asarray(sh[k]), np.asarray(un[k]),
+                                   rtol=1e-12, atol=1e-12)

@@ -74,7 +74,7 @@ from .faraday import faraday_rotation_vertical
 from . import faraday
 from .ground import fresnel_coefficients, ground_reflection_loss_db
 from . import ground
-from .muf import (muf_from_profile, muf_from_vertical_ionogram,
+from .muf import (muf_from_profile, muf_from_vertical_ionogram, muf_map,
                   vertical_to_oblique)
 from . import muf
 from .trace3d import (build_field_3d, home_ray_3d,

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from .constants import R_E
 
 __all__ = ["vertical_to_oblique", "muf_from_vertical_ionogram",
-           "muf_from_profile"]
+           "muf_from_profile", "muf_map"]
 
 
 def vertical_to_oblique(freq_vertical_mhz, height_virtual_km, range_km,
@@ -88,4 +88,31 @@ def muf_from_profile(range_km, den, bmag, bpsi, alt_km, mode="O",
     D = jnp.atleast_1d(jnp.asarray(range_km, dtype=float))
     muf = jax.vmap(lambda d: muf_from_vertical_ionogram(
         freq_mhz, vh, d, R_E_km=R_E_km))(D)
+    return muf[0] if jnp.ndim(range_km) == 0 else muf
+
+
+def muf_map(range_km, den, bmag, bpsi, alt_km, mode="O", n_points=200,
+            freq_mhz=None, R_E_km=R_E, engine="auto"):
+    """MUF(D) over a PROFILE BATCH — e.g. a global grid → a MUF map.
+
+    ``den``/``bmag``/``bpsi``: [B, N_alt] profile stacks (flatten a
+    lat×lon grid, or the columns of a
+    :func:`pyrayhf_tpu.envgen.generate_input_3D` volume); ``alt_km``
+    a shared grid. ``range_km`` scalar or [D]. Returns [B] or [D, B]
+    MUFs. The whole map is two launches: one batched forward operator
+    (``engine`` forwarded — the Pallas kernel on TPU) and one broadcast
+    transmission-curve scaling.
+    """
+    from .forward import vertical_forward_operator_batch
+
+    if freq_mhz is None:
+        freq_mhz = jnp.arange(0.1, 25.0, 0.1)
+    freq_mhz = jnp.asarray(freq_mhz, dtype=float)
+    vh = vertical_forward_operator_batch(freq_mhz, den, bmag, bpsi,
+                                         alt_km, mode=mode,
+                                         n_points=n_points, engine=engine)
+    D = jnp.atleast_1d(jnp.asarray(range_km, dtype=float))
+    muf = jax.vmap(lambda d: jax.vmap(
+        lambda v: muf_from_vertical_ionogram(freq_mhz, v, d,
+                                             R_E_km=R_E_km))(vh))(D)
     return muf[0] if jnp.ndim(range_km) == 0 else muf

@@ -124,3 +124,24 @@ def test_muf_matches_ray_traced_link(day):
     assert np.isfinite(dl).any()
     link = f0s[np.isfinite(dl)].max() / 1e6
     assert abs(muf / link - 1.0) < 0.05, (muf, link)
+
+
+def test_muf_map_matches_single(day):
+    """Batched MUF map equals per-profile muf_from_profile rows."""
+    from pyrayhf_tpu.muf import muf_map
+
+    alt, den, bmag, bpsi = day
+    scale = np.array([0.8, 1.0, 1.2])
+    den_b = scale[:, None] * den[None, :]
+    bmag_b = np.broadcast_to(bmag, (3, alt.size))
+    bpsi_b = np.broadcast_to(bpsi, (3, alt.size))
+    D = np.array([1000.0, 3000.0])
+    m = np.asarray(muf_map(D, den_b, bmag_b, bpsi_b, alt))
+    assert m.shape == (2, 3)
+    for i, d in enumerate(D):
+        for j in range(3):
+            single = float(muf_from_profile(d, den_b[j], bmag_b[j],
+                                            bpsi_b[j], alt))
+            np.testing.assert_allclose(m[i, j], single, rtol=1e-10)
+    # denser ionosphere -> higher MUF at fixed D
+    assert (np.diff(m, axis=1) > 0).all()

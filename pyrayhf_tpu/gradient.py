@@ -163,7 +163,8 @@ def _dp45_step(rhs, y, h):
 
 def _integrate_adaptive(rhs, y0, n_attempts, s_max, h0, rtol, atol,
                         h_max, event_value, reflect_slot=None,
-                        max_bounces=0):
+                        max_bounces=0, v_slice=slice(2, 4),
+                        reflect_fn=None):
     """Error-controlled DP45 with freeze-on-event semantics.
 
     Same output contract as :func:`_integrate` but each scan iteration is an
@@ -172,8 +173,12 @@ def _integrate_adaptive(rhs, y0, n_attempts, s_max, h0, rtol, atol,
     metrics); accepted attempts advance s and adapt h with the standard
     0.9·err^(−1/5) controller. Integration freezes at s ≥ s_max or on the
     first boundary event (with linear backtrack, like the fixed-step path).
-    ``reflect_slot``/``max_bounces``: see :func:`_integrate`.
+    ``reflect_slot``/``max_bounces``/``v_slice``/``reflect_fn``: see
+    :func:`_integrate`.
     """
+    if reflect_fn is None and reflect_slot is not None:
+        def reflect_fn(y):
+            return y.at[reflect_slot].set(jnp.abs(y[reflect_slot]))
 
     def attempt(carry, _):
         y, h, s, alive, status, bounces = carry
@@ -200,10 +205,10 @@ def _integrate_adaptive(rhs, y0, n_attempts, s_max, h0, rtol, atol,
         dead = ~ok_num & (h_try <= 2e-9)
 
         # renormalise direction slots on acceptance
-        v = y5[2:4]
+        v = y5[v_slice]
         vmag = jnp.linalg.norm(v)
         v = jnp.where(vmag > 0, v / jnp.where(vmag > 0, vmag, 1.0), v)
-        y5 = y5.at[2:4].set(v)
+        y5 = y5.at[v_slice].set(v)
 
         ev_old = event_value(y)
         ev_new = event_value(y5)
@@ -216,10 +221,9 @@ def _integrate_adaptive(rhs, y0, n_attempts, s_max, h0, rtol, atol,
         t = jnp.clip(t, 0.0, 1.0)
         y_cross = y + t * (y5 - y)
         ground_hit = any_cross & (j == 0)
-        if reflect_slot is not None:
+        if reflect_fn is not None:
             bounce = ground_hit & (bounces < max_bounces)
-            y_refl = y_cross.at[reflect_slot].set(
-                jnp.abs(y_cross[reflect_slot]))
+            y_refl = reflect_fn(y_cross)
             y_cross = jnp.where(bounce, y_refl, y_cross)
             bounces = bounces + jnp.where(bounce, 1, 0)
             any_cross = any_cross & ~bounce
@@ -235,7 +239,7 @@ def _integrate_adaptive(rhs, y0, n_attempts, s_max, h0, rtol, atol,
         step_ok = alive & accept
         y_next = jnp.where(step_ok,
                            jnp.where(any_cross, y_cross, y5), y)
-        if reflect_slot is not None:
+        if reflect_fn is not None:
             bounce_ok = step_ok & bounce
             y_next = jnp.where(bounce_ok, y_cross, y_next)
         s_next = jnp.where(step_ok, s + h_try * t_adv, s)

@@ -162,9 +162,10 @@ def _bearing_frame(lat, lon, az):
     return rhat, d0, nhat / jnp.linalg.norm(nhat)
 
 
-@partial(jax.jit, static_argnames=("n_steps", "n_hops"))
+@partial(jax.jit, static_argnames=("n_steps", "n_hops", "adaptive"))
 def _trace3d_core(field, lat0_deg, lon0_deg, elevation_deg, azimuth_deg,
-                  ds, n_steps, z_ground, n_hops=1):
+                  ds, n_steps, z_ground, n_hops=1, adaptive=False,
+                  rtol=1e-7, atol=1e-9, s_max=None, h_max=None):
     alt_g = field["alt"]
     lat_g = field["lat"]
     lon_g = field["lon"]
@@ -233,8 +234,15 @@ def _trace3d_core(field, lat0_deg, lon0_deg, elevation_deg, azimuth_deg,
 
     hop_kw = dict(reflect_fn=reflect, max_bounces=n_hops - 1) \
         if n_hops > 1 else {}
-    ys, alive, status = _integrate(rhs_with_freespace, y0, n_steps, ds,
-                                   events, v_slice=slice(3, 6), **hop_kw)
+    if adaptive:
+        from .gradient import _integrate_adaptive
+        ys, alive, status = _integrate_adaptive(
+            rhs_with_freespace, y0, n_steps, s_max, ds, rtol, atol,
+            h_max, events, v_slice=slice(3, 6), **hop_kw)
+    else:
+        ys, alive, status = _integrate(rhs_with_freespace, y0, n_steps,
+                                       ds, events, v_slice=slice(3, 6),
+                                       **hop_kw)
     p_path = ys[:, :3]
     r_path, lat_path, lon_path = _geodetic(p_path)
     alt_path = r_path - R_E
@@ -287,7 +295,8 @@ def _trace3d_core(field, lat0_deg, lon0_deg, elevation_deg, azimuth_deg,
 
 
 def trace_ray_3d(field, lat0_deg, lon0_deg, elevation_deg, azimuth_deg, *,
-                 step_km=1.0, s_max_km=6000.0, z_ground_km=0.0, n_hops=1):
+                 step_km=1.0, s_max_km=6000.0, z_ground_km=0.0, n_hops=1,
+                 rtol=None, atol=None, max_step_km=None):
     """Trace one ray through a 3-D field (see :func:`build_field_3d`).
 
     Launches from (``lat0_deg``, ``lon0_deg``) at ``z_ground_km`` toward
@@ -300,15 +309,33 @@ def trace_ray_3d(field, lat0_deg, lon0_deg, elevation_deg, azimuth_deg, *,
     signed offset from the launch great circle that only horizontal
     gradients can produce (positive to the right of the launch azimuth).
     ``n_hops``: specular bounces about the local vertical.
+
+    ``rtol``/``atol``: when either is given, integration switches to the
+    error-controlled Dormand–Prince 5(4) attempt scan shared with the
+    2-D tracers (``step_km`` is then the initial step, ``max_step_km``
+    the cap; 'attempts' status when the budget runs out).
     """
-    n_steps = int(round(float(s_max_km) / float(step_km)))
+    adaptive = rtol is not None or atol is not None
+    if adaptive:
+        n_steps = 2 * int(round(float(s_max_km) / float(step_km)))
+        kw = dict(adaptive=True,
+                  rtol=jnp.asarray(1e-7 if rtol is None else rtol,
+                                   dtype=float),
+                  atol=jnp.asarray(1e-9 if atol is None else atol,
+                                   dtype=float),
+                  s_max=jnp.asarray(s_max_km, dtype=float),
+                  h_max=jnp.asarray(jnp.inf if max_step_km is None
+                                    else max_step_km, dtype=float))
+    else:
+        n_steps = int(round(float(s_max_km) / float(step_km)))
+        kw = {}
     out = _trace3d_core(field, jnp.asarray(lat0_deg, dtype=float),
                         jnp.asarray(lon0_deg, dtype=float),
                         jnp.asarray(elevation_deg, dtype=float),
                         jnp.asarray(azimuth_deg, dtype=float),
                         jnp.asarray(step_km, dtype=float), n_steps,
                         jnp.asarray(z_ground_km, dtype=float),
-                        n_hops=int(n_hops))
+                        n_hops=int(n_hops), **kw)
     code = int(out.pop("status_code"))
     out["status"] = {v: k for k, v in _STATUS.items()}[code]
     return out

@@ -212,3 +212,16 @@ def test_oblique_ionogram_3d_uniform_matches_1d(day):
     assert m.sum() == 2
     np.testing.assert_allclose(d3[m], d1[m], rtol=5e-3)
     assert np.abs(np.asarray(o3["azimuth_offset_low_deg"])[m]).max() < 1e-6
+
+
+def test_adaptive_3d_matches_fixed_step(uniform_field):
+    """The DP5(4) adaptive 3-D integration agrees with fine fixed-step
+    RK4 on range/path (<0.3%) and reports the same landing."""
+    field, _ = uniform_field
+    fx = trace_ray_3d(field, 30.0, -75.0, 35.0, 20.0, step_km=1.0)
+    ad = trace_ray_3d(field, 30.0, -75.0, 35.0, 20.0, step_km=5.0,
+                      rtol=1e-7, atol=1e-9, max_step_km=10.0)
+    assert fx["status"] == "ground" and ad["status"] == "ground"
+    for k in ("ground_range_km", "group_path_km", "group_delay_sec"):
+        assert abs(float(ad[k]) / float(fx[k]) - 1.0) < 3e-3, k
+    assert abs(float(ad["cross_track_km"])) < 1e-6

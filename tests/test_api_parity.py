@@ -153,3 +153,29 @@ def test_shape_mismatch_logs_not_raises(caplog):
             np.array([5e-5, 5e-5, 5e-5]), np.array([60.0, 60.0, 60.0]),
             np.array([100.0, 200.0, 300.0, 400.0])[:3])
     assert np.asarray(vh).shape == (1,)
+
+
+BEYOND_REFERENCE_API = [
+    # round-2/3 additions the docs/CHANGELOG promise at package level
+    "vertical_forward_operator_batch", "vh_and_mask",
+    "vertical_phase_operator", "faraday_rotation_vertical",
+    "synthesize_oblique_ionogram", "synthesize_oblique_ionogram_2d",
+    "synthesize_oblique_ionogram_3d",
+    "absorption_coefficient", "collision_frequency",
+    "vertical_absorption_operator",
+    "fresnel_coefficients", "ground_reflection_loss_db",
+    "vertical_to_oblique", "muf_from_vertical_ionogram",
+    "muf_from_profile", "muf_map",
+    "build_field_3d", "trace_ray_3d", "trace_rays_3d", "home_ray_3d",
+    "retrieve_profile", "retrieve_profile_batch",
+    "retrieve_gradient", "retrieve_gradient_batch",
+    "generate_input_3D",
+    "ionogram_pallas", "ionogram_pallas_gather", "ionogram_fast_xla",
+]
+
+
+def test_beyond_reference_surface_is_exported():
+    """Everything the CHANGELOG/COVERAGE advertises resolves at package
+    level (guards the export-gap class of review finding)."""
+    missing = [n for n in BEYOND_REFERENCE_API if not hasattr(prt, n)]
+    assert not missing, missing

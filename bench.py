@@ -223,6 +223,11 @@ def main():
         if np.isfinite(dvh_f32_x20k):
             acc_line += f", {dvh_f32_x20k:.6f} km (f32 pallas)"
 
+    if not on_tpu:
+        # the number is a HOST-CPU measurement, not a chip regression —
+        # either this container has no TPU or the tunnel was unresponsive
+        # (see _tunnel_alive); the last on-chip record is BENCHMARKS.md
+        acc_line += "; HOST-CPU FALLBACK (no responsive TPU), not a chip rate"
     print(json.dumps({
         "metric": "vh_evals_per_sec_per_chip",
         "value": float(evals_per_sec),

@@ -47,8 +47,8 @@ def main():
     print("\nMUF(D) by transmission-curve scaling:")
     print("  D [km] :", "  ".join(f"{d:6.0f}" for d in D))
     print("  MUF/MHz:", "  ".join(f"{m:6.2f}" for m in muf))
-    print("  M(3000)F2 factor:",
-          f"{float(prt.muf_from_profile(3000.0, den, bmag, bpsi, alt))/foF2:.3f}")
+    m3000 = float(prt.muf_from_profile(3000.0, den, bmag, bpsi, alt))
+    print("  M(3000)F2 factor:", f"{m3000/foF2:.3f}")
 
     # cross-check vs the ray-traced link MUF at 2000 km
     f0s = np.arange(10e6, 40e6, 0.5e6)

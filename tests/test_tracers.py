@@ -397,8 +397,9 @@ def test_gradient_adaptive_nan_region_freezes():
     GROWTH branch of the step controller (NaN err_norm), so the ray
     hammered the NaN zone with an ever-growing step instead of stopping.
     """
-    from pyrayhf_tpu.fields import (build_mup_function,
-                                    build_refractive_index_interpolator_cartesian as build_cart)
+    from pyrayhf_tpu.fields import build_mup_function
+    from pyrayhf_tpu.fields import \
+        build_refractive_index_interpolator_cartesian as build_cart
     z = np.linspace(0.0, 600.0, 121)
     x = np.linspace(0.0, 1000.0, 41)
     mu = np.ones((z.size, x.size))

@@ -26,7 +26,7 @@ REF = pathlib.Path("/root/reference")
 
 
 def _install_stubs():
-    """Satisfy `import lmfit`, `import PyIRI`, `from PyIRI import sh_library`."""
+    """Satisfy `import lmfit` / `import PyIRI` / `PyIRI.sh_library`."""
     lmfit = types.ModuleType("lmfit")
     lmfit.Parameters = object
     lmfit.minimize = None

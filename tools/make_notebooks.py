@@ -571,7 +571,8 @@ ax.annotate(f"foF2 = {foF2:.1f} MHz", (Ds[0], foF2 + 0.4))
 ax.set_xlabel("link distance D [km]"); ax.set_ylabel("MUF(D) [MHz]")
 ax.set_title("transmission-curve MUF")
 fig.tight_layout()
-print(f"M(3000)F2 = {float(prt.muf_from_profile(3000.0, den, bmag, bpsi, alt))/foF2:.2f}")
+m3000 = float(prt.muf_from_profile(3000.0, den, bmag, bpsi, alt))
+print(f"M(3000)F2 = {m3000/foF2:.2f}")
 """),
     ("code", """\
 # Faraday rotation through the whole ionosphere (exact O-X AH phase

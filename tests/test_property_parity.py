@@ -163,3 +163,53 @@ def test_snell_tracer_random_rays_vs_oracle(oracle):
                 assert np.isfinite(vo), (trial, tag, mode, k)
                 rel = abs(vo - vr) / max(abs(vr), 1e-12)
                 assert rel < tol, (trial, tag, mode, k, vr, vo)
+
+
+def test_random_profiles_new_observable_invariants():
+    """Physics invariants of the round-3 observables hold on random
+    profiles: phase ≤ geometric ≤ group path on every valid Snell ray;
+    h_p ≤ h' per finite echo; Faraday > 0 above penetration and
+    falls with frequency; MUF(D) monotone in D and ≥ foF2."""
+    import pyrayhf_tpu as prt
+    from pyrayhf_tpu.constants import C_KM_S
+    from pyrayhf_tpu.muf import muf_from_profile
+
+    rng = np.random.default_rng(7)
+    for trial in range(6):
+        alt, den, bmag, bpsi = _random_profile(rng, 240)
+        foF2 = float(prt.den2freq(den.max())) / 1e6
+
+        # Snell path ordering on a small random fan
+        f0s = rng.uniform(0.35, 0.9, 2) * foF2 * 1e6
+        els = rng.uniform(15.0, 65.0, 3)
+        o = prt.trace_rays_cartesian_snells(f0s, els, alt, den, bmag,
+                                            bpsi, "O")
+        pp = np.asarray(o["phase_path_km"])
+        gp = np.asarray(o["group_path_km"])
+        gd = np.asarray(o["group_delay_sec"]) * C_KM_S
+        m = np.isfinite(pp)
+        assert (pp[m] <= gp[m] + 1e-9).all(), trial
+        assert (gp[m] <= gd[m] + 1e-9).all(), trial
+
+        # phase height ≤ virtual height
+        freqs = np.arange(1.0, foF2 * 1.2, 0.5)
+        vh = np.asarray(prt.vertical_forward_operator(freqs, den, bmag,
+                                                      bpsi, alt))
+        hp = np.asarray(prt.vertical_phase_operator(freqs, den, bmag,
+                                                    bpsi, alt))
+        mm = np.isfinite(vh) & np.isfinite(hp)
+        assert (hp[mm] <= vh[mm] + 1e-9).all(), trial
+
+        # Faraday positive above penetration, decreasing with f
+        ff = np.array([3.0, 6.0]) * foF2 * 1e6
+        om = np.asarray(prt.faraday_rotation_vertical(ff, den, bmag,
+                                                      bpsi, alt))
+        assert np.isfinite(om).all() and (om > 0).all(), trial
+        assert om[0] > om[1], trial
+
+        # MUF monotone and above foF2
+        D = np.array([800.0, 2000.0, 3200.0])
+        muf = np.asarray(muf_from_profile(D, den, bmag, bpsi, alt))
+        assert np.isfinite(muf).all(), trial
+        assert (np.diff(muf) > 0).all(), trial
+        assert (muf > foF2 * 0.999).all(), trial

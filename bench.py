@@ -228,10 +228,14 @@ def main():
         # either this container has no TPU or the tunnel was unresponsive
         # (see _tunnel_alive); the last on-chip record is BENCHMARKS.md
         acc_line += "; HOST-CPU FALLBACK (no responsive TPU), not a chip rate"
+    # record the timed dtype: the TPU headline runs f32, the CPU fallback
+    # f64 — the two populations are not comparable without this label
+    timed_dtype = np.dtype(dtype).name
     print(json.dumps({
         "metric": "vh_evals_per_sec_per_chip",
         "value": float(evals_per_sec),
-        "unit": "(freq,profile) virtual-height evals/s" + acc_line,
+        "unit": f"(freq,profile) virtual-height evals/s [{timed_dtype}, "
+                f"platform={dev.platform}]" + acc_line,
         "vs_baseline": float(evals_per_sec / 1e6),
     }))
 

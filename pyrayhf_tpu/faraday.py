@@ -12,7 +12,7 @@ Appleton–Hartree phase-index difference with the same ``find_mu_mup``
 core as the rest of the framework (ref ``library.py:161-256``), so the
 result stays correct toward the penetration frequency where the QL
 expansion degrades. The QL closed form is recovered to O(X², XY²) —
-pinned by ``tests/test_faraday.py``.
+pinned by ``tests/test_phase.py``.
 
 TPU shape: one broadcast [N_freq, N_alt] Appleton–Hartree evaluation per
 mode plus a trapezoid reduce — the same elementwise pattern XLA already

@@ -69,19 +69,40 @@ def muf_from_vertical_ionogram(freq_mhz, vh_km, range_km, R_E_km=R_E):
                      jnp.nan)
 
 
+def _default_freq_grid(den, bmag, mode):
+    """0.1 MHz grid whose TOP clears the profile's own critical frequency.
+
+    A fixed 25 MHz ceiling silently truncates the vertical trace (and so
+    underestimates the MUF) for solar-max profiles with foF2 near or
+    above it; derive the top from 1.1× the mode's cutoff instead
+    (O: foF2; X: foF2 + f_ce/2), never below the old 25 MHz so ordinary
+    profiles keep one compiled shape.
+    """
+    import numpy as np
+    fo = float(np.sqrt(max(float(np.nanmax(np.asarray(den))), 0.0))
+               * 8.97866275 / 1e6)                      # foF2 [MHz]
+    top = 1.1 * fo
+    if mode != "O":
+        from .constants import G_P
+        top += 0.55 * float(np.nanmax(np.asarray(bmag))) * G_P / 1e6
+    return jnp.arange(0.1, max(25.0, top), 0.1)
+
+
 def muf_from_profile(range_km, den, bmag, bpsi, alt_km, mode="O",
                      n_points=200, freq_mhz=None, R_E_km=R_E):
     """MUF(D) directly from an electron-density profile.
 
     Synthesises the vertical ionogram with
     :func:`pyrayhf_tpu.vertical_forward_operator` on ``freq_mhz``
-    (default: 0.1…25 MHz in 0.1 MHz steps) and scales it. ``range_km``
-    may be an array — the scan over link distances is one broadcast.
+    (default: 0.1 MHz steps up to max(25 MHz, 1.1× the profile's own
+    critical frequency) — see :func:`_default_freq_grid`) and scales it.
+    ``range_km`` may be an array — the scan over link distances is one
+    broadcast.
     """
     from .forward import vertical_forward_operator
 
     if freq_mhz is None:
-        freq_mhz = jnp.arange(0.1, 25.0, 0.1)
+        freq_mhz = _default_freq_grid(den, bmag, mode)
     freq_mhz = jnp.asarray(freq_mhz, dtype=float)
     vh = vertical_forward_operator(freq_mhz, den, bmag, bpsi, alt_km,
                                    mode=mode, n_points=n_points)
@@ -106,7 +127,7 @@ def muf_map(range_km, den, bmag, bpsi, alt_km, mode="O", n_points=200,
     from .forward import vertical_forward_operator_batch
 
     if freq_mhz is None:
-        freq_mhz = jnp.arange(0.1, 25.0, 0.1)
+        freq_mhz = _default_freq_grid(den, bmag, mode)
     freq_mhz = jnp.asarray(freq_mhz, dtype=float)
     vh = vertical_forward_operator_batch(freq_mhz, den, bmag, bpsi,
                                          alt_km, mode=mode,

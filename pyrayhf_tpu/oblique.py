@@ -320,7 +320,9 @@ def _fan_2d_fn(z_np, x_np, mode, geometry, n_elev, n_steps, n_hops):
         return range_fe, delay_fe, absorb_fe, path_fe, phase_fe, elevs
 
     if len(_FAN_2D_CACHE) > 16:
-        _FAN_2D_CACHE.clear()
+        # FIFO: evict only the oldest entry (dicts are insertion-ordered)
+        # so workloads alternating across many grids keep their hot fans
+        _FAN_2D_CACHE.pop(next(iter(_FAN_2D_CACHE)))
     _FAN_2D_CACHE[key] = fan
     return fan
 

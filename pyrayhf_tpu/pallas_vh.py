@@ -748,12 +748,128 @@ def _kernel_gather_osolve(mult_ref, dmult_ref, omm_ref, segt_ref, freq_ref,
         out_ref[bi, 0, 0, :] = out_ref[bi, 0, 0, :] + partial_ih
 
 
+def _kernel_gather_xsolve(mult_ref, dmult_ref, omm_ref, segt_ref, freq_ref,
+                          out_ref, valid_ref, *, n_seg, last_chunk,
+                          last_idx, b_tile, f_tile, p_chunk, inv_dalt, G):
+    """X-mode gather kernel with the reflection-height solve IN-kernel.
+
+    The X-mode cutoff cummax(X+Y) is not frequency-separable like
+    O-mode's, but the solve never needed the cummax TENSOR: the crossing
+    index is the FIRST exceedance of the raw s_j = X_j + Y_j (after the
+    first sample ≥ 1 every later cummax entry is ≥ 1), and the two
+    interpolation ordinates are prefix maxima of those same raw values —
+    f0 = max_{i≤k−1} s_i, f1 = max(f0, s_k). So the whole [B, F, N]
+    HBM-bound XLA prep (ref X cutoff ``library.py:391-396``;
+    :func:`prepare_profile_tables` else-branch) collapses to a dense
+    [f_tile, G] VMEM evaluation of s plus a handful of lane reductions —
+    min-index for k, masked max for f0/r0/s_k, one-hot sums for a0/a1.
+    Every ordinate is SELECTED from the same raw s values the dense path's
+    cummax selects; the critical height is assembled in the relative-
+    altitude frame (one extra rounding, like the O in-kernel solve), so
+    f64 agreement with the XLA-prep path is ~1e-12 km — ≲3e-7 km on
+    near-critical rows where |∂vh/∂h_crit| amplifies the last-ulp crit
+    rounding — with identical NaN structure (tested).
+
+    ``valid_ref`` is a second [b_tile, 1, 1, f_tile] output (1.0 where the
+    profile reflects the frequency) written on the first P-chunk —
+    X-mode validity is not separable, so it is cheapest here where s is
+    already in VMEM.
+    """
+    pc = pl.program_id(2)
+    dtype = mult_ref.dtype
+    mult = mult_ref[0, :]                       # [p_chunk]
+    dmult = dmult_ref[0, :]
+    omm = omm_ref[0, :]
+    f = freq_ref[0, 0, 0, :][:, None]           # [f_tile, 1]
+    mi = mult * jnp.asarray(inv_dalt, dtype)
+    n_blk = G // 128
+    cp2 = jnp.asarray(CP * CP, dtype)
+    gp = jnp.asarray(G_P, dtype)
+    inv_f2 = 1.0 / (f * f)                      # [f_tile, 1]
+    neginf = jnp.asarray(-jnp.inf, dtype)
+
+    for bi in range(b_tile):
+        drow = segt_ref[bi, 2, :]               # [G] raw den, 0-padded
+        bmrow = segt_ref[bi, 4, :]              # [G] raw |B|
+        arow = segt_ref[bi, 0, :]               # [G] altitude rel alt0
+        # same op ORDER as the dense path (bit-parity): X = (den·cp²)/f²,
+        # Y = (|B|·g_p)/f; padding rows are 0 ⇒ s = 0 < 1, never exceed
+        s = (drow[None, :] * cp2 * inv_f2
+             + bmrow[None, :] * gp / f)                      # [f_tile, G]
+        jidx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        exceed = s >= 1.0
+        k_first = jnp.min(jnp.where(exceed, jidx, jnp.int32(G)),
+                          axis=1, keepdims=True)             # [f_tile, 1]
+        valid = k_first < n_seg
+        k = jnp.minimum(jnp.maximum(k_first, jnp.int32(1)),
+                        jnp.int32(n_seg - 1))
+        f0 = jnp.max(jnp.where(jidx <= k - 1, s, neginf), axis=1,
+                     keepdims=True)             # cummax(s)[k-1], selected
+        s_k = jnp.max(jnp.where(jidx == k, s, neginf), axis=1,
+                      keepdims=True)
+        f1 = jnp.maximum(f0, s_k)               # cummax(s)[k]
+        r0 = jnp.max(jnp.where(jidx == k - 1, s, neginf), axis=1,
+                     keepdims=True)             # raw s at k-1
+        arow_b = arow[None, :] + jnp.zeros(s.shape, dtype)
+        a0 = jnp.sum(jnp.where(jidx == k - 1, arow_b, 0.0), axis=1,
+                     keepdims=True)             # one-hot: exact select
+        a1 = jnp.sum(jnp.where(jidx == k, arow_b, 0.0), axis=1,
+                     keepdims=True)
+        t = jnp.where(f1 != f0,
+                      (1.0 - f0) / jnp.where(f1 != f0, f1 - f0, 1.0), 0.0)
+        crit = a0 + jnp.clip(t, 0.0, 1.0) * (a1 - a0)
+        da = a1 - a0
+        slope = jnp.where((da > 0) & (f1 > f0),
+                          (f1 - f0) / jnp.where(da > 0, da, 1.0), 0.0)
+        genuine = r0 == f0
+        emax = jnp.where(genuine, jnp.maximum(slope * (crit - a0), 0.0),
+                         0.0)
+        first_exceeds = exceed[:, 0:1]
+        crit = jnp.where(first_exceeds, 0.0, crit)
+        crit = jnp.where(valid, crit, 0.0) - _DH_BACKOFF
+        slope = jnp.where(valid, slope, 0.0)
+        emax = jnp.where(valid, emax, 0.0)
+        span = crit                             # relative frame: alt0 == 0
+
+        # ---- resample + μ' + quadrature (as _kernel_gather) ----
+        pos = span * mi[None, :]                             # [f_tile, P]
+        i0 = jnp.minimum(jnp.maximum(jnp.floor(pos).astype(jnp.int32),
+                                     jnp.int32(0)), jnp.int32(n_seg - 2))
+        frac = jnp.clip(pos - i0.astype(dtype), 0.0, 1.0)
+        ilo = i0 & 127
+        iblk = i0 >> 7
+        gat = lambda c: _block_gather(segt_ref, bi, c, ilo, iblk, n_blk,
+                                      dtype)
+        d_acc = gat(2) + frac * gat(3)
+        bm_acc = gat(4) + frac * gat(5)
+        bp_acc = gat(6) + frac * gat(7)
+
+        dh = span * dmult[None, :]
+        p_ids = jax.lax.broadcasted_iota(jnp.int32, dh.shape, 1)
+        is_last = (pc == last_chunk) & (p_ids == last_idx)
+        dh = jnp.where(is_last, jnp.asarray(_DH_BACKOFF, dh.dtype), dh)
+
+        X = d_acc * (CP * CP) / (f * f)
+        Y = bm_acc * G_P / f
+        eps = slope * (span * omm[None, :] + _DH_BACKOFF)
+        mup, ok = _mu_mup_stable_tile(X, Y, bp_acc, -1.0, eps, emax)
+        partial_ih = jnp.sum(jnp.where(ok, mup * dh, 0.0), axis=1)
+
+        @pl.when(pc == 0)
+        def _(bi=bi, partial_ih=partial_ih, valid=valid):
+            out_ref[bi, 0, 0, :] = jnp.zeros_like(partial_ih)
+            valid_ref[bi, 0, 0, :] = valid[:, 0].astype(dtype)
+
+        out_ref[bi, 0, 0, :] = out_ref[bi, 0, 0, :] + partial_ih
+
+
 @partial(jax.jit, static_argnames=("mode_mult", "n_points", "p_chunk",
                                    "interpret", "f_tile", "b_tile",
-                                   "inv_dalt"))
+                                   "inv_dalt", "x_in_kernel_solve"))
 def _ionogram_pallas_gather(freq_mhz, den, bmag, bpsi, alt, mode_mult=1.0,
                             n_points=200, p_chunk=512, interpret=False,
-                            f_tile=32, b_tile=4, inv_dalt=None):
+                            f_tile=32, b_tile=4, inv_dalt=None,
+                            x_in_kernel_solve=True):
     """Dynamic-gather variant of the fused kernel (uniform grid only)."""
     if inv_dalt is None:
         raise ValueError("the gather engine requires a uniformly spaced "
@@ -830,6 +946,36 @@ def _ionogram_pallas_gather(freq_mhz, den, bmag, bpsi, alt, mode_mult=1.0,
                                            dtype),
             interpret=interpret, **common,
         )(mult_j, dmult_j, omm_j, segt, freq_b)
+    elif x_in_kernel_solve:
+        # X-mode with the reflection solve IN-kernel: XLA only
+        # flat-extends and packs, exactly like the O-mode branch — the
+        # [B, F, N] HBM-bound prep disappears (round-4; see
+        # _kernel_gather_xsolve)
+        den_t, bmag_t, bpsi_t, alt_t = _flat_extend(
+            den, jnp.asarray(bmag, dtype), jnp.asarray(bpsi, dtype),
+            jnp.asarray(alt, dtype))
+        seg = _pack_segment_table(den_t, bmag_t, bpsi_t, alt_t)
+        segt = jnp.concatenate(
+            [seg, jnp.zeros((B, G - N, 8), seg.dtype)], axis=1)
+        segt = segt.transpose(0, 2, 1)
+        out, validf = pl.pallas_call(
+            partial(_kernel_gather_xsolve, **kern_kw),
+            in_specs=[
+                chunk_spec, chunk_spec, chunk_spec,
+                pl.BlockSpec((b_tile, 8, G), lambda b, f, c: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 1, f_tile),
+                             lambda b, f, c: (0, f, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[out_spec, out_spec],
+            out_shape=[jax.ShapeDtypeStruct((B, n_ftiles, 1, f_tile),
+                                            dtype),
+                       jax.ShapeDtypeStruct((B, n_ftiles, 1, f_tile),
+                                            dtype)],
+            interpret=interpret, **common,
+        )(mult_j, dmult_j, omm_j, segt, freq_b)
+        valid = validf.reshape(B, F_pad)[:, :F] > 0.5
     else:
         seg, crit, valid, slope, emax = prepare_profile_tables(
             freq_hz, den, jnp.asarray(bmag, dtype),
@@ -869,19 +1015,23 @@ def _ionogram_pallas_gather(freq_mhz, den, bmag, bpsi, alt, mode_mult=1.0,
 
 def ionogram_pallas_gather(freq_mhz, den, bmag, bpsi, alt, mode_mult=None,
                            n_points=None, p_chunk=None, interpret=False,
-                           f_tile=None, b_tile=4, config=None):
+                           f_tile=None, b_tile=4, config=None,
+                           x_in_kernel_solve=True):
     """Dynamic-gather ionogram synthesis: [B, N_alt] profiles → [B, F] vh.
 
     Same discretisation and API as :func:`ionogram_pallas`, with the
     resample as hardware per-lane gathers (see :func:`_kernel_gather`) —
-    and, for O-mode, the reflection-height solve fused into the kernel
-    (see :func:`_kernel_gather_osolve`), which removes the [B, F, N_alt]
-    HBM-bound XLA preprocessing entirely. Measured on one v5e chip at the
-    README O-200 workload (B=1024): 17.0 ms/launch = 1.05e7 vh evals/s —
-    3.4× the sweep kernel (round-3 BENCHMARKS.md). Requires a uniformly
-    spaced shared altitude grid (raises otherwise). Differentiable like
-    :func:`ionogram_pallas` (same AD wrapper). ``f_tile`` defaults to 8
-    for O-mode (best measured) and 32 for X-mode.
+    and the reflection-height solve fused into the kernel for BOTH modes
+    (O: :func:`_kernel_gather_osolve`, round 3; X:
+    :func:`_kernel_gather_xsolve`, round 4), which removes the
+    [B, F, N_alt] HBM-bound XLA preprocessing entirely. Measured on one
+    v5e chip at the README O-200 workload (B=1024): 17.0 ms/launch =
+    1.05e7 vh evals/s — 3.4× the sweep kernel (round-3 BENCHMARKS.md).
+    Requires a uniformly spaced shared altitude grid (raises otherwise).
+    Differentiable like :func:`ionogram_pallas` (same AD wrapper).
+    ``f_tile`` defaults to 8 for O-mode (best measured) and 32 for
+    X-mode. ``x_in_kernel_solve=False`` keeps the round-3 X path (solve
+    in XLA via :func:`prepare_profile_tables`) for comparison.
     """
     from .config import resolve
     if mode_mult is None:
@@ -903,7 +1053,9 @@ def ionogram_pallas_gather(freq_mhz, den, bmag, bpsi, alt, mode_mult=None,
     cfg = (("mode_mult", mode_mult), ("n_points", n_points),
            ("p_chunk", p_chunk), ("interpret", interpret),
            ("f_tile", f_tile), ("b_tile", b_tile),
-           ("inv_dalt", inv_dalt), ("gather", True))
+           ("inv_dalt", inv_dalt),
+           ("x_in_kernel_solve", bool(x_in_kernel_solve)),
+           ("gather", True))
     return _pallas_ad(cfg, freq_mhz, den, bmag, bpsi, alt)
 
 

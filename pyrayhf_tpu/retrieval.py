@@ -24,7 +24,7 @@ import numpy as np
 
 from . import edp
 from .constants import G_P
-from .forward import vertical_forward_operator, vh_and_mask
+from .forward import vertical_forward_operator
 from .pallas_vh import ionogram_fast_xla
 from .magnetoionic import freq2den, mode_multiplier
 
@@ -266,8 +266,15 @@ def retrieve_gradient(F2, F1, E, f_in, vh_obs, alt, b_mag, b_psi,
     singularity |∂vh/∂θ| diverges and a single near-critical row would
     otherwise dominate (and destroy) the normal equations.
 
+    The whole LM loop runs as :func:`_lm_batch_core` with a batch of one —
+    a single jitted ``lax.scan`` on the device, no host round-trips per
+    damping attempt (the round-2 host-driven loop paid ~2 transfers per
+    try). The fixed ``steps``-length scan replaces the host loop's early
+    break: a converged sample just keeps rejecting steps at rising λ,
+    which costs flops but no accuracy.
+
     Returns (vh_fit, EDP_fit, F2_fit, history) where history is the
-    mean-squared-residual trace per accepted iteration.
+    squared-residual trace per LM iteration.
     """
     del learning_rate
     f = jnp.asarray(f_in, dtype=float)
@@ -276,7 +283,6 @@ def retrieve_gradient(F2, F1, E, f_in, vh_obs, alt, b_mag, b_psi,
     alt_j = jnp.asarray(alt, dtype=float)
     bmag_j = jnp.asarray(b_mag, dtype=float)
     bpsi_j = jnp.asarray(b_psi, dtype=float)
-    mm = mode_multiplier(mode)
 
     hm0 = _scalar(F2["hm"])
     key2 = "B_bot" if bottom_type == "B_bot" else "B0"
@@ -285,94 +291,21 @@ def retrieve_gradient(F2, F1, E, f_in, vh_obs, alt, b_mag, b_psi,
     nm0 = (_scalar(F2["Nm"]) if fit_nm
            else _pin_NmF2(jnp.sort(f[obs_ok]), alt_j, bmag_j, old_hm, mode))
 
-    theta0 = {"log_hm": jnp.log(hm0), "log_bb": jnp.log(bb0)}
-    if fit_nm:
-        theta0["log_nm"] = jnp.log(nm0)
-
-    hmE = _scalar(E["hm"])
     B_top = _scalar(F2["B_top"])
     Es = {k: _scalar(E[k]) for k in ("Nm", "hm", "B_bot", "B_top")}
     P = _scalar(F1["P"]) if "P" in F1 else jnp.asarray(0.0)
-    B1_fix = _scalar(F2["B1"]) if bottom_type == "B0_B1" else None
+    B1_fix = (_scalar(F2["B1"]) if bottom_type == "B0_B1"
+              else jnp.asarray(0.0))
 
-    def forward(theta):
-        hm = jnp.exp(theta["log_hm"])
-        bb = jnp.exp(theta["log_bb"])
-        nm = jnp.exp(theta["log_nm"]) if fit_nm else nm0
-        NmF1, _, hmF1, _ = edp.derive_dependent_F1_parameters(
-            P, nm, hm, bb, hmE)
-        if bottom_type == "B_bot":
-            EDP = edp.reconstruct_density_1level(
-                {"Nm": nm, "hm": hm, "B_bot": bb, "B_top": B_top},
-                {"Nm": NmF1, "hm": hmF1}, Es, alt_j)
-        else:
-            EDP = edp.reconstruct_density_continuous(
-                {"Nm": nm, "hm": hm, "B0": bb, "B1": B1_fix,
-                 "B_top": B_top}, {"P": P, "hm": hmF1}, Es, alt_j)
-        vh, valid = vh_and_mask(f, EDP, bmag_j, bpsi_j, alt_j,
-                                mode_mult=mm, n_points=n_points)
-        return vh, valid
-
-    keys = sorted(theta0.keys())
-
-    def theta_vec(theta):
-        return jnp.stack([theta[k] for k in keys])
-
-    def vec_theta(x):
-        return {k: x[i] for i, k in enumerate(keys)}
-
-    def residuals(x):
-        theta = vec_theta(x)
-        vh, valid = forward(theta)
-        nm = jnp.exp(theta["log_nm"]) if fit_nm else nm0
-        fo_model = jnp.sqrt(nm) * 8.97866275 / 1e6      # MHz
-        in_band = obs_ok & (f < crit_margin * fo_model)
-        use = valid & in_band
-        # an observed ray the model fails to reflect costs a large constant
-        # residual — otherwise a parameter step that kills every ray would
-        # zero the residuals and masquerade as a perfect fit
-        r = jnp.where(use, obs - vh, 0.0)
-        r = jnp.where(in_band & ~valid, 1e3, r)
-        return r, use
-
-    def res_only(x):
-        return residuals(x)[0]
-
-    jac_fn = jax.jit(jax.jacobian(res_only))
-    res_fn = jax.jit(res_only)
-
-    # Levenberg–Marquardt with multiplicative damping adaptation.
-    x = theta_vec(theta0)
-    lam = 1e-2
-    history = []
-    cost = float(jnp.sum(res_fn(x) ** 2))
-    n_par = x.shape[0]
-    for _ in range(steps):
-        J = jac_fn(x)
-        r = res_fn(x)
-        JtJ = J.T @ J
-        Jtr = J.T @ r
-        accepted = False
-        for _ in range(8):
-            delta = jnp.linalg.solve(
-                JtJ + lam * jnp.diag(jnp.maximum(jnp.diag(JtJ), 1e-12)),
-                Jtr)
-            x_new = x - delta
-            cost_new = float(jnp.sum(res_fn(x_new) ** 2))
-            if np.isfinite(cost_new) and cost_new < cost:
-                x, cost = x_new, cost_new
-                lam = max(lam / 3.0, 1e-10)
-                accepted = True
-                break
-            lam = min(lam * 10.0, 1e8)
-        history.append(cost)
-        if not accepted or float(jnp.linalg.norm(delta)) < 1e-12:
-            break
-
-    theta = vec_theta(x)
-    hm_opt = float(jnp.exp(theta["log_hm"]))
-    bb_opt = float(jnp.exp(theta["log_bb"]))
-    nm_opt = float(jnp.exp(theta["log_nm"])) if fit_nm else float(nm0)
+    _, _, hm_f, bb_f, nm_f, history = _lm_batch_core(
+        hm0[None], bb0[None], jnp.asarray(nm0)[None], B_top, Es, P, B1_fix,
+        f, obs[None, :], alt_j, bmag_j, bpsi_j, mode=mode,
+        n_points=n_points, bottom_type=bottom_type, steps=steps,
+        fit_nm=fit_nm, crit_margin=crit_margin)
+    hm_opt = float(hm_f[0])
+    bb_opt = float(bb_f[0])
+    nm_opt = float(nm_f[0]) if fit_nm else float(nm0)
+    history = np.asarray(history[:, 0])
     F2_fit = dict(F2)
     F2_fit["Nm"] = np.full_like(np.asarray(F2["Nm"], dtype=float), nm_opt)
     F2_fit["hm"] = np.full_like(np.asarray(F2["Nm"], dtype=float), hm_opt)

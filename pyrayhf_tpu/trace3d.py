@@ -41,7 +41,7 @@ from .fields import grad_axis_ord2
 from .gradient import _STATUS, _integrate
 from .magnetoionic import find_X, find_Y, find_mu_mup
 
-__all__ = ["build_field_3d", "home_ray_3d",
+__all__ = ["build_field_3d", "build_field_3d_batch", "home_ray_3d",
            "synthesize_oblique_ionogram_3d", "trace_ray_3d",
            "trace_rays_3d", "trilinear"]
 
@@ -72,22 +72,8 @@ def trilinear(aq, bq, cq, a_grid, b_grid, c_grid, field, fill_value=jnp.nan):
     return jnp.where(inside, out, fill_value)
 
 
-def build_field_3d(alt_km, lat_deg, lon_deg, Ne, Babs, bpsi, f0_Hz,
-                   mode="O", nu=None):
-    """Precompute the μ/μ'/κ volume and its grid gradients for one
-    frequency.
-
-    ``Ne``/``Babs``/``bpsi``: [N_alt, N_lat, N_lon] on the monotone grids
-    ``alt_km``/``lat_deg``/``lon_deg`` (e.g. stacked
-    :func:`pyrayhf_tpu.envgen.generate_input_1D` columns). Returns the
-    field dict :func:`trace_ray_3d` consumes. ψ is the vertical-incidence
-    magnetic angle per column — the same convention as the 2-D builders
-    (ref ``library.py:1764-1835``).
-
-    ``nu``: ν(alt) [s⁻¹] for the absorption channel (default model).
-    """
-    from .absorption import absorption_coefficient, collision_frequency
-
+def _validate_grids_3d(alt_km, lat_deg, lon_deg, Ne):
+    """Shared host-side grid validation for the 3-D field builders."""
     import numpy as _np
 
     alt = jnp.asarray(alt_km, dtype=float)
@@ -104,25 +90,92 @@ def build_field_3d(alt_km, lat_deg, lon_deg, Ne, Babs, bpsi, f0_Hz,
                 f"{name} must be strictly ascending (searchsorted-based "
                 "trilinear interpolation; flip descending datasets with "
                 "[::-1] on the grid and the matching field axis)")
+    return alt, lat, lon, Ne
+
+
+def _field_volumes(Ne, Babs, bpsi, f0_Hz, mode, nu_a, alt, lat_r, lon_r):
+    """μ/μ'/κ volume + grid gradients for ONE frequency (traceable)."""
+    from .absorption import absorption_coefficient
+
     X = find_X(Ne, f0_Hz)
-    Y = find_Y(f0_Hz, jnp.asarray(Babs, dtype=float))
-    mu, mup = find_mu_mup(X, Y, jnp.asarray(bpsi, dtype=float), mode)
+    Y = find_Y(f0_Hz, Babs)
+    mu, mup = find_mu_mup(X, Y, bpsi, mode)
     mu = jnp.where(jnp.isfinite(mu) & (mu > 0.0), mu, jnp.nan)
     mup = jnp.where(jnp.isfinite(mup) & (mup > 0.0), mup, jnp.nan)
-    nu_a = (collision_frequency(alt) if nu is None
-            else jnp.asarray(nu, dtype=float))
     kappa = absorption_coefficient(Ne, nu_a[:, None, None], f0_Hz,
-                                   jnp.asarray(Babs, dtype=float),
-                                   jnp.asarray(bpsi, dtype=float), mu, mode)
+                                   Babs, bpsi, mu, mode)
     kappa = jnp.where(jnp.isfinite(kappa), kappa, 0.0)
     # gradients per km / per RADIAN of lat / per RADIAN of lon
-    lat_r = jnp.deg2rad(lat)
-    lon_r = jnp.deg2rad(lon)
-    return {"alt": alt, "lat": lat, "lon": lon,
-            "mu": mu, "mup": mup, "kappa": kappa,
+    return {"mu": mu, "mup": mup, "kappa": kappa,
             "dmu_dalt": grad_axis_ord2(mu, alt, 0),
             "dmu_dlat": grad_axis_ord2(mu, lat_r, 1),
             "dmu_dlon": grad_axis_ord2(mu, lon_r, 2)}
+
+
+def build_field_3d(alt_km, lat_deg, lon_deg, Ne, Babs, bpsi, f0_Hz,
+                   mode="O", nu=None):
+    """Precompute the μ/μ'/κ volume and its grid gradients for one
+    frequency.
+
+    ``Ne``/``Babs``/``bpsi``: [N_alt, N_lat, N_lon] on the monotone grids
+    ``alt_km``/``lat_deg``/``lon_deg`` (e.g. stacked
+    :func:`pyrayhf_tpu.envgen.generate_input_1D` columns). Returns the
+    field dict :func:`trace_ray_3d` consumes. ψ is the vertical-incidence
+    magnetic angle per column — the same convention as the 2-D builders
+    (ref ``library.py:1764-1835``).
+
+    ``nu``: ν(alt) [s⁻¹] for the absorption channel (default model).
+    """
+    from .absorption import collision_frequency
+
+    alt, lat, lon, Ne = _validate_grids_3d(alt_km, lat_deg, lon_deg, Ne)
+    nu_a = (collision_frequency(alt) if nu is None
+            else jnp.asarray(nu, dtype=float))
+    out = _field_volumes(Ne, jnp.asarray(Babs, dtype=float),
+                         jnp.asarray(bpsi, dtype=float), f0_Hz, mode,
+                         nu_a, alt, jnp.deg2rad(lat), jnp.deg2rad(lon))
+    out.update(alt=alt, lat=lat, lon=lon)
+    return out
+
+
+def build_field_3d_batch(alt_km, lat_deg, lon_deg, Ne, Babs, bpsi,
+                         f0s_hz, mode="O", nu=None,
+                         hbm_budget_bytes=8 << 30):
+    """Stacked μ/μ'/κ volumes for a FREQUENCY BATCH — one launch.
+
+    The [F, N_alt, N_lat, N_lon] generalisation of
+    :func:`build_field_3d`: the Appleton–Hartree evaluation is already a
+    broadcast, so the whole frequency axis vmaps into a single XLA
+    program. The grids (``alt``/``lat``/``lon``) stay unbatched — vmap
+    field consumers with ``in_axes`` ``None`` on those keys (see
+    :func:`synthesize_oblique_ionogram_3d`).
+
+    The six stacked volumes cost ``6 · F · N_alt · N_lat · N_lon`` floats
+    of HBM; a request beyond ``hbm_budget_bytes`` raises with chunking
+    advice instead of OOM-ing mid-launch.
+    """
+    from .absorption import collision_frequency
+
+    alt, lat, lon, Ne = _validate_grids_3d(alt_km, lat_deg, lon_deg, Ne)
+    f0s = jnp.atleast_1d(jnp.asarray(f0s_hz, dtype=float))
+    itemsize = jnp.asarray(0.0, dtype=float).dtype.itemsize
+    need = 6 * int(f0s.size) * int(Ne.size) * itemsize
+    if need > hbm_budget_bytes:
+        raise ValueError(
+            f"stacked field volumes need {need / 2**30:.1f} GiB "
+            f"(> budget {hbm_budget_bytes / 2**30:.1f} GiB); chunk the "
+            f"frequency axis (e.g. synthesize_oblique_ionogram_3d("
+            f"freq_chunk=...)) or raise hbm_budget_bytes")
+    nu_a = (collision_frequency(alt) if nu is None
+            else jnp.asarray(nu, dtype=float))
+    Babs_j = jnp.asarray(Babs, dtype=float)
+    bpsi_j = jnp.asarray(bpsi, dtype=float)
+    lat_r, lon_r = jnp.deg2rad(lat), jnp.deg2rad(lon)
+    out = jax.jit(jax.vmap(
+        lambda f0: _field_volumes(Ne, Babs_j, bpsi_j, f0, mode, nu_a,
+                                  alt, lat_r, lon_r)))(f0s)
+    out.update(alt=alt, lat=lat, lon=lon)
+    return out
 
 
 def _ecef(lat_rad, lon_rad, r_km):
@@ -362,7 +415,8 @@ def trace_rays_3d(field, lat0_deg, lon0_deg, elevation_deg, azimuth_deg, *,
 def home_ray_3d(field, tx_lat, tx_lon, rx_lat, rx_lon, *, n_elev=48,
                 n_az=9, az_span_deg=8.0, elev_min_deg=5.0,
                 elev_max_deg=75.0, step_km=2.0, s_max_km=4000.0,
-                n_hops=1, max_range_jump_km=200.0):
+                n_hops=1, max_range_jump_km=200.0,
+                max_miss_jump_km=None):
     """Point-to-point homing THROUGH a 3-D volume, with azimuth correction.
 
     The 1-D/2-D homing (:mod:`pyrayhf_tpu.oblique`) scans elevation along
@@ -380,9 +434,38 @@ def home_ray_3d(field, tx_lat, tx_lon, rx_lat, rx_lon, *, n_elev=48,
     bearing — identically ~0 in a horizontally-uniform ionosphere),
     ``group_path_*/phase_path_*/absorption_*`` at the link, and the
     bearing/distance of the link. NaN when no fan ray closes the link.
+
+    ``max_range_jump_km`` caps the ground-range discontinuity the
+    ELEVATION stage may interpolate across; the azimuth-stage miss
+    channel lives on a much smaller scale (tens of km), so it gets its
+    own cap ``max_miss_jump_km`` — default 3× the smooth-family miss
+    spacing between adjacent azimuth columns, D·Δaz (a launch-bearing
+    offset moves the landing cross-track by ≈ D·tan Δaz for a smooth
+    ray family; a jump well beyond that is a family boundary).
+    """
+    geo = _home_setup(tx_lat, tx_lon, rx_lat, rx_lon, n_elev, n_az,
+                      az_span_deg, elev_min_deg, elev_max_deg,
+                      max_miss_jump_km)
+    az0, D, els, azs, miss_cap = geo
+    out = _home_fan_core(field, tx_lat, tx_lon, az0, D, els, azs,
+                         step_km=step_km, s_max_km=s_max_km,
+                         n_hops=n_hops,
+                         max_range_jump_km=max_range_jump_km,
+                         miss_cap=miss_cap)
+    out.update({"bearing_deg": az0, "range_km": D,
+                "elevations_deg": els, "azimuths_deg": azs})
+    return out
+
+
+def _home_setup(tx_lat, tx_lon, rx_lat, rx_lon, n_elev, n_az, az_span_deg,
+                elev_min_deg, elev_max_deg, max_miss_jump_km):
+    """Validate the fan request; return (az0, D, els, azs, miss_cap).
+
+    Host-side and frequency-independent — shared between the single-link
+    homing and the one-launch ionogram, which closes over these as
+    static values in one jitted program.
     """
     from .geodesy import azimuth_between_points, calculate_gcd
-    from .oblique import _crossings
 
     if int(n_az) < 3:
         raise ValueError("n_az must be >= 3 (the azimuth root-find needs "
@@ -397,6 +480,26 @@ def home_ray_3d(field, tx_lat, tx_lon, rx_lat, rx_lon, *, n_elev=48,
                        int(n_elev))
     azs = az0 + jnp.linspace(-float(az_span_deg), float(az_span_deg),
                              int(n_az))
+    # the azimuth-stage discontinuity cap lives on the miss channel's own
+    # scale: 3× the smooth-family miss spacing between adjacent columns
+    if max_miss_jump_km is None:
+        daz = 2.0 * float(az_span_deg) / (int(n_az) - 1)
+        miss_cap = 3.0 * D * float(jnp.deg2rad(daz))
+    else:
+        miss_cap = float(max_miss_jump_km)
+    return az0, D, els, azs, miss_cap
+
+
+def _home_fan_core(field, tx_lat, tx_lon, az0, D, els, azs, *, step_km,
+                   s_max_km, n_hops, max_range_jump_km, miss_cap):
+    """Traceable homing body: fan trace + elevation & azimuth stages.
+
+    Geometry arguments are static Python scalars; the ``field`` leaves
+    are traced, so a stacked [F, ...] field vmaps the whole solve over
+    frequency in one program. Returns per-link jnp scalars.
+    """
+    from .oblique import _crossings
+
     fan = trace_rays_3d(field, tx_lat, tx_lon, els, azs, step_km=step_km,
                         s_max_km=s_max_km, n_hops=n_hops)
     # n̂ of the launch fan is per-azimuth; re-reference every landing to
@@ -430,11 +533,10 @@ def home_ray_3d(field, tx_lat, tx_lon, rx_lat, rx_lon, *, n_elev=48,
         # crossing finder (target 0, "range" = miss) so interpolating
         # across a ray-family discontinuity (miss jump > the cap) is
         # rejected instead of fabricating a solution — the azimuth
-        # analogue of max_range_jump_km in the elevation stage
+        # analogue of max_range_jump_km, on the miss channel's own scale
         sol, _ = _crossings(m, (delay, phase, path, absorb, elev),
                             elev=azs, target=jnp.asarray(0.0),
-                            max_jump=jnp.asarray(
-                                float(max_range_jump_km)),
+                            max_jump=jnp.asarray(miss_cap),
                             delay_min=delay_floor)
         s_delay, s_phase, s_path, s_absorb, s_elev, s_az, _ = sol
         out.update({f"delay_{leg}_sec": s_delay,
@@ -444,41 +546,67 @@ def home_ray_3d(field, tx_lat, tx_lon, rx_lat, rx_lon, *, n_elev=48,
                     f"elev_{leg}_deg": s_elev,
                     f"azimuth_{leg}_deg": s_az,
                     f"azimuth_offset_{leg}_deg": s_az - az0})
-    out.update({"bearing_deg": az0, "range_km": D,
-                "elevations_deg": els, "azimuths_deg": azs})
     return out
 
 
 def synthesize_oblique_ionogram_3d(f0s_hz, tx_lat, tx_lon, rx_lat, rx_lon,
                                    alt_km, lat_deg, lon_deg, Ne, Babs,
-                                   bpsi, mode="O", nu=None, **home_kw):
-    """Oblique ionogram for a link THROUGH a 3-D volume.
+                                   bpsi, mode="O", nu=None, n_elev=48,
+                                   n_az=9, az_span_deg=8.0,
+                                   elev_min_deg=5.0, elev_max_deg=75.0,
+                                   step_km=2.0, s_max_km=4000.0, n_hops=1,
+                                   max_range_jump_km=200.0,
+                                   max_miss_jump_km=None, freq_chunk=None,
+                                   hbm_budget_bytes=8 << 30):
+    """Oblique ionogram for a link THROUGH a 3-D volume — one launch.
 
     The 3-D completion of :func:`pyrayhf_tpu.synthesize_oblique_ionogram`
     (1-D profile) and ``synthesize_oblique_ionogram_2d`` (great-circle
-    slice): for every frequency, build the μ/μ'/κ volume and solve the
-    two-angle homing problem (:func:`home_ray_3d`) — low/high-ray delay,
-    elevation AND gradient-corrected launch bearing per frequency.
-    ``home_kw`` forwards fan/integration knobs to :func:`home_ray_3d`.
+    slice): low/high-ray delay, elevation AND gradient-corrected launch
+    bearing per frequency. Fan/integration knobs match
+    :func:`home_ray_3d`.
 
-    The per-frequency fan shapes are identical, so the loop compiles
-    once and re-executes; outputs are stacked [N_freq] arrays plus the
-    link geometry. NaN rows above the (azimuth-resolved) link MUF.
+    Two compiled programs total (mirroring the 2-D one-launch fan,
+    :func:`pyrayhf_tpu.oblique.synthesize_oblique_ionogram_2d`): the μ/μ'/κ
+    volumes for EVERY frequency stack to [F, N_alt, N_lat, N_lon] in one
+    launch (:func:`build_field_3d_batch`), and the whole two-angle homing
+    fan — (elevation × azimuth) trace + both crossing stages — vmaps over
+    that leading frequency axis in a second. ``freq_chunk`` bounds the
+    HBM held by the stacked volumes: frequencies run in fixed-size chunks
+    (last chunk padded, so every chunk reuses the same two executables).
+    Outputs are stacked [N_freq] arrays plus the link geometry; NaN rows
+    above the (azimuth-resolved) link MUF.
     """
     import numpy as np
 
     f0s = np.atleast_1d(np.asarray(f0s_hz, dtype=float))
-    rows = []
-    for f0 in f0s:
-        field = build_field_3d(alt_km, lat_deg, lon_deg, Ne, Babs, bpsi,
-                               float(f0), mode=mode, nu=nu)
-        rows.append(home_ray_3d(field, tx_lat, tx_lon, rx_lat, rx_lon,
-                                **home_kw))
-    keys = [k for k in rows[0]
-            if k not in ("elevations_deg", "azimuths_deg")]
-    out = {k: np.stack([np.asarray(r[k]) for r in rows]) for k in keys}
-    out["bearing_deg"] = rows[0]["bearing_deg"]
-    out["range_km"] = rows[0]["range_km"]
-    out["elevations_deg"] = rows[0]["elevations_deg"]
-    out["azimuths_deg"] = rows[0]["azimuths_deg"]
+    az0, D, els, azs, miss_cap = _home_setup(
+        tx_lat, tx_lon, rx_lat, rx_lon, n_elev, n_az, az_span_deg,
+        elev_min_deg, elev_max_deg, max_miss_jump_km)
+
+    in_axes = {"alt": None, "lat": None, "lon": None, "mu": 0, "mup": 0,
+               "kappa": 0, "dmu_dalt": 0, "dmu_dlat": 0, "dmu_dlon": 0}
+    homed = jax.jit(jax.vmap(
+        lambda fld: _home_fan_core(
+            fld, tx_lat, tx_lon, az0, D, els, azs, step_km=step_km,
+            s_max_km=s_max_km, n_hops=n_hops,
+            max_range_jump_km=max_range_jump_km, miss_cap=miss_cap),
+        in_axes=(in_axes,)))
+
+    chunk = int(freq_chunk) if freq_chunk else f0s.size
+    parts = []
+    for lo in range(0, f0s.size, chunk):
+        sel = f0s[lo:lo + chunk]
+        pad = chunk - sel.size
+        if pad:      # pad with the last frequency: same compiled shape
+            sel = np.concatenate([sel, np.full(pad, sel[-1])])
+        field = build_field_3d_batch(alt_km, lat_deg, lon_deg, Ne, Babs,
+                                     bpsi, sel, mode=mode, nu=nu,
+                                     hbm_budget_bytes=hbm_budget_bytes)
+        row = homed(field)
+        parts.append({k: np.asarray(v)[:chunk - pad if pad else chunk]
+                      for k, v in row.items()})
+    out = {k: np.concatenate([p[k] for p in parts]) for k in parts[0]}
+    out.update({"bearing_deg": az0, "range_km": D,
+                "elevations_deg": els, "azimuths_deg": azs})
     return out

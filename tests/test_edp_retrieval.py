@@ -379,6 +379,42 @@ def test_retrieve_gradient_batch_f32(day_profile):
     assert np.all(np.diff(hist, axis=0) <= 1e-6 * np.maximum(hist[:-1], 1.0))
 
 
+def test_retrieve_gradient_routes_through_batch_core(day_profile):
+    """Single-sample retrieve_gradient == batched core with B=1.
+
+    Round-4 re-route (VERDICT item 7): the reference-parity entry point
+    now inherits the on-device LM scan, so its fitted parameters must be
+    bit-identical to retrieve_gradient_batch on the same one-ionogram
+    batch (same core, same step count, same damping trajectory).
+    """
+    from pyrayhf_tpu.retrieval import retrieve_gradient_batch
+
+    d = day_profile
+    F2 = _layer_scalars(d["F2"])
+    F1 = _layer_scalars(d["F1"])
+    E = _layer_scalars(d["E"])
+    freq = np.arange(2.0, 13.51, 0.25)
+    alt = np.arange(80.0, 700.0, 0.5)
+    from pyrayhf_tpu.magnetoionic import freq2den
+    nm_truth = float(freq2den(13.5e6)) * 1.0001
+    bmag = np.full(alt.size, 3e-5)
+    bpsi = np.full(alt.size, 70.0)
+    obs, _ = model_VH({"Nm": nm_truth, "hm": F2["hm"] * 0.95,
+                       "B_bot": F2["B_bot"] * 1.1, "B_top": F2["B_top"]},
+                      F1, E, freq, alt, bmag, bpsi)
+    obs = np.asarray(obs)
+
+    F2_in = {k: np.array([[v]]) for k, v in F2.items()}
+    _, _, fit_s, hist_s = retrieve_gradient(
+        F2_in, F1, E, freq, obs, alt, bmag, bpsi, steps=12)
+    _, _, fit_b, hist_b = retrieve_gradient_batch(
+        F2_in, F1, E, freq, obs[None, :], alt, bmag, bpsi, steps=12,
+        retries=0)
+    assert float(np.ravel(fit_s["hm"])[0]) == float(fit_b["hm"][0])
+    assert float(np.ravel(fit_s["B_bot"])[0]) == float(fit_b["B_bot"][0])
+    assert np.array_equal(hist_s, np.asarray(hist_b)[:, 0])
+
+
 def test_retrieve_gradient_batch_recovers(day_profile):
     """Batched on-device LM recovers [B] perturbed parameter sets at once."""
     from pyrayhf_tpu.magnetoionic import freq2den

@@ -248,6 +248,46 @@ def test_mxu_and_gather_kernels_match_sweep_kernel():
                 (impl.__name__, mode)
 
 
+def test_gather_xsolve_bit_matches_xla_prep():
+    """X-mode in-kernel reflection solve ≡ the XLA [B,F,N] prep.
+
+    Round-4: _kernel_gather_xsolve selects every interpolation ordinate
+    (k, f0, f1, r0) from the same raw X+Y samples the dense path's
+    cummax selects; the only difference is the relative-altitude frame
+    of the critical height (one extra rounding, same as the O in-kernel
+    solve) so f64 agreement is ~1e-12 km away from the critical
+    frequency and ≲3e-7 km on near-critical rows (|∂vh/∂h_crit| diverges
+    there, amplifying the last-ulp crit rounding; still 5 orders inside
+    the 0.1 km budget) — verified on a two-peak profile (cummax-shadowed
+    valley ⇒ the ``genuine`` guard), above-MUF rows (NaN), and a
+    sub-gyro row whose cutoff is exceeded at the very first node
+    (non-propagating; NaN-structure equality only).
+    """
+    n_alt = 180
+    alt = np.linspace(90.0, 550.0, n_alt)
+    # profile 0: plain Gaussian; profile 1: E-peak over a valley, so the
+    # cutoff cummax shadows part of the F-layer bottomside
+    f2 = 2.5e12 * np.exp(-(alt - 300.0) ** 2 / (2 * 55.0 ** 2))
+    e_layer = 9e11 * np.exp(-(alt - 110.0) ** 2 / (2 * 10.0 ** 2))
+    den = np.stack([f2, f2 + e_layer])
+    bmag = np.full((2, n_alt), 3.2e-5)
+    bpsi = np.full((2, n_alt), 65.0)
+    # 0.3 MHz: first-node exceedance; 25–30 MHz: above the X MUF (NaN)
+    freqs = np.concatenate([[0.3], np.arange(1.0, 16.0, 0.5), [25.0, 30.0]])
+    args = (jnp.asarray(freqs), jnp.asarray(den), jnp.asarray(bmag),
+            jnp.asarray(bpsi), jnp.asarray(alt))
+    new = np.asarray(ionogram_pallas_gather(
+        *args, mode_mult=-1.0, n_points=200, interpret=True))
+    old = np.asarray(ionogram_pallas_gather(
+        *args, mode_mult=-1.0, n_points=200, interpret=True,
+        x_in_kernel_solve=False))
+    assert np.array_equal(np.isnan(new), np.isnan(old))
+    m = np.isfinite(old)
+    m[:, 0] = False                              # sub-gyro degenerate row
+    assert np.abs(new[m] - old[m]).max() < 1e-6
+    assert np.isnan(new[:, -1]).all()            # above-MUF rows escape
+
+
 def test_mxu_and_gather_point_chunking():
     """Fast kernels accumulate correctly across multiple P-chunks."""
     freqs, den, bmag, bpsi, alt = _workload(B=2)

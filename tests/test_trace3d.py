@@ -214,6 +214,51 @@ def test_oblique_ionogram_3d_uniform_matches_1d(day):
     assert np.abs(np.asarray(o3["azimuth_offset_low_deg"])[m]).max() < 1e-6
 
 
+def test_build_field_3d_batch_matches_single():
+    """The stacked [F, ...] field builder ≡ per-frequency build_field_3d,
+    the HBM budget guard raises, and frequency chunking in
+    synthesize_oblique_ionogram_3d reproduces the all-at-once result
+    exactly (padded last chunk, same compiled shapes)."""
+    from pyrayhf_tpu.trace3d import build_field_3d_batch
+
+    alt = np.linspace(80.0, 500.0, 85)
+    den = 4e11 * np.exp(-(alt - 300.0) ** 2 / (2 * 50.0 ** 2))
+    lat = np.linspace(20.0, 55.0, 9)
+    lon = np.linspace(-90.0, -50.0, 9)
+    shape = (alt.size, lat.size, lon.size)
+    U = lambda v: np.broadcast_to(v[:, None, None], shape)
+    vol = (U(den), U(np.full(alt.size, 3e-5)), U(np.full(alt.size, 70.0)))
+    f0s = np.array([5e6, 7e6])
+    fb = build_field_3d_batch(alt, lat, lon, *vol, f0s)
+    for i, f0 in enumerate(f0s):
+        f1 = build_field_3d(alt, lat, lon, *vol, float(f0))
+        for k in ("mu", "mup", "kappa", "dmu_dalt", "dmu_dlat",
+                  "dmu_dlon"):
+            a, b = np.asarray(fb[k][i]), np.asarray(f1[k])
+            assert np.array_equal(np.isnan(a), np.isnan(b)), k
+            m = np.isfinite(b)
+            # jit (batch) vs eager (single) differ by FMA contraction;
+            # the horizontal gradients of this uniform field are ~1e-15
+            # cancellation noise, hence the absolute floor
+            np.testing.assert_allclose(a[m], b[m], rtol=1e-9, atol=1e-12)
+    with pytest.raises(ValueError, match="chunk the"):
+        build_field_3d_batch(alt, lat, lon, *vol, f0s,
+                             hbm_budget_bytes=1024)
+
+    from pyrayhf_tpu.trace3d import synthesize_oblique_ionogram_3d
+    kw = dict(n_elev=24, n_az=3, az_span_deg=3.0, step_km=8.0,
+              s_max_km=2400.0)
+    f3 = np.array([5e6, 7e6, 20e6])
+    o3 = synthesize_oblique_ionogram_3d(
+        f3, 36.0, -72.0, 30.0, -72.0, alt, lat, lon, *vol, **kw)
+    o3c = synthesize_oblique_ionogram_3d(
+        f3, 36.0, -72.0, 30.0, -72.0, alt, lat, lon, *vol,
+        freq_chunk=2, **kw)
+    for k in o3:
+        np.testing.assert_array_equal(np.asarray(o3[k]),
+                                      np.asarray(o3c[k]), err_msg=k)
+
+
 def test_adaptive_3d_matches_fixed_step(uniform_field):
     """The DP5(4) adaptive 3-D integration agrees with fine fixed-step
     RK4 on range/path (<0.3%) and reports the same landing."""

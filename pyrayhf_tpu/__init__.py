@@ -68,7 +68,8 @@ from . import oblique
 from .absorption import (absorption_coefficient, collision_frequency,
                          vertical_absorption_operator)
 from . import absorption
-from .true_height import retrieve_profile, retrieve_profile_batch
+from .true_height import (retrieve_profile, retrieve_profile_batch,
+                          retrieve_profile_joint)
 from . import true_height
 from .faraday import faraday_rotation_vertical
 from . import faraday

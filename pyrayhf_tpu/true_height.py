@@ -47,7 +47,8 @@ from .constants import G_P
 from .forward import vh_and_mask
 from .magnetoionic import freq2den, mode_multiplier
 
-__all__ = ["retrieve_profile", "retrieve_profile_batch"]
+__all__ = ["retrieve_profile", "retrieve_profile_batch",
+           "retrieve_profile_joint"]
 
 # The lid above a trial knot must keep RISING: the regrid truncates the
 # profile PEAK-EXCLUSIVE (ref :371-375), so a flat lid's single argmax node
@@ -90,10 +91,11 @@ def _knot_density(f_hz, h, alt, b_mag, mode_mult):
 
 
 @partial(jax.jit,
-         static_argnames=("mode_mult", "n_points", "n_bisect", "n_passes"))
+         static_argnames=("mode_mult", "n_points", "n_bisect", "n_passes",
+                          "per_knot_mode"))
 def _retrieve_profile_core(f_sorted_hz, obs_sorted, alt, b_mag, b_psi,
                            mode_mult, n_points, n_bisect, n_passes,
-                           start_gap):
+                           start_gap, mm_seq=None, per_knot_mode=False):
     freq_mhz = f_sorted_hz / 1e6
     alt0, alt_top = alt[0], alt[-1]
     k = f_sorted_hz.shape[0]
@@ -104,15 +106,43 @@ def _retrieve_profile_core(f_sorted_hz, obs_sorted, alt, b_mag, b_psi,
     # coarse grids; w is the final peak-wedge width for the same reason
     h_ceil = alt_top - 2.0 * dmax
     w = 3.0 * dmax
+    if mm_seq is None:
+        mm_seq = jnp.full((k,), float(mode_mult))
 
-    def vh_one(f_mhz_i, den):
-        vh, valid = vh_and_mask(f_mhz_i[None], den, b_mag, b_psi, alt,
-                                mode_mult=mode_mult, n_points=n_points)
-        return jnp.where(valid[0], vh[0], jnp.inf)
+    if per_knot_mode:
+        # joint O+X lamination: the mode multiplier is a per-knot datum
+        # (scan xs), so the forward evaluation inside the bisection picks
+        # its branch with lax.cond and the knot density uses the traced
+        # multiplier. Each echo still maps to a KNOWN density at its
+        # reflection height, so the triangular structure is unchanged.
+        def vh_one(f_mhz_i, den, mm_i):
+            def run(mm_static):
+                vh, valid = vh_and_mask(f_mhz_i[None], den, b_mag, b_psi,
+                                        alt, mode_mult=mm_static,
+                                        n_points=n_points)
+                return jnp.where(valid[0], vh[0], jnp.inf)
+            return jax.lax.cond(mm_i > 0, lambda: run(1.0),
+                                lambda: run(-1.0))
+
+        def knot_density(f_hz_i, h, mm_i):
+            f_gyro = G_P * jnp.interp(h, alt, b_mag)
+            ne_x = freq2den(jnp.sqrt(jnp.maximum(
+                f_hz_i * (f_hz_i - f_gyro), 0.0)))
+            return jnp.where(mm_i > 0, freq2den(f_hz_i), ne_x)
+    else:
+        def vh_one(f_mhz_i, den, mm_i):
+            del mm_i
+            vh, valid = vh_and_mask(f_mhz_i[None], den, b_mag, b_psi, alt,
+                                    mode_mult=mode_mult, n_points=n_points)
+            return jnp.where(valid[0], vh[0], jnp.inf)
+
+        def knot_density(f_hz_i, h, mm_i):
+            del mm_i
+            return _knot_density(f_hz_i, h, alt, b_mag, mode_mult)
 
     def place_knot(carry, xs):
         den_below, h_prev, ne_prev = carry
-        f_hz_i, f_mhz_i, obs_i, gap, lid_prev = xs
+        f_hz_i, f_mhz_i, obs_i, gap, lid_prev, mm_i = xs
 
         def candidate(h):
             """Profile with the trial knot (h, ne_i) on top of den_below.
@@ -126,7 +156,7 @@ def _retrieve_profile_core(f_sorted_hz, obs_sorted, alt, b_mag, b_psi,
             crossing lands, i.e. the μ' tail just above the reflection
             point, so matching the final assembled profile matters.
             """
-            ne_i = _knot_density(f_hz_i, h, alt, b_mag, mode_mult)
+            ne_i = knot_density(f_hz_i, h, mm_i)
             anchor_h = jnp.maximum(h_prev, h - gap)
             anchor_ne = jnp.where(anchor_h > h_prev, ne_floor, ne_prev)
             slope = (ne_i - anchor_ne) / jnp.maximum(h - anchor_h, 1e-9)
@@ -157,7 +187,7 @@ def _retrieve_profile_core(f_sorted_hz, obs_sorted, alt, b_mag, b_psi,
         def bisect(_, bounds):
             lo, hi = bounds
             mid = 0.5 * (lo + hi)
-            vh_mid = vh_one(f_mhz_i, candidate(mid)[0])
+            vh_mid = vh_one(f_mhz_i, candidate(mid)[0], mm_i)
             go_down = vh_mid > obs_i
             return (jnp.where(go_down, lo, mid),
                     jnp.where(go_down, mid, hi))
@@ -175,7 +205,7 @@ def _retrieve_profile_core(f_sorted_hz, obs_sorted, alt, b_mag, b_psi,
     for _ in range(n_passes):
         (_, _, _), (h, ne) = jax.lax.scan(
             place_knot, (den0, alt0, ne_floor),
-            (f_sorted_hz, freq_mhz, obs_sorted, gaps, lid_slopes))
+            (f_sorted_hz, freq_mhz, obs_sorted, gaps, lid_slopes, mm_seq))
         # refinement passes replace the continuation lid above knot i with
         # this pass's actual slope toward knot i+1 (last knot keeps NaN →
         # continuation)
@@ -202,9 +232,18 @@ def _retrieve_profile_core(f_sorted_hz, obs_sorted, alt, b_mag, b_psi,
                               (ne[-1] + slope_top * (h_peak - h[-1]))[None],
                               ne[-1:] * 0.5])
     den_fit = jnp.interp(alt, h_all, ne_all)
-    vh_fit, valid = vh_and_mask(freq_mhz, den_fit, b_mag, b_psi, alt,
-                                mode_mult=mode_mult, n_points=n_points)
-    vh_fit = jnp.where(valid, vh_fit, jnp.nan)
+    if per_knot_mode:
+        vh_o, val_o = vh_and_mask(freq_mhz, den_fit, b_mag, b_psi, alt,
+                                  mode_mult=1.0, n_points=n_points)
+        vh_x, val_x = vh_and_mask(freq_mhz, den_fit, b_mag, b_psi, alt,
+                                  mode_mult=-1.0, n_points=n_points)
+        vh_fit = jnp.where(mm_seq > 0,
+                           jnp.where(val_o, vh_o, jnp.nan),
+                           jnp.where(val_x, vh_x, jnp.nan))
+    else:
+        vh_fit, valid = vh_and_mask(freq_mhz, den_fit, b_mag, b_psi, alt,
+                                    mode_mult=mode_mult, n_points=n_points)
+        vh_fit = jnp.where(valid, vh_fit, jnp.nan)
     return h, ne, den_fit, vh_fit
 
 
@@ -243,7 +282,11 @@ def retrieve_profile(f_in, vh_obs, alt, b_mag, b_psi, mode="O",
     (the classical starting problem), so this assumption — not the solver
     — sets the absolute height accuracy of the lowest knots; E-valleys
     bias the heights above the valley upward, exactly as in every
-    true-height method since POLAN.
+    true-height method since POLAN. Pass an ARRAY of candidate gaps to
+    laminate every candidate in one vmapped launch and keep the smallest-
+    rms fit (the result then also carries ``start_gap_km`` chosen and
+    ``rms_by_gap_km``) — note a single-mode trace constrains the gap only
+    weakly (the knots absorb it); see :func:`retrieve_profile_joint`.
     """
     f = jnp.asarray(f_in, dtype=float) * 1e6
     obs = jnp.asarray(vh_obs, dtype=float)
@@ -259,15 +302,120 @@ def retrieve_profile(f_in, vh_obs, alt, b_mag, b_psi, mode="O",
     mode_mult = mode_multiplier(mode)
     n_bisect = _check_inputs(f_sorted, b_mag, mode_mult, n_passes,
                              n_bisect)
-    h, ne, den_fit, vh_fit = _retrieve_profile_core(
-        f_sorted, obs_sorted, alt, jnp.asarray(b_mag, dtype=float),
-        jnp.asarray(b_psi, dtype=float),
-        mode_mult=mode_mult, n_points=n_points,
-        n_bisect=n_bisect, n_passes=n_passes,
-        start_gap=jnp.asarray(start_gap_km, float))
+    core = partial(_retrieve_profile_core,
+                   mode_mult=mode_mult, n_points=n_points,
+                   n_bisect=n_bisect, n_passes=n_passes)
+    run = lambda g: core(f_sorted, obs_sorted, alt,
+                         jnp.asarray(b_mag, dtype=float),
+                         jnp.asarray(b_psi, dtype=float), start_gap=g)
+    sel = _run_gap_candidates(run, start_gap_km, obs_sorted)
+    h, ne, den_fit, vh_fit, extra = sel
     rms = jnp.sqrt(jnp.nanmean((vh_fit - obs_sorted) ** 2))
-    return {"h_knots_km": h, "ne_knots_m3": ne, "den_fit": den_fit,
-            "vh_fit": vh_fit, "rms_km": rms, "f_sorted_hz": f_sorted}
+    out = {"h_knots_km": h, "ne_knots_m3": ne, "den_fit": den_fit,
+           "vh_fit": vh_fit, "rms_km": rms, "f_sorted_hz": f_sorted}
+    out.update(extra)
+    return out
+
+
+def _run_gap_candidates(run, start_gap_km, obs_sorted):
+    """Run the lamination for one start gap or a candidate grid.
+
+    A scalar gap is a single core call; an array laminates every
+    candidate in one ``vmap`` and keeps the smallest-rms fit. Returns
+    (h, ne, den_fit, vh_fit, extra-dict).
+    """
+    if np.ndim(start_gap_km) == 0:
+        out = run(jnp.asarray(start_gap_km, float))
+        return (*out, {"start_gap_km": float(start_gap_km)})
+    gaps = jnp.asarray(start_gap_km, dtype=float)
+    h_g, ne_g, den_g, vh_g = jax.vmap(run)(gaps)
+    rms_g = jnp.sqrt(jnp.nanmean((vh_g - obs_sorted[None, :]) ** 2,
+                                 axis=1))
+    best = int(jnp.nanargmin(rms_g))
+    return (h_g[best], ne_g[best], den_g[best], vh_g[best],
+            {"start_gap_km": float(gaps[best]),
+             "rms_by_gap_km": np.asarray(rms_g)})
+
+
+def retrieve_profile_joint(f_o_in, vh_o, f_x_in, vh_x, alt, b_mag, b_psi,
+                           n_points=200, n_bisect=36, n_passes=2,
+                           start_gap_km=20.0):
+    """Joint O+X true-height inversion (round 4; beyond the reference).
+
+    Real ionogram reduction uses both magnetoionic traces at once: each
+    echo — O or X — maps to a KNOWN plasma density at its reflection
+    height (O: X = 1 ⇒ Ne = freq2den(f); X: X + Y = 1 ⇒
+    fN² = f(f − f_H(h))), so interleaving the two traces **by knot
+    density** preserves the triangular lamination structure; the
+    per-knot mode switches the forward evaluation inside each bisection
+    (``lax.cond`` — see ``_retrieve_profile_core(per_knot_mode=True)``).
+    The X echoes are ORDERED with f_H evaluated at the observed virtual
+    height (an upper bound of the true height; f_H varies slowly over
+    that span), while the solve itself uses f_H at the trial knot.
+
+    Because the two traces sample the same underlying ionization with
+    different group retardation, the joint solve constrains what a
+    single trace cannot: the **start model**. Pass an array of candidate
+    ``start_gap_km`` values — every candidate laminates in one vmapped
+    launch, and the gap with the smallest joint rms wins. With a single
+    trace the knots absorb almost any assumed gap (rms(gap) is nearly
+    flat — tested); the O−X disagreement gives the joint rms a minimum
+    near the true gap.
+
+    Args as :func:`retrieve_profile` with the trace split into
+    ``(f_o_in [MHz], vh_o)`` and ``(f_x_in [MHz], vh_x)``; either may be
+    empty. Returns the :func:`retrieve_profile` dict plus
+    ``mode_knots`` (+1 = O, −1 = X per fitted echo), ``start_gap_km``
+    (chosen), and ``rms_by_gap_km`` when a candidate array was given.
+    """
+    f_o = np.atleast_1d(np.asarray(f_o_in, dtype=float)) * 1e6
+    o_o = np.atleast_1d(np.asarray(vh_o, dtype=float))
+    f_x = np.atleast_1d(np.asarray(f_x_in, dtype=float)) * 1e6
+    o_x = np.atleast_1d(np.asarray(vh_x, dtype=float))
+    ok_o = np.isfinite(f_o) & np.isfinite(o_o)
+    ok_x = np.isfinite(f_x) & np.isfinite(o_x)
+    f_o, o_o = f_o[ok_o], o_o[ok_o]
+    f_x, o_x = f_x[ok_x], o_x[ok_x]
+    if f_o.size + f_x.size < 2:
+        raise ValueError("retrieve_profile_joint needs at least 2 finite "
+                         "(frequency, virtual height) samples across the "
+                         "two traces")
+    alt_j = jnp.asarray(alt, dtype=float)
+    bm = np.asarray(b_mag, dtype=float)
+    if f_x.size:
+        n_bisect = _check_inputs(np.sort(f_x), b_mag, -1.0, n_passes,
+                                 n_bisect)
+    else:
+        n_bisect = _check_inputs(np.sort(f_o), b_mag, 1.0, n_passes,
+                                 n_bisect)
+
+    # interleave by (approximate) knot density — O exact, X with f_H at
+    # the observed virtual height (ordering only; the solve re-evaluates
+    # f_H at the trial knot)
+    ne_o = np.asarray(freq2den(f_o))
+    fH_x = G_P * np.interp(np.clip(o_x, float(alt_j[0]), float(alt_j[-1])),
+                           np.asarray(alt_j), bm)
+    ne_x = np.asarray(freq2den(np.sqrt(np.maximum(
+        f_x * (f_x - fH_x), 0.0))))
+    order = np.argsort(np.concatenate([ne_o, ne_x]))
+    f_s = jnp.asarray(np.concatenate([f_o, f_x])[order])
+    obs_s = jnp.asarray(np.concatenate([o_o, o_x])[order])
+    mm_s = jnp.asarray(np.concatenate([np.ones(f_o.size),
+                                       -np.ones(f_x.size)])[order])
+
+    run = lambda g: _retrieve_profile_core(
+        f_s, obs_s, alt_j, jnp.asarray(b_mag, dtype=float),
+        jnp.asarray(b_psi, dtype=float), mode_mult=0.0,
+        n_points=n_points, n_bisect=n_bisect, n_passes=n_passes,
+        start_gap=g, mm_seq=mm_s, per_knot_mode=True)
+    h, ne, den_fit, vh_fit, extra = _run_gap_candidates(
+        run, start_gap_km, obs_s)
+    rms = jnp.sqrt(jnp.nanmean((vh_fit - obs_s) ** 2))
+    out = {"h_knots_km": h, "ne_knots_m3": ne, "den_fit": den_fit,
+           "vh_fit": vh_fit, "rms_km": rms, "f_sorted_hz": f_s,
+           "mode_knots": mm_s}
+    out.update(extra)
+    return out
 
 
 def retrieve_profile_batch(f_in, vh_obs_batch, alt, b_mag, b_psi, mode="O",

@@ -11,7 +11,7 @@ import numpy as np
 import pytest
 
 from pyrayhf_tpu import (retrieve_profile, retrieve_profile_batch,
-                         vertical_forward_operator)
+                         retrieve_profile_joint, vertical_forward_operator)
 from pyrayhf_tpu.magnetoionic import freq2den
 
 
@@ -128,6 +128,93 @@ def test_input_guards(chapman):
     with pytest.raises(ValueError, match="gyrofrequency"):
         retrieve_profile([1.0, 5.0], [120.0, 250.0], alt, bmag, bpsi,
                          mode="X")
+
+
+@pytest.fixture(scope="module")
+def chapman_joint(chapman):
+    """O and X traces of the same Chapman layer (X shifted up ~fH/2 so
+    both modes reflect below the peak)."""
+    alt, den, bmag, bpsi, freq = chapman
+    f_x = freq + 0.63
+    vh_o = np.asarray(vertical_forward_operator(freq, den, bmag, bpsi,
+                                                alt, mode="O"))
+    vh_x = np.asarray(vertical_forward_operator(f_x, den, bmag, bpsi,
+                                                alt, mode="X"))
+    assert np.all(np.isfinite(vh_o)) and np.all(np.isfinite(vh_x))
+    return freq, vh_o, f_x, vh_x
+
+
+def test_joint_roundtrip(chapman, chapman_joint):
+    """Joint O+X lamination refits both traces at once with the start
+    gap fitted from the O−X tension (VERDICT r3 item 4)."""
+    alt, den, bmag, bpsi, _ = chapman
+    f_o, vh_o, f_x, vh_x = chapman_joint
+    gaps = np.array([5.0, 10.0, 15.0, 20.0, 25.0, 35.0, 50.0])
+    out = retrieve_profile_joint(f_o, vh_o, f_x, vh_x, alt, bmag, bpsi,
+                                 start_gap_km=gaps)
+    assert float(out["rms_km"]) < 0.15
+    # both modes present, density-interleaved and strictly laminated
+    mode = np.asarray(out["mode_knots"])
+    assert np.sum(mode > 0) == f_o.size and np.sum(mode < 0) == f_x.size
+    h = np.asarray(out["h_knots_km"])
+    ne = np.asarray(out["ne_knots_m3"])
+    assert np.all(np.diff(h) > 0) and np.all(np.diff(ne) > 0)
+    # knot heights against the known truth (start-model bias bounded)
+    below = alt <= 300.0
+    h_true = np.interp(ne, den[below], alt[below])
+    assert np.max(np.abs(h - h_true)) < 15.0
+    # the chosen gap is an interior candidate, not a grid endpoint
+    assert gaps[0] < out["start_gap_km"] < gaps[-1]
+    assert out["rms_by_gap_km"].shape == gaps.shape
+
+
+def test_joint_constrains_start_gap(chapman, chapman_joint):
+    """The O−X tension makes the joint rms(gap) sharply curved where any
+    single-mode rms(gap) is nearly flat (the knots absorb the start
+    model) — the reason joint reduction resolves the starting problem."""
+    alt, den, bmag, bpsi, _ = chapman
+    f_o, vh_o, f_x, vh_x = chapman_joint
+    gaps = np.array([5.0, 10.0, 20.0, 35.0, 50.0])
+    r_joint = retrieve_profile_joint(f_o, vh_o, f_x, vh_x, alt, bmag,
+                                     bpsi,
+                                     start_gap_km=gaps)["rms_by_gap_km"]
+    r_o = retrieve_profile(f_o, vh_o, alt, bmag, bpsi, mode="O",
+                           start_gap_km=gaps)["rms_by_gap_km"]
+    r_x = retrieve_profile(f_x, vh_x, alt, bmag, bpsi, mode="X",
+                           start_gap_km=gaps)["rms_by_gap_km"]
+    # single-mode: the knots absorb any assumed gap, so the rms stays
+    # small across the whole candidate grid; joint: the O−X tension
+    # swings the rms by multiples of that (measured ~0.66 km vs ≤0.09)
+    assert float(np.ptp(r_joint)) > 3.0 * max(float(np.ptp(r_o)),
+                                              float(np.ptp(r_x)))
+    assert max(float(np.max(r_o)), float(np.max(r_x))) < 0.2
+    assert float(np.max(r_joint)) > 0.4
+
+
+def test_joint_single_trace_matches_single_mode(chapman, chapman_joint):
+    """With one trace empty, the per-knot-mode (lax.cond) lamination path
+    must reproduce the static single-mode path exactly."""
+    alt, den, bmag, bpsi, _ = chapman
+    f_o, vh_o, f_x, vh_x = chapman_joint
+    out_j = retrieve_profile_joint(f_o, vh_o, [], [], alt, bmag, bpsi)
+    out_o = retrieve_profile(f_o, vh_o, alt, bmag, bpsi, mode="O")
+    np.testing.assert_array_equal(np.asarray(out_j["h_knots_km"]),
+                                  np.asarray(out_o["h_knots_km"]))
+    out_jx = retrieve_profile_joint([], [], f_x, vh_x, alt, bmag, bpsi)
+    out_x = retrieve_profile(f_x, vh_x, alt, bmag, bpsi, mode="X")
+    np.testing.assert_array_equal(np.asarray(out_jx["h_knots_km"]),
+                                  np.asarray(out_x["h_knots_km"]))
+
+
+def test_joint_input_guards(chapman):
+    alt, den, bmag, bpsi, _ = chapman
+    with pytest.raises(ValueError, match="at least 2"):
+        retrieve_profile_joint([5.0], [250.0], [], [], alt, bmag, bpsi)
+    # sub-gyro X samples poison the knot-density relation
+    with pytest.raises(ValueError, match="gyrofrequency"):
+        retrieve_profile_joint([3.0, 5.0], [150.0, 250.0],
+                               [1.0, 4.0], [150.0, 260.0],
+                               alt, bmag, bpsi)
 
 
 def test_saturated_trace_stays_sorted(chapman):

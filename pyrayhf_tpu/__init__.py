@@ -73,7 +73,8 @@ from .true_height import (retrieve_profile, retrieve_profile_batch,
 from . import true_height
 from .faraday import faraday_rotation_vertical
 from . import faraday
-from .ground import fresnel_coefficients, ground_reflection_loss_db
+from .ground import (fresnel_coefficients, fresnel_coefficients_real,
+                     ground_reflection_loss_db)
 from . import ground
 from .muf import (muf_from_profile, muf_from_vertical_ionogram, muf_map,
                   vertical_to_oblique)

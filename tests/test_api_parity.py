@@ -163,7 +163,8 @@ BEYOND_REFERENCE_API = [
     "synthesize_oblique_ionogram_3d",
     "absorption_coefficient", "collision_frequency",
     "vertical_absorption_operator",
-    "fresnel_coefficients", "ground_reflection_loss_db",
+    "fresnel_coefficients", "fresnel_coefficients_real",
+    "ground_reflection_loss_db",
     "vertical_to_oblique", "muf_from_vertical_ionogram",
     "muf_from_profile", "muf_map",
     "build_field_3d", "trace_ray_3d", "trace_rays_3d", "home_ray_3d",

@@ -28,6 +28,27 @@ def test_fresnel_limits():
     assert float(ground_reflection_loss_db(f, 45.0, (15.0, 1e6))) < 0.01
 
 
+def test_fresnel_split_real_matches_numpy_complex():
+    """The split-real device path (the TPU backend has no complex dtype)
+    reproduces NumPy's native complex Fresnel algebra to f64 precision,
+    across presets, frequencies and the full grazing-angle range —
+    including the σ→0 branch-cut edge of the complex sqrt."""
+    eps0 = 8.8541878128e-12
+    psis = np.linspace(0.01, 89.99, 337)
+    for eps_r, sigma in list(GROUND_PRESETS.values()) + [(3.0, 0.0)]:
+        for f in (2e6, 10e6, 30e6):
+            eps_c = eps_r - 1j * sigma / (2 * np.pi * f * eps0)
+            s = np.sin(np.deg2rad(psis))
+            root = np.sqrt(eps_c - np.cos(np.deg2rad(psis)) ** 2)
+            rh = (s - root) / (s + root)
+            rv = (eps_c * s - root) / (eps_c * s + root)
+            r_v, r_h = fresnel_coefficients(f, psis, eps_r, sigma)
+            np.testing.assert_allclose(np.asarray(r_v), rv,
+                                       rtol=1e-12, atol=1e-14)
+            np.testing.assert_allclose(np.asarray(r_h), rh,
+                                       rtol=1e-12, atol=1e-14)
+
+
 def test_fresnel_pseudo_brewster():
     """Vertical-pol |R| has its minimum at ψ_B = atan(1/√ε_r) for a
     low-loss ground (σ → 0)."""

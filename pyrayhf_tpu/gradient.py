@@ -45,7 +45,8 @@ def _rk4_step(rhs, y, ds):
 
 
 def _integrate(rhs, y0, n_steps, ds, event_value, reflect_slot=None,
-               max_bounces=0, v_slice=slice(2, 4), reflect_fn=None):
+               max_bounces=0, v_slice=slice(2, 4), reflect_fn=None,
+               renorm_fn=None):
     """Scan a fixed-step RK4 with freeze-on-event semantics.
 
     ``event_value(y)`` returns a vector of signed boundary distances
@@ -66,6 +67,12 @@ def _integrate(rhs, y0, n_steps, ds, event_value, reflect_slot=None,
     ``v_slice``: the direction components renormalised every step
     (2:4 for the 2-D tracers, 3:6 for the 3-D ECEF state).
 
+    ``renorm_fn``: optional per-step state projection ``y → y`` replacing
+    the unit-normalisation of ``v_slice`` — the anisotropic Haselgrove
+    state carries a refractive-index VECTOR whose magnitude is physics
+    (|u| = n on the dispersion shell), so it re-projects onto the shell
+    instead of normalising to 1.
+
     Returns (ys [n_steps+1, dim], alive [n_steps+1], status_code).
     """
     if reflect_fn is None and reflect_slot is not None:
@@ -77,6 +84,8 @@ def _integrate(rhs, y0, n_steps, ds, event_value, reflect_slot=None,
 
         def do_step(y):
             y_new = _rk4_step(rhs, y, ds)
+            if renorm_fn is not None:
+                return renorm_fn(y_new)
             # renormalise the direction components
             v = y_new[v_slice]
             vmag = jnp.linalg.norm(v)

@@ -1,0 +1,413 @@
+"""Anisotropic 3-D magnetoionic ray tracing (full Haselgrove form).
+
+The fixed-ψ tracers (:mod:`pyrayhf_tpu.trace3d`, and the reference's 2-D
+tracers, ref ``library.py:1764-1835``) evaluate the Appleton–Hartree
+index with the VERTICAL-incidence wave-normal-to-B angle per column and
+then trace rays through that scalar μ field. The real wave-normal angle
+ψ varies along a 3-D ray, and in an anisotropic medium the ray (group
+velocity) direction is not the wave-normal direction. This module drops
+both approximations: it integrates Haselgrove's equations for the full
+anisotropic dispersion relation, with ψ evaluated from the instantaneous
+wave normal and the local IGRF field vector.
+
+Formulation (TPU-first — one scalar, everything else by autodiff):
+
+* dispersion scalar  ``G(r, u, f) = u·u − n²(r, û, f)`` where ``u`` is
+  the refractive-index vector (u = c k / ω; |u| = n on the dispersion
+  shell) and n² is the collisionless Appleton–Hartree index at
+  cos ψ = û·B̂(r);
+* Hamilton's ray equations, parameterised by arc length s along the
+  GROUP (ray) direction, follow from one ``jax.value_and_grad`` of G:
+
+      dr/ds =  G_u / |G_u|            (group direction)
+      du/ds = −G_r / |G_u|
+      dt/ds = (u·G_u − f G_f) / (c |G_u|)   (GROUP DELAY — exact, from
+                                             the ω-derivative; no μ′
+                                             field or quadrature needed)
+      dP/ds = (u·G_u) / |G_u|               (phase path, u·dr)
+
+  In the isotropic limit G_u = 2u, so dr/ds = û, dt/ds = n_g/c and
+  dP/ds = n — the classical forms.
+* spatial derivatives G_r use a *smoothed interpolant*: trilinear values
+  whose JVP is the trilinearly-interpolated 2nd-order grid gradient
+  (``jax.custom_jvp``), so the RK4 RHS sees the same smooth gradient
+  fields the isotropic tracer interpolates, while the u- and
+  f-derivatives stay exact autodiff;
+* integration reuses the shared freeze-on-event ``lax.scan`` RK4
+  (:func:`pyrayhf_tpu.gradient._integrate`) with a ``renorm_fn`` that
+  re-projects |u| onto the dispersion shell (|u| ← n(r, û)) each step —
+  the anisotropic analogue of the unit-direction renormalisation.
+
+The reference has no anisotropic tracer of any kind (its most general
+tracer is the fixed-ψ 2-D spherical gradient form, ref
+``library.py:2128-2337``); this module is capability beyond it. Group
+delay through the dispersion ω-derivative doubles as an independent
+check of the μ′-based fixed-ψ machinery: tests pin the two against each
+other in the isotropic limit and measure the fixed-ψ convention's error
+on a dipole-field case (see ``tests/test_trace3d_aniso.py`` and
+``docs/accuracy.md``).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .constants import C_KM_S, G_P, R_E
+from .fields import grad_axis_ord2
+from .gradient import _STATUS, _integrate
+from .magnetoionic import find_X
+from .trace3d import (_bearing_frame, _ecef, _geodetic, _local_frame,
+                      _validate_grids_3d, trilinear)
+
+__all__ = ["build_field_3d_aniso", "igrf_volume",
+           "trace_ray_3d_anisotropic", "trace_rays_3d_anisotropic"]
+
+
+def _ah_n2(X, Y, cos2, mode_mult):
+    """Collisionless Appleton–Hartree n² at wave-normal angle ψ.
+
+    ``cos2`` = cos²ψ with ψ the angle between the wave normal and B.
+    Same algebra as :func:`pyrayhf_tpu.magnetoionic.find_mu_mup`
+    (cancellation-free O-branch, ref formula ``library.py:209-256``) but
+    as a differentiable scalar n²(X, Y, cos²ψ): every singular
+    denominator is double-``where`` guarded so ``jax.grad`` through
+    valid entries is finite. Returns (n², valid); n² is a finite
+    placeholder where invalid. Elements with a vanishing discriminant
+    (Y = 0, or YT = 0 at X = 1) fall back to the unmagnetised 1 − X.
+    """
+    Xm1 = 1.0 - X
+    Y2 = Y * Y
+    YT2 = Y2 * (1.0 - cos2)
+    YL2 = Y2 * cos2
+    alpha = 0.25 * YT2 ** 2 + YL2 * Xm1 ** 2
+    mag = alpha > 0.0
+    beta = jnp.sqrt(jnp.where(mag, alpha, 1.0))
+    if mode_mult > 0:
+        # O-mode: cancellation-free factorisation (see magnetoionic.py)
+        #   s = YL²(1−X)²/(β + ½YT²),  n² = ((1−X)² + s)/((1−X) + s)
+        bsum = beta + 0.5 * YT2
+        b_ok = bsum > 0.0
+        s = jnp.where(b_ok, YL2 * Xm1 ** 2 / jnp.where(b_ok, bsum, 1.0),
+                      0.0)
+        D = Xm1 + s
+        d_ok = D != 0.0
+        n2_mag = (Xm1 ** 2 + s) / jnp.where(d_ok, D, 1.0)
+    else:
+        D = Xm1 - 0.5 * YT2 - beta
+        d_ok = D != 0.0
+        n2_mag = 1.0 - X * Xm1 / jnp.where(d_ok, D, 1.0)
+    n2_iso = Xm1
+    n2 = jnp.where(mag, jnp.where(d_ok, n2_mag, 2.0), n2_iso)
+    # physicality filter mirrors the reference's μ > 1 → NaN (library.py
+    # :244-246); the 1e-12 headroom keeps exact free space (n² == 1) valid
+    valid = (jnp.isfinite(n2) & (n2 > 0.0) & (n2 <= 1.0 + 1e-12)
+             & jnp.where(mag, d_ok, True))
+    return jnp.where(valid, n2, 1.0), valid
+
+
+@jax.custom_jvp
+def _interp_smooth(aq, bq, cq, pack):
+    """Trilinear value with smoothed spatial derivatives.
+
+    ``pack`` = (a_grid, b_grid, c_grid, field, ga, gb, gc) where
+    ga/gb/gc are the precomputed 2nd-order grid-gradient volumes
+    (:func:`pyrayhf_tpu.fields.grad_axis_ord2`). The VALUE is plain
+    trilinear interpolation of ``field``; the JVP interpolates the
+    gradient volumes instead of differentiating the trilinear weights,
+    so autodiff through a query point sees a smooth (trilinear) gradient
+    field rather than the cell-piecewise-constant derivative of the
+    interpolant — the same regularisation the isotropic 3-D tracer gets
+    from its precomputed ``dmu_d*`` volumes. Tangents of ``pack`` are
+    treated as zero (fields are trace-time constants in the ray RHS).
+    Out-of-domain queries return NaN (→ the RHS freezes the ray).
+    """
+    a_g, b_g, c_g, field, _, _, _ = pack
+    return trilinear(aq, bq, cq, a_g, b_g, c_g, field)
+
+
+@_interp_smooth.defjvp
+def _interp_smooth_jvp(primals, tangents):
+    aq, bq, cq, pack = primals
+    da, db, dc, _ = tangents
+    a_g, b_g, c_g, field, ga, gb, gc = pack
+    val = trilinear(aq, bq, cq, a_g, b_g, c_g, field)
+    gav = trilinear(aq, bq, cq, a_g, b_g, c_g, ga)
+    gbv = trilinear(aq, bq, cq, a_g, b_g, c_g, gb)
+    gcv = trilinear(aq, bq, cq, a_g, b_g, c_g, gc)
+    tan = gav * da + gbv * db + gcv * dc
+    return val, tan
+
+
+def _pack(field, a_g, b_g, c_g):
+    """(grids, field, ∂a, ∂b, ∂c) tuple for :func:`_interp_smooth`."""
+    return (a_g, b_g, c_g, field, grad_axis_ord2(field, a_g, 0),
+            grad_axis_ord2(field, b_g, 1), grad_axis_ord2(field, c_g, 2))
+
+
+def igrf_volume(alt_km, lat_deg, lon_deg, coeffs=None):
+    """IGRF B vector [Tesla] on an (alt, lat, lon) grid.
+
+    Returns (B_north, B_east, B_down), each [N_alt, N_lat, N_lon] — the
+    inputs :func:`build_field_3d_aniso` expects. ``coeffs`` as in
+    :func:`pyrayhf_tpu.igrf.igrf_field` (e.g. an epoch-interpolated
+    table from :func:`pyrayhf_tpu.igrf.igrf_coefficients`).
+    """
+    from .igrf import igrf_field
+
+    alt = jnp.asarray(alt_km, dtype=float)
+    lat = jnp.asarray(lat_deg, dtype=float)
+    lon = jnp.asarray(lon_deg, dtype=float)
+    bn, be, bd, _, _ = igrf_field(lat[None, :, None], lon[None, None, :],
+                                  alt[:, None, None], coeffs=coeffs)
+    return bn * 1e-9, be * 1e-9, bd * 1e-9
+
+
+def build_field_3d_aniso(alt_km, lat_deg, lon_deg, Ne, B_north, B_east,
+                         B_down, nu=None):
+    """Precompute the anisotropic tracer's field tables.
+
+    ``Ne`` [m⁻³] and the geomagnetic components ``B_north``/``B_east``/
+    ``B_down`` [Tesla, local geodetic frame — :func:`igrf_volume`
+    provides them] on the monotone ``alt_km``/``lat_deg``/``lon_deg``
+    grids, all [N_alt, N_lat, N_lon]. Unlike the fixed-ψ builder
+    (:func:`pyrayhf_tpu.trace3d.build_field_3d`) nothing here depends on
+    frequency or mode — one field dict serves every (f, mode) trace; the
+    B vector is stored in ECEF components so the wave-normal angle is a
+    plain dot product along the ray.
+
+    ``nu``: ν(alt) [s⁻¹] for the absorption channel (default model).
+    """
+    from .absorption import collision_frequency
+
+    alt, lat, lon, Ne = _validate_grids_3d(alt_km, lat_deg, lon_deg, Ne)
+    bn = jnp.broadcast_to(jnp.asarray(B_north, dtype=float), Ne.shape)
+    be = jnp.broadcast_to(jnp.asarray(B_east, dtype=float), Ne.shape)
+    bd = jnp.broadcast_to(jnp.asarray(B_down, dtype=float), Ne.shape)
+    # local geodetic (north, east, down) → ECEF per grid node
+    lat2, lon2 = jnp.broadcast_arrays(jnp.deg2rad(lat)[:, None],
+                                      jnp.deg2rad(lon)[None, :])
+    rhat, north, east = _local_frame(lat2, lon2)
+    # each frame vector: [N_lat, N_lon, 3]; components broadcast over alt
+    b_ecef = (bn[..., None] * north[None] + be[..., None] * east[None]
+              - bd[..., None] * rhat[None])
+    nu_a = (collision_frequency(alt) if nu is None
+            else jnp.asarray(nu, dtype=float))
+    return {
+        "alt": alt, "lat": lat, "lon": lon, "nu": nu_a,
+        "ne": _pack(Ne, alt, lat, lon),
+        "bx": _pack(b_ecef[..., 0], alt, lat, lon),
+        "by": _pack(b_ecef[..., 1], alt, lat, lon),
+        "bz": _pack(b_ecef[..., 2], alt, lat, lon),
+    }
+
+
+def _g_scalar(p, u, f0, field, mode, mode_mult):
+    """Dispersion scalar G = u·u − n²(r, û, f) with aux (n², valid, κ)."""
+    from .absorption import absorption_coefficient
+
+    alt_g = field["alt"]
+    r, lat, lon = _geodetic(p)
+    alt = r - R_E
+    latd, lond = jnp.rad2deg(lat), jnp.rad2deg(lon)
+    # clamp altitude for the table lookups: below the grid bottom is free
+    # space (Ne = 0); fractionally above the top (mid-RK4 stage before the
+    # event backtracks) uses the top-edge value
+    alt_c = jnp.clip(alt, alt_g[0], alt_g[-1])
+    below = alt < alt_g[0]
+    ne = jnp.where(below, 0.0, _interp_smooth(alt_c, latd, lond,
+                                              field["ne"]))
+    bx = _interp_smooth(alt_c, latd, lond, field["bx"])
+    by = _interp_smooth(alt_c, latd, lond, field["by"])
+    bz = _interp_smooth(alt_c, latd, lond, field["bz"])
+    fin = (jnp.isfinite(ne) & jnp.isfinite(bx) & jnp.isfinite(by)
+           & jnp.isfinite(bz))
+    ne = jnp.where(fin & (ne > 0.0), ne, jnp.where(fin, 0.0, 1.0))
+    b2 = bx * bx + by * by + bz * bz
+    b_ok = b2 > 0.0
+    babs = jnp.sqrt(jnp.where(b_ok, b2, 1.0))
+    X = find_X(ne, f0)
+    Y = jnp.where(b_ok, G_P * babs / f0, 0.0)
+    u2 = jnp.dot(u, u)
+    u_ok = u2 > 0.0
+    umag = jnp.sqrt(jnp.where(u_ok, u2, 1.0))
+    cosp = jnp.where(u_ok & b_ok,
+                     (u[0] * bx + u[1] * by + u[2] * bz)
+                     / (umag * babs), 0.0)
+    cos2 = jnp.clip(cosp * cosp, 0.0, 1.0)
+    n2, valid = _ah_n2(X, Y, cos2, mode_mult)
+    valid = valid & fin & u_ok
+    G = u2 - n2
+
+    # absorption channel (value-only aux; QL Davies form with the LOCAL
+    # wave-normal angle — the fixed-ψ tracers use the vertical-incidence
+    # angle here)
+    nu = jnp.interp(alt, alt_g, field["nu"])
+    psi_deg = jnp.rad2deg(jnp.arccos(jnp.clip(jnp.abs(cosp), 0.0, 1.0)))
+    mu = jnp.sqrt(n2)
+    kap = absorption_coefficient(ne, nu, f0, babs, psi_deg, mu, mode)
+    kap = jnp.where(valid & jnp.isfinite(kap), kap, 0.0)
+    return G, (n2, valid, kap)
+
+
+# state layout: y = [p(0:3) km ECEF, u(3:6) refractive-index vector,
+#                    t(6) group delay s, P(7) phase path km,
+#                    A(8) absorption dB]
+_NST = 9
+
+
+@partial(jax.jit, static_argnames=("mode", "n_steps", "n_hops"))
+def _aniso_core(field, lat0_deg, lon0_deg, elevation_deg, azimuth_deg,
+                f0_hz, mode, ds, n_steps, z_ground, n_hops=1):
+    mode_mult = {"O": 1.0, "X": -1.0}[mode]
+    g3 = partial(_g_scalar, field=field, mode=mode, mode_mult=mode_mult)
+    g_vag = jax.value_and_grad(lambda p, u, f: g3(p, u, f),
+                               argnums=(0, 1, 2), has_aux=True)
+
+    def rhs(y):
+        p, u = y[:3], y[3:6]
+        (_, (n2, valid, kap)), (G_p, G_u, G_f) = g_vag(p, u, f0_hz)
+        sig2 = jnp.dot(G_u, G_u)
+        s_ok = sig2 > 1e-24
+        sigma = jnp.sqrt(jnp.where(s_ok, sig2, 1.0))
+        ok = (valid & s_ok & jnp.all(jnp.isfinite(G_p))
+              & jnp.all(jnp.isfinite(G_u)) & jnp.isfinite(G_f))
+        udG = jnp.dot(u, G_u)
+        dp = G_u / sigma
+        du = -G_p / sigma
+        dt = (udG - f0_hz * G_f) / (C_KM_S * sigma)
+        dP = udG / sigma
+        vec = jnp.concatenate([dp, du, jnp.stack([dt, dP, kap])])
+        return jnp.where(ok & jnp.all(jnp.isfinite(vec)), vec,
+                         jnp.zeros(_NST))
+
+    def renorm(y):
+        # project |u| back onto the dispersion shell: |u| ← n(r, û)
+        p, u = y[:3], y[3:6]
+        umag = jnp.linalg.norm(u)
+        u_ok = umag > 0.0
+        uhat = u / jnp.where(u_ok, umag, 1.0)
+        _, (n2, valid, _) = g3(p, uhat, f0_hz)
+        u_new = jnp.where(valid & u_ok, jnp.sqrt(n2) * uhat, u)
+        return y.at[3:6].set(u_new)
+
+    alt_g, lat_g, lon_g = field["alt"], field["lat"], field["lon"]
+
+    def events(y):
+        r, lat, lon = _geodetic(y[:3])
+        latd, lond = jnp.rad2deg(lat), jnp.rad2deg(lon)
+        return jnp.array([
+            r - (R_E + z_ground) - 1e-3,      # ground (index 0)
+            (R_E + alt_g[-1]) - r,            # top
+            latd - lat_g[0], lat_g[-1] - latd,
+            lond - lon_g[0], lon_g[-1] - lond,
+        ])
+
+    def reflect(y):
+        # specular ground bounce: tangential u preserved, radial flipped
+        p, u = y[:3], y[3:6]
+        rhat = p / jnp.linalg.norm(p)
+        ur = jnp.dot(u, rhat)
+        return y.at[3:6].set(u - 2.0 * jnp.minimum(ur, 0.0) * rhat)
+
+    lat0 = jnp.deg2rad(lat0_deg)
+    lon0 = jnp.deg2rad(lon0_deg)
+    p0 = _ecef(lat0, lon0, R_E + z_ground + 1e-2)
+    rhat0, north0, east0 = _local_frame(lat0, lon0)
+    el = jnp.deg2rad(elevation_deg)
+    az = jnp.deg2rad(azimuth_deg)
+    d0 = (jnp.sin(el) * rhat0
+          + jnp.cos(el) * (jnp.cos(az) * north0 + jnp.sin(az) * east0))
+    # launch in free space below the grid: |u| = 1; the per-step shell
+    # projection takes over once the ray enters the plasma
+    y0 = jnp.concatenate([p0, d0, jnp.zeros(3)])
+
+    hop_kw = dict(reflect_fn=reflect, max_bounces=n_hops - 1) \
+        if n_hops > 1 else {}
+    ys, alive, status = _integrate(rhs, y0, n_steps, ds, events,
+                                   renorm_fn=renorm, **hop_kw)
+    p_path = ys[:, :3]
+    r_path, lat_path, lon_path = _geodetic(p_path)
+    alt_path = r_path - R_E
+    dseg = jnp.linalg.norm(jnp.diff(p_path, axis=0), axis=1)
+
+    rhat_end = p_path[-1] / r_path[-1]
+    cosc = jnp.clip(jnp.dot(rhat0, rhat_end), -1.0, 1.0)
+    ground_range = R_E * jnp.arccos(cosc)
+    _, _, nhat = _bearing_frame(lat0, lon0, az)
+    cross_track = R_E * jnp.arcsin(
+        jnp.clip(jnp.dot(rhat_end, nhat), -1.0, 1.0))
+    landed = status == _STATUS["ground"]
+    nan = jnp.nan
+    return {
+        "lat": jnp.rad2deg(lat_path), "lon": jnp.rad2deg(lon_path),
+        "alt": alt_path, "ecef": p_path, "u": ys[:, 3:6], "alive": alive,
+        "status_code": status,
+        "group_path_km": jnp.nansum(dseg),
+        "group_delay_sec": ys[-1, 6],
+        "phase_path_km": ys[-1, 7],
+        "absorption_db": ys[-1, 8],
+        "apex_alt_km": jnp.nanmax(alt_path),
+        "ground_range_km": jnp.where(landed, ground_range, nan),
+        "cross_track_km": jnp.where(landed, cross_track, nan),
+        "landing_lat_deg": jnp.where(landed, jnp.rad2deg(lat_path[-1]),
+                                     nan),
+        "landing_lon_deg": jnp.where(landed, jnp.rad2deg(lon_path[-1]),
+                                     nan),
+    }
+
+
+def trace_ray_3d_anisotropic(field, lat0_deg, lon0_deg, elevation_deg,
+                             azimuth_deg, f0_hz, *, mode="O", step_km=1.0,
+                             s_max_km=6000.0, z_ground_km=0.0, n_hops=1):
+    """Trace one ray with the full anisotropic dispersion relation.
+
+    ``field`` from :func:`build_field_3d_aniso` (frequency- and
+    mode-independent). Launch geometry as
+    :func:`pyrayhf_tpu.trace3d.trace_ray_3d`; ``f0_hz``/``mode`` select
+    the wave. Returns the same output dict as the fixed-ψ tracer plus
+    ``u`` — the refractive-index vector along the path (|u| = n on the
+    dispersion shell; its direction is the WAVE NORMAL, which in an
+    anisotropic medium is not the ray direction).
+
+    Group delay is exact through the dispersion relation's frequency
+    derivative (no μ′ field), phase path is ∫u·dr, and the absorption
+    channel evaluates the QL coefficient at the LOCAL wave-normal angle.
+    Capability beyond the reference (its tracers are 2-D fixed-ψ, ref
+    ``library.py:2128-2337``).
+    """
+    n_steps = int(round(float(s_max_km) / float(step_km)))
+    out = _aniso_core(field, jnp.asarray(lat0_deg, dtype=float),
+                      jnp.asarray(lon0_deg, dtype=float),
+                      jnp.asarray(elevation_deg, dtype=float),
+                      jnp.asarray(azimuth_deg, dtype=float),
+                      jnp.asarray(f0_hz, dtype=float), mode,
+                      jnp.asarray(step_km, dtype=float), n_steps,
+                      jnp.asarray(z_ground_km, dtype=float),
+                      n_hops=int(n_hops))
+    code = int(out.pop("status_code"))
+    out["status"] = {v: k for k, v in _STATUS.items()}[code]
+    return out
+
+
+def trace_rays_3d_anisotropic(field, lat0_deg, lon0_deg, elevation_deg,
+                              azimuth_deg, f0_hz, *, mode="O",
+                              step_km=1.0, s_max_km=6000.0,
+                              z_ground_km=0.0, n_hops=1):
+    """Batched anisotropic fan: elevation [E] × azimuth [A] → [E, A, ...].
+
+    One XLA launch, mirroring :func:`pyrayhf_tpu.trace3d.trace_rays_3d`.
+    ``f0_hz`` may also be an array broadcast against the fan (e.g.
+    per-elevation frequencies for an ionogram sweep — pass matching
+    [E]-shaped ``elevation_deg``).
+    """
+    n_steps = int(round(float(s_max_km) / float(step_km)))
+    els = jnp.asarray(elevation_deg, dtype=float)
+    azs = jnp.asarray(azimuth_deg, dtype=float)
+    fn = lambda el, az: _aniso_core(
+        field, jnp.asarray(lat0_deg, dtype=float),
+        jnp.asarray(lon0_deg, dtype=float), el, az,
+        jnp.asarray(f0_hz, dtype=float), mode,
+        jnp.asarray(step_km, dtype=float), n_steps,
+        jnp.asarray(z_ground_km, dtype=float), n_hops=int(n_hops))
+    return jax.vmap(lambda el: jax.vmap(lambda az: fn(el, az))(azs))(els)

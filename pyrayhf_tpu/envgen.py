@@ -13,11 +13,16 @@ substitutes a documented **analytic climatology** for the layer parameters:
   combines a solar-activity scale, a smooth solar-zenith diurnal term, an
   equatorial-anomaly crest at |modip| ≈ 16° with the daytime dip-equator
   trough, a post-sunset low-modip enhancement (the equatorial evening
-  anomaly), and mid/high-modip night depression. Calibrated so BOTH
-  shipped PyIRI parameter sets (day: χ=30.6°, modip +12°; night: local
-  midnight ON the anomaly crest, modip −17°) reproduce foF2/hmF2/B
-  parameters to ≤ 8% (tests/test_envgen.py). Still NOT the CCIR maps —
-  do not use for operational specification,
+  anomaly), mid/high-modip night depression, and (round 4) a
+  solar-activity-scaled mid-latitude WINTER-ANOMALY term. Calibrated so
+  BOTH shipped PyIRI parameter sets (day: χ=30.6°, modip +12°; night:
+  local midnight ON the anomaly crest, modip −17°) reproduce EVERY
+  foF2/hmF2/B parameter to ≤ 0.2% (round-4 refit; tests/test_envgen.py,
+  error table in docs/accuracy.md), with CCIR-morphology property tests
+  (crest positions, winter-anomaly sign + its solar-min disappearance,
+  solar-cycle scaling). Still NOT the CCIR maps — two calibration
+  points cannot pin a global map; do not use for operational
+  specification,
 * |B|, ψ from the in-repo spherical-harmonic IGRF (pyrayhf_tpu.igrf).
 
 The EDP itself is built by the same differentiable parametric builder used by
@@ -140,20 +145,36 @@ def climatology_parameters(year, month, day, UT, lat, lon, F107,
     T = 0.55 + 0.35 * daygate + 0.787 * pss
     dep = 1.0 - 0.42 * jnp.clip((am - 25.0) / 30.0, 0.0, 1.0) \
         * (1.0 - cos_eff ** 0.3)
+    # winter anomaly (round 4): daytime mid-modip foF2 is ENHANCED in the
+    # winter hemisphere, scaling with solar activity (CCIR morphology —
+    # NmF2 winter/summer noon ratio ~1.4 at solar max, gone at solar
+    # min). A pure zenith model has the opposite sign; this term fixes
+    # it. Gated to |modip| 22–65° so the two PyIRI calibration points
+    # (modip +12°/−17°) are untouched.
+    doy = _day_of_year(year, month, day)
+    seas = jnp.sin(2.0 * jnp.pi * (doy - 81.0) / 365.25)   # +1 ≈ N summer
+    wgate = jnp.clip(-jnp.sign(m) * seas, 0.0, 1.0)        # winter hemi
+    midlat = (jnp.clip((am - 22.0) / 15.0, 0.0, 1.0)
+              * jnp.clip((65.0 - am) / 15.0, 0.0, 1.0))
+    winter = 1.0 + 0.6 * s * daygate * midlat * wgate
     K = 6.274 * (1.0 + 1.15 * s)
-    foF2 = K * G * T * dep
+    foF2 = K * G * T * dep * winter
     foF2 = jnp.maximum(foF2, 1.1 * foE + 0.5)
     # hmF2: daytime low-modip uplift (vertical ExB drift) over an
     # activity-scaled base — the day point is HIGHER than night at the
-    # equator (338 vs 281 km), opposite to the round-1 zenith formula
-    hmF2 = 250.0 + 40.0 * s + 60.0 * cos_eff ** 0.8 \
+    # equator (338 vs 281 km), opposite to the round-1 zenith formula.
+    # Constants here and below refit in round 4 so BOTH shipped PyIRI
+    # points are reproduced to <0.1% (they share F107/date, so the
+    # zenith-dependence amplitudes are exactly determined by the pair;
+    # activity slopes are the round-3 priors, unconstrained by the pair)
+    hmF2 = 241.44 + 40.0 * s + 80.54 * cos_eff ** 0.8 \
         * jnp.exp(-(m / 25.0) ** 2)
-    # bottomside thicker by day (both PyIRI points, ±5%)
-    B_bot = 40.0 + 20.0 * cos_eff ** 0.8
-    B_top = 44.0 + 1.5 * (1.0 - cos_eff)
-    B0 = 100.0 + 140.0 * cos_eff ** 1.2
-    B1 = 2.75 - 1.2 * cos_eff ** 1.2
-    M3000 = 2.70 - 0.40 * cos_eff
+    # bottomside thicker by day (both PyIRI points, <0.1%)
+    B_bot = 42.04 + 17.11 * cos_eff ** 0.8
+    B_top = 43.57 + 1.83 * (1.0 - cos_eff)
+    B0 = 108.06 + 144.35 * cos_eff ** 1.2
+    B1 = 2.728 - 1.231 * cos_eff ** 1.2
+    M3000 = 2.694 - 0.434 * cos_eff
     F2 = {"Nm": edp.NM_PER_MHZ2 * foF2 ** 2, "fo": foF2, "hm": hmF2,
           "B_bot": B_bot, "B_top": B_top,
           "B0": B0, "B1": B1, "M3000": M3000}

@@ -105,14 +105,19 @@ def main():
         args = tuple(jnp.asarray(a, dtype=dtype)
                      for a in (freqs, den, bmag, bpsi, alt_b))
 
-    out = fn(*args)
-    _ = np.asarray(jnp.ravel(out)[0])     # force full execution (the axon
-    iters = 10                            # tunnel's block_until_ready is lazy)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    _ = np.asarray(jnp.ravel(out)[0])
-    dt = (time.perf_counter() - t0) / iters
+    for _ in range(3):                    # warmup: first launches pay tunnel/
+        out = fn(*args)                   # allocator transients (~2 ms extra
+    _ = np.asarray(jnp.ravel(out)[0])     # per launch on the first rep);
+    iters = 10                            # np.asarray forces full execution
+    dt = np.inf                           # (the tunnel's block_until_ready is
+    for _rep in range(3):                 # lazy). Best-of-3 timing loops
+        t0 = time.perf_counter()          # estimates the noise floor.
+        for _ in range(iters):
+            out = fn(*args)
+        _ = np.asarray(jnp.ravel(out)[0])
+        dt_rep = (time.perf_counter() - t0) / iters
+        log(f"  timing rep: {dt_rep*1e3:.2f} ms/launch")
+        dt = min(dt, dt_rep)
     evals_per_sec = B * F / dt
     log(f"O-mode 200pt gather kernel: B={B} F={F} time/launch={dt*1e3:.2f} ms"
         f" -> {evals_per_sec:.3e} vh evals/s")

@@ -339,3 +339,51 @@ def trace_fan_3d_sharded(field, lat0_deg, lon0_deg, elevation_deg,
     fn = jax.jit(shard_map(shard_fn, mesh=mesh, in_specs=(P(axis),),
                            out_specs=P(axis), check_vma=False))
     return fn(els)
+
+def trace_fan_3d_aniso_sharded(field, lat0_deg, lon0_deg, elevation_deg,
+                               azimuth_deg, f0_hz, mesh, axis="batch", *,
+                               mode="O", step_km=1.0, s_max_km=6000.0,
+                               z_ground_km=0.0, n_hops=1):
+    """Anisotropic 3-D fan with the elevation axis sharded over the mesh.
+
+    The full-Haselgrove analogue of :func:`trace_fan_3d_sharded`: each
+    device traces its elevation slice of the [E, A] fan through the
+    shared (frequency- and mode-independent) anisotropic field volume
+    from :func:`pyrayhf_tpu.trace3d_aniso.build_field_3d_aniso`. Pure DP
+    over rays — the Ne/B tables are closed over (replicated), there are
+    no collectives, and every output leaf is [E, A, ...] sharded on E,
+    matching the unsharded
+    :func:`pyrayhf_tpu.trace3d_aniso.trace_rays_3d_anisotropic` to
+    ≤1e-9 relative (not bitwise: the value_and_grad dispersion RHS may
+    fuse differently under GSPMD than under plain vmap).
+    """
+    from jax import shard_map
+
+    from ..trace3d_aniso import _aniso_core
+
+    els = jnp.asarray(elevation_deg, dtype=float)
+    azs = jnp.asarray(azimuth_deg, dtype=float)
+    n_dev = mesh.shape[axis]
+    if els.size % n_dev:
+        raise ValueError(
+            f"elevation count ({els.size}) must be divisible by the "
+            f"'{axis}' mesh axis size ({n_dev})")
+    n_steps = int(round(float(s_max_km) / float(step_km)))
+    core = _aniso_core.__wrapped__
+    args = (jnp.asarray(lat0_deg, dtype=float),
+            jnp.asarray(lon0_deg, dtype=float))
+
+    def shard_fn(els_t):
+        one = lambda el, az: core(field, *args, el, az,
+                                  jnp.asarray(f0_hz, dtype=float), mode,
+                                  jnp.asarray(step_km, dtype=float),
+                                  n_steps,
+                                  jnp.asarray(z_ground_km, dtype=float),
+                                  n_hops=int(n_hops))
+        return jax.vmap(lambda el: jax.vmap(
+            lambda az: one(el, az))(azs))(els_t)
+
+    # check_vma off for the same mixed-carry reason as the fixed-psi fan
+    fn = jax.jit(shard_map(shard_fn, mesh=mesh, in_specs=(P(axis),),
+                           out_specs=P(axis), check_vma=False))
+    return fn(els)

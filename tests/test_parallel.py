@@ -252,3 +252,41 @@ def test_trace_fan_3d_sharded_matches_unsharded(day_profile):
               "cross_track_km"):
         np.testing.assert_allclose(np.asarray(sh[k]), np.asarray(un[k]),
                                    rtol=1e-12, atol=1e-12)
+
+
+def test_trace_fan_3d_aniso_sharded_matches_unsharded(day_profile):
+    """Elevation-sharded anisotropic fan over the 8-device mesh equals
+    the unsharded trace (pure DP, replicated Ne/B volume)."""
+    import numpy as np
+
+    from pyrayhf_tpu.parallel.mesh import ionogram_mesh, \
+        trace_fan_3d_aniso_sharded
+    from pyrayhf_tpu.trace3d_aniso import (build_field_3d_aniso,
+                                           trace_rays_3d_anisotropic)
+
+    d = day_profile
+    alt, den = np.asarray(d["alt"]), np.asarray(d["den"])
+    lat = np.linspace(20.0, 50.0, 9)
+    lon = np.linspace(-85.0, -55.0, 9)
+    shape = (alt.size, lat.size, lon.size)
+    U = lambda v: np.broadcast_to(v[:, None, None], shape)
+    bn = U(np.full_like(alt, 2.5e-5))
+    be = U(np.full_like(alt, 3.0e-6))
+    bd = U(np.full_like(alt, -3.5e-5))
+    field = build_field_3d_aniso(alt, lat, lon, U(den), bn, be, bd)
+    els = np.linspace(22.0, 50.0, 8)
+    azs = np.array([170.0, 195.0])
+    mesh = ionogram_mesh()
+    sh = trace_fan_3d_aniso_sharded(field, 35.0, -70.0, els, azs, 8e6,
+                                    mesh, mode="O", step_km=4.0,
+                                    s_max_km=1500.0)
+    un = trace_rays_3d_anisotropic(field, 35.0, -70.0, els, azs, 8e6,
+                                   mode="O", step_km=4.0,
+                                   s_max_km=1500.0)
+    assert np.asarray(sh["ground_range_km"]).shape == (8, 2)
+    # not bitwise: the value_and_grad dispersion RHS may fuse differently
+    # under GSPMD/shard_map than under plain vmap (observed 6e-11 rel)
+    for k in ("ground_range_km", "group_delay_sec", "phase_path_km",
+              "cross_track_km", "absorption_db"):
+        np.testing.assert_allclose(np.asarray(sh[k]), np.asarray(un[k]),
+                                   rtol=1e-9, atol=1e-9)

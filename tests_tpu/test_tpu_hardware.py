@@ -141,3 +141,60 @@ def test_new_surfaces_smoke_on_device(day_profile):
                             np.array([180.0]), step_km=2.0,
                             s_max_km=2000.0)
     assert np.isfinite(np.asarray(out["ground_range_km"])).all()
+
+
+def test_round4_surfaces_smoke_on_device(day_profile):
+    """Round-4 additions run on the real chip: the anisotropic
+    dispersion-surface tracer (value_and_grad RHS through the Mosaic-
+    free XLA path) and the joint O+X true-height lamination (per-knot
+    lax.cond mode switch inside the bisection scan)."""
+    import pyrayhf_tpu as prt
+
+    d = day_profile
+    alt, den = np.asarray(d["alt"]), np.asarray(d["den"])
+    bmag, bpsi = np.asarray(d["bmag"]), np.asarray(d["bpsi"])
+
+    # anisotropic 3-D trace: O/X pair through a uniform-B volume
+    lat = np.linspace(20.0, 45.0, 9)
+    lon = np.linspace(-80.0, -60.0, 9)
+    shape = (alt.size, lat.size, lon.size)
+    U = lambda v: np.broadcast_to(np.asarray(v)[:, None, None], shape)
+    bn = U(np.full_like(alt, 2.2e-5))
+    be = U(np.zeros_like(alt))
+    bd = U(np.full_like(alt, -3.8e-5))
+    field = prt.build_field_3d_aniso(alt, lat, lon, U(den), bn, be, bd)
+    res = {}
+    # elevation 25: both modes land in f32 (steeper launches freeze at
+    # the E-layer reflection where the f32 group velocity underflows)
+    for mode in ("O", "X"):
+        r = prt.trace_ray_3d_anisotropic(field, 30.0, -70.0, 25.0, 90.0,
+                                         8e6, mode=mode, step_km=4.0,
+                                         s_max_km=1600.0)
+        assert r["status"] == "ground"
+        assert np.isfinite(float(r["group_delay_sec"]))
+        res[mode] = r
+    # O and X split out of plane in opposite senses on an eastward link
+    co = float(res["O"]["cross_track_km"])
+    cx = float(res["X"]["cross_track_km"])
+    assert co * cx < 0.0
+    # |u| rides the dispersion shell
+    u = np.asarray(res["O"]["u"])[np.asarray(res["O"]["alive"])]
+    um = np.linalg.norm(u, axis=1)
+    assert um.max() < 1.0 + 1e-6
+
+    # joint O+X true-height inversion (f32 on-chip lamination)
+    f_o = np.arange(2.0, 7.0, 0.25)
+    vh_o = np.asarray(prt.vertical_forward_operator(
+        f_o, den, bmag, bpsi, alt, mode="O"))
+    f_x = f_o + 0.63
+    vh_x = np.asarray(prt.vertical_forward_operator(
+        f_x, den, bmag, bpsi, alt, mode="X"))
+    assert np.isfinite(vh_o).all() and np.isfinite(vh_x).all()
+    out = prt.retrieve_profile_joint(
+        f_o, vh_o, f_x, vh_x, alt, bmag, bpsi,
+        start_gap_km=np.array([10.0, 20.0, 35.0]))
+    # f32 lamination floor is ~0.08 km rms (DEVNOTES); give 6x headroom
+    assert float(out["rms_km"]) < 0.5
+    mode_knots = np.asarray(out["mode_knots"])
+    assert np.sum(mode_knots > 0) == f_o.size
+    assert np.sum(mode_knots < 0) == f_x.size

@@ -491,17 +491,27 @@ def _home_setup(tx_lat, tx_lon, rx_lat, rx_lon, n_elev, n_az, az_span_deg,
 
 
 def _home_fan_core(field, tx_lat, tx_lon, az0, D, els, azs, *, step_km,
-                   s_max_km, n_hops, max_range_jump_km, miss_cap):
+                   s_max_km, n_hops, max_range_jump_km, miss_cap,
+                   fan_fn=None):
     """Traceable homing body: fan trace + elevation & azimuth stages.
 
     Geometry arguments are static Python scalars; the ``field`` leaves
     are traced, so a stacked [F, ...] field vmaps the whole solve over
     frequency in one program. Returns per-link jnp scalars.
+
+    ``fan_fn(field, tx_lat, tx_lon, els, azs)`` overrides the fan tracer
+    (default: the fixed-ψ :func:`trace_rays_3d`); any tracer returning
+    the standard fan dict works — the anisotropic homing passes the
+    dispersion-surface fan closed over (f0, mode).
     """
     from .oblique import _crossings
 
-    fan = trace_rays_3d(field, tx_lat, tx_lon, els, azs, step_km=step_km,
-                        s_max_km=s_max_km, n_hops=n_hops)
+    if fan_fn is None:
+        fan = trace_rays_3d(field, tx_lat, tx_lon, els, azs,
+                            step_km=step_km, s_max_km=s_max_km,
+                            n_hops=n_hops)
+    else:
+        fan = fan_fn(field, tx_lat, tx_lon, els, azs)
     # n̂ of the launch fan is per-azimuth; re-reference every landing to
     # the RECEIVER bearing so "miss" means the same thing in all columns:
     # signed offset of the landing from the tx→rx great circle

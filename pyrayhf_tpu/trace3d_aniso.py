@@ -61,7 +61,8 @@ from .trace3d import (_bearing_frame, _ecef, _geodetic, _local_frame,
                       _validate_grids_3d, trilinear)
 
 __all__ = ["build_field_3d_aniso", "igrf_volume",
-           "trace_ray_3d_anisotropic", "trace_rays_3d_anisotropic"]
+           "trace_ray_3d_anisotropic", "trace_rays_3d_anisotropic",
+           "home_ray_3d_anisotropic"]
 
 
 def _ah_n2(X, Y, cos2, mode_mult):
@@ -411,3 +412,47 @@ def trace_rays_3d_anisotropic(field, lat0_deg, lon0_deg, elevation_deg,
         jnp.asarray(step_km, dtype=float), n_steps,
         jnp.asarray(z_ground_km, dtype=float), n_hops=int(n_hops))
     return jax.vmap(lambda el: jax.vmap(lambda az: fn(el, az))(azs))(els)
+
+
+def home_ray_3d_anisotropic(field, tx_lat, tx_lon, rx_lat, rx_lon, f0_hz,
+                            *, mode="O", n_elev=48, n_az=9,
+                            az_span_deg=8.0, elev_min_deg=5.0,
+                            elev_max_deg=75.0, step_km=2.0,
+                            s_max_km=4000.0, n_hops=1,
+                            max_range_jump_km=200.0,
+                            max_miss_jump_km=None):
+    """Point-to-point homing on the full anisotropic dispersion surface.
+
+    The anisotropic member of the homing family
+    (:func:`pyrayhf_tpu.trace3d.home_ray_3d`): an (elevation × azimuth)
+    fan of :func:`trace_rays_3d_anisotropic` rays around the
+    great-circle bearing, per-azimuth elevation homing in range, then
+    the signed landing miss interpolated to zero across azimuth — both
+    stages reuse the guarded crossing machinery of the fixed-ψ solver.
+    Because the fan carries the TRUE wave-normal physics, the homed O
+    and X solutions differ not only in delay but in the corrected launch
+    bearing (``azimuth_offset_*_deg``): magnetic out-of-plane deflection
+    is part of the solve, which no fixed-ψ or 2-D tracer can represent.
+
+    Output dict and NaN semantics as :func:`~pyrayhf_tpu.trace3d.home_ray_3d`.
+    """
+    from .trace3d import _home_fan_core, _home_setup
+
+    geo = _home_setup(tx_lat, tx_lon, rx_lat, rx_lon, n_elev, n_az,
+                      az_span_deg, elev_min_deg, elev_max_deg,
+                      max_miss_jump_km)
+    az0, D, els, azs, miss_cap = geo
+
+    def fan_fn(fld, tlat, tlon, els_t, azs_t):
+        return trace_rays_3d_anisotropic(
+            fld, tlat, tlon, els_t, azs_t, f0_hz, mode=mode,
+            step_km=step_km, s_max_km=s_max_km, n_hops=n_hops)
+
+    out = _home_fan_core(field, tx_lat, tx_lon, az0, D, els, azs,
+                         step_km=step_km, s_max_km=s_max_km,
+                         n_hops=n_hops,
+                         max_range_jump_km=max_range_jump_km,
+                         miss_cap=miss_cap, fan_fn=fan_fn)
+    out.update({"bearing_deg": az0, "range_km": D,
+                "elevations_deg": els, "azimuths_deg": azs})
+    return out

@@ -168,6 +168,10 @@ BEYOND_REFERENCE_API = [
     "vertical_to_oblique", "muf_from_vertical_ionogram",
     "muf_from_profile", "muf_map",
     "build_field_3d", "trace_ray_3d", "trace_rays_3d", "home_ray_3d",
+    # round-4 additions
+    "build_field_3d_aniso", "igrf_volume", "trace_ray_3d_anisotropic",
+    "trace_rays_3d_anisotropic", "home_ray_3d_anisotropic",
+    "retrieve_profile_joint",
     "retrieve_profile", "retrieve_profile_batch",
     "retrieve_gradient", "retrieve_gradient_batch",
     "generate_input_3D",

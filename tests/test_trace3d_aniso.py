@@ -197,3 +197,47 @@ def test_package_exports():
     for name in ("build_field_3d_aniso", "igrf_volume",
                  "trace_ray_3d_anisotropic", "trace_rays_3d_anisotropic"):
         assert hasattr(prt, name)
+
+
+def test_home_ray_3d_anisotropic_closes_link(grids, igrf_b):
+    """Anisotropic point-to-point homing: the homed (elevation, azimuth)
+    re-traced through the SAME dispersion-surface physics lands at the
+    receiver, and the delay agrees with the fixed-ψ homing to the
+    documented <2% convention bound (the field is horizontally uniform,
+    so the two solvers differ only by the wave-normal convention)."""
+    alt, lat, lon, Ne = grids
+    bn, be, bd = igrf_b
+    fld = build_field_3d_aniso(alt, lat, lon, Ne, bn, be, bd)
+    tx_lat, tx_lon, rx_lat, rx_lon = 30.0, 0.0, 36.5, 0.0    # ~722 km N
+    out = prt.home_ray_3d_anisotropic(
+        fld, tx_lat, tx_lon, rx_lat, rx_lon, F0, mode="X",
+        n_elev=10, n_az=3, az_span_deg=3.0, elev_min_deg=12.0,
+        elev_max_deg=45.0, step_km=4.0, s_max_km=1800.0)
+    el = float(out["elev_low_deg"])
+    az = float(out["azimuth_low_deg"])
+    assert np.isfinite(el) and np.isfinite(az)
+    # re-trace at the homed angles: lands within the fan-resolution
+    # interpolation error of the receiver
+    r = trace_ray_3d_anisotropic(fld, tx_lat, tx_lon, el, az, F0,
+                                 mode="X", step_km=4.0, s_max_km=1800.0)
+    assert r["status"] == "ground"
+    d_lat = float(r["landing_lat_deg"]) - rx_lat
+    d_lon = float(r["landing_lon_deg"]) - rx_lon
+    miss_km = 111.19 * np.hypot(d_lat, d_lon * np.cos(np.deg2rad(rx_lat)))
+    assert miss_km < 10.0
+    assert abs(float(r["group_delay_sec"]) - float(out["delay_low_sec"])) \
+        < 0.05 * float(out["delay_low_sec"])
+
+    # fixed-psi homing through the equivalent scalar field: the delay
+    # difference is the measured wave-normal-convention error (<2%)
+    babs = np.sqrt(np.asarray(bn)**2 + np.asarray(be)**2
+                   + np.asarray(bd)**2)
+    psi = np.rad2deg(np.arccos(np.clip(-np.asarray(bd) / babs, -1, 1)))
+    fld_fp = build_field_3d(alt, lat, lon, Ne, babs, psi, F0, mode="X")
+    out_fp = prt.home_ray_3d(
+        fld_fp, tx_lat, tx_lon, rx_lat, rx_lon, n_elev=10, n_az=3,
+        az_span_deg=3.0, elev_min_deg=12.0, elev_max_deg=45.0,
+        step_km=4.0, s_max_km=1800.0)
+    d_fp = float(out_fp["delay_low_sec"])
+    assert np.isfinite(d_fp)
+    assert abs(float(out["delay_low_sec"]) - d_fp) < 0.02 * d_fp

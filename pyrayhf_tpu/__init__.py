@@ -85,6 +85,7 @@ from .trace3d import (build_field_3d, home_ray_3d,
 from . import trace3d
 from .trace3d_aniso import (build_field_3d_aniso, igrf_volume,
                             home_ray_3d_anisotropic,
+                            synthesize_oblique_ionogram_3d_anisotropic,
                             trace_ray_3d_anisotropic,
                             trace_rays_3d_anisotropic)
 from . import trace3d_aniso

@@ -62,7 +62,8 @@ from .trace3d import (_bearing_frame, _ecef, _geodetic, _local_frame,
 
 __all__ = ["build_field_3d_aniso", "igrf_volume",
            "trace_ray_3d_anisotropic", "trace_rays_3d_anisotropic",
-           "home_ray_3d_anisotropic"]
+           "home_ray_3d_anisotropic",
+           "synthesize_oblique_ionogram_3d_anisotropic"]
 
 
 def _ah_n2(X, Y, cos2, mode_mult):
@@ -454,5 +455,53 @@ def home_ray_3d_anisotropic(field, tx_lat, tx_lon, rx_lat, rx_lon, f0_hz,
                          max_range_jump_km=max_range_jump_km,
                          miss_cap=miss_cap, fan_fn=fan_fn)
     out.update({"bearing_deg": az0, "range_km": D,
+                "elevations_deg": els, "azimuths_deg": azs})
+    return out
+
+
+def synthesize_oblique_ionogram_3d_anisotropic(
+        f0s_hz, tx_lat, tx_lon, rx_lat, rx_lon, field, *, mode="O",
+        n_elev=48, n_az=9, az_span_deg=8.0, elev_min_deg=5.0,
+        elev_max_deg=75.0, step_km=2.0, s_max_km=4000.0, n_hops=1,
+        max_range_jump_km=200.0, max_miss_jump_km=None):
+    """Oblique ionogram on the full anisotropic dispersion surface.
+
+    The anisotropic completion of the oblique-ionogram family
+    (:func:`pyrayhf_tpu.synthesize_oblique_ionogram` /
+    ``..._2d`` / ``..._3d``): per-frequency two-angle homing with the
+    TRUE wave-normal physics. Unlike the fixed-ψ 3-D synthesizer —
+    which must stack one μ/μ′/κ volume PER (frequency, mode) — the
+    anisotropic ``field`` (:func:`build_field_3d_aniso`) is frequency-
+    and mode-independent, so the whole sweep closes over ONE volume and
+    the homing vmaps over frequency in a single compiled program (no
+    ``freq_chunk`` HBM budgeting needed).
+
+    Returns stacked [N_freq] arrays (``delay_low/high_sec``,
+    ``elev_*_deg``, ``azimuth_*_deg``, ``azimuth_offset_*_deg``,
+    ``group_path_*``/``phase_path_*``/``absorption_*``) plus the link
+    geometry; NaN rows above the (azimuth-resolved) link MUF.
+    """
+    import numpy as np
+
+    from .trace3d import _home_fan_core, _home_setup
+
+    f0s = np.atleast_1d(np.asarray(f0s_hz, dtype=float))
+    az0, D, els, azs, miss_cap = _home_setup(
+        tx_lat, tx_lon, rx_lat, rx_lon, n_elev, n_az, az_span_deg,
+        elev_min_deg, elev_max_deg, max_miss_jump_km)
+
+    def homed_one(f0):
+        fan_fn = lambda fld, tlat, tlon, els_t, azs_t: \
+            trace_rays_3d_anisotropic(fld, tlat, tlon, els_t, azs_t, f0,
+                                      mode=mode, step_km=step_km,
+                                      s_max_km=s_max_km, n_hops=n_hops)
+        return _home_fan_core(field, tx_lat, tx_lon, az0, D, els, azs,
+                              step_km=step_km, s_max_km=s_max_km,
+                              n_hops=n_hops,
+                              max_range_jump_km=max_range_jump_km,
+                              miss_cap=miss_cap, fan_fn=fan_fn)
+
+    out = jax.jit(jax.vmap(homed_one))(jnp.asarray(f0s))
+    out.update({"freq_hz": f0s, "bearing_deg": az0, "range_km": D,
                 "elevations_deg": els, "azimuths_deg": azs})
     return out

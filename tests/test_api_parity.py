@@ -171,6 +171,7 @@ BEYOND_REFERENCE_API = [
     # round-4 additions
     "build_field_3d_aniso", "igrf_volume", "trace_ray_3d_anisotropic",
     "trace_rays_3d_anisotropic", "home_ray_3d_anisotropic",
+    "synthesize_oblique_ionogram_3d_anisotropic",
     "retrieve_profile_joint",
     "retrieve_profile", "retrieve_profile_batch",
     "retrieve_gradient", "retrieve_gradient_batch",

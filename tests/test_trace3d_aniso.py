@@ -241,3 +241,30 @@ def test_home_ray_3d_anisotropic_closes_link(grids, igrf_b):
     d_fp = float(out_fp["delay_low_sec"])
     assert np.isfinite(d_fp)
     assert abs(float(out["delay_low_sec"]) - d_fp) < 0.02 * d_fp
+
+
+def test_aniso_oblique_ionogram_matches_single_homing(grids, igrf_b):
+    """The vmapped-frequency anisotropic ionogram row equals the direct
+    single-link homing at the same frequency, and a frequency far above
+    the link MUF comes back NaN."""
+    alt, lat, lon, Ne = grids
+    bn, be, bd = igrf_b
+    fld = build_field_3d_aniso(alt, lat, lon, Ne, bn, be, bd)
+    kw = dict(mode="O", n_elev=8, n_az=3, az_span_deg=3.0,
+              elev_min_deg=12.0, elev_max_deg=45.0, step_km=6.0,
+              s_max_km=1800.0)
+    tx, rx = (30.0, 0.0), (36.5, 0.0)
+    out = prt.synthesize_oblique_ionogram_3d_anisotropic(
+        np.array([6e6, 25e6]), tx[0], tx[1], rx[0], rx[1], fld, **kw)
+    one = prt.home_ray_3d_anisotropic(fld, tx[0], tx[1], rx[0], rx[1],
+                                      6e6, **kw)
+    d0 = float(np.asarray(out["delay_low_sec"])[0])
+    assert np.isfinite(d0)
+    np.testing.assert_allclose(d0, float(one["delay_low_sec"]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(
+        float(np.asarray(out["elev_low_deg"])[0]),
+        float(one["elev_low_deg"]), rtol=1e-6)
+    # 25 MHz >> the 722-km link MUF of a 9 MHz-peak layer: NaN row
+    assert not np.isfinite(np.asarray(out["delay_low_sec"])[1])
+    assert not np.isfinite(np.asarray(out["delay_high_sec"])[1])

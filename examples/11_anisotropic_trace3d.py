@@ -84,6 +84,23 @@ def main():
     print("  -> the convention every 2-D tracer inherits is accurate to")
     print("     ~1% here; tests/test_trace3d_aniso.py pins the <2% bound.")
 
+    # anisotropic oblique ionogram: per-frequency two-angle homing over
+    # the SAME single volume (frequency- and mode-independent tables)
+    freqs = np.array([5e6, 6.5e6, 8e6])
+    iono = prt.synthesize_oblique_ionogram_3d_anisotropic(
+        freqs, 30.0, 0.0, 36.5, 0.0, field, mode="O", n_elev=12, n_az=3,
+        az_span_deg=3.0, elev_min_deg=12.0, elev_max_deg=50.0,
+        step_km=4.0, s_max_km=1800.0)
+    print(f"\nanisotropic oblique ionogram, 722-km northward O-mode link"
+          f" (one volume, one vmapped homing program):")
+    print(f"{'f MHz':>6} {'delay_lo ms':>11} {'elev_lo':>8} "
+          f"{'az_off deg':>10}")
+    for i, f in enumerate(freqs):
+        print(f"{f/1e6:6.1f} "
+              f"{float(iono['delay_low_sec'][i])*1e3:11.4f} "
+              f"{float(iono['elev_low_deg'][i]):8.2f} "
+              f"{float(iono['azimuth_offset_low_deg'][i]):+10.4f}")
+
 
 if __name__ == "__main__":
     main()

@@ -134,7 +134,10 @@ def climatology_parameters(year, month, day, UT, lat, lon, F107,
     # DEVNOTES.md round 3).
     m = modip_deg(year, month, day, lat, lon, coeffs=coeffs)
     am = jnp.abs(m)
-    s = (jnp.clip(F107, None, 200.0) - 70.0) / 130.0
+    # clip below at 70 too: real solar-minimum F107 dips to ~63, and a
+    # negative s would flip the winter-anomaly term into a spurious
+    # anti-winter depression; deep minimum degrades to zenith control.
+    s = (jnp.clip(F107, 70.0, 200.0) - 70.0) / 130.0
     lst = (UT + lon / 15.0) % 24.0
     crest = jnp.exp(-((am - 16.0) / 8.0) ** 2)
     daygate = cos_eff ** 0.5

@@ -250,6 +250,15 @@ def retrieve_gradient_batch_sharded(F2, F1, E, f_in, vh_obs, alt, b_mag,
     if B % ax:
         raise ValueError("B must be divisible by the 'batch' axis size")
 
+    # per-sample magnetic environments ([B, N] b_mag/b_psi — the global-
+    # grid case) ride the same 'batch' sharding as the observations;
+    # shared [N] environments are replicated as before
+    b_mag = jnp.asarray(b_mag, dtype=float)
+    b_psi = jnp.asarray(b_psi, dtype=float)
+
+    def _env_part(a, sel):
+        return a if a.ndim == 1 else a[sel]
+
     F2 = dict(F2)
     keys = ["hm", "B_bot" if bottom_type == "B_bot" else "B0"]
     if fit_nm:
@@ -258,19 +267,25 @@ def retrieve_gradient_batch_sharded(F2, F1, E, f_in, vh_obs, alt, b_mag,
         F2[k] = jnp.broadcast_to(jnp.asarray(F2[k], dtype=float).reshape(-1),
                                  (B,))
 
-    def run(obs_c, F2_c):
+    def run(obs_c, F2_c, bmag_c, bpsi_c):
         obs_s = jax.device_put(obs_c, NamedSharding(mesh, P("batch", None)))
         F2_s = dict(F2_c)
         for k in keys:
             F2_s[k] = jax.device_put(F2_c[k],
                                      NamedSharding(mesh, P("batch")))
+        if bmag_c.ndim == 2:
+            bmag_c = jax.device_put(bmag_c,
+                                    NamedSharding(mesh, P("batch", None)))
+        if bpsi_c.ndim == 2:
+            bpsi_c = jax.device_put(bpsi_c,
+                                    NamedSharding(mesh, P("batch", None)))
         return retrieve_gradient_batch(
-            F2_s, F1, E, f_in, obs_s, alt, b_mag, b_psi, mode=mode,
+            F2_s, F1, E, f_in, obs_s, alt, bmag_c, bpsi_c, mode=mode,
             n_points=n_points, bottom_type=bottom_type, steps=steps,
             fit_nm=fit_nm, crit_margin=crit_margin, chunk_size=None)
 
     if chunk_size is None or int(chunk_size) >= B:
-        return run(obs, F2)
+        return run(obs, F2, b_mag, b_psi)
 
     cs = int(chunk_size)
     if cs % ax or (B % cs) % ax:
@@ -284,7 +299,8 @@ def retrieve_gradient_batch_sharded(F2, F1, E, f_in, vh_obs, alt, b_mag,
         F2_c = dict(F2)
         for k in keys:
             F2_c[k] = F2[k][sl]
-        parts.append(run(obs[sl], F2_c))
+        parts.append(run(obs[sl], F2_c, _env_part(b_mag, sl),
+                         _env_part(b_psi, sl)))
     vh = jnp.concatenate([p[0] for p in parts], axis=0)
     edp = jnp.concatenate([p[1] for p in parts], axis=0)
     hist = np.concatenate([np.asarray(p[3]) for p in parts], axis=1)

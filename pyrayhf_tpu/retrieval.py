@@ -478,8 +478,12 @@ def retrieve_gradient_batch(F2, F1, E, f_in, vh_obs, alt, b_mag, b_psi,
     (ref ``library.py:672-825``) retrieves one ionogram per minimize call.
 
     ``vh_obs`` is [B, F]; entries of ``F2`` may be scalars (shared initial
-    guess) or [B] arrays (per-sample). ``F1``/``E`` parameters and the
-    profile axes (``alt``, ``b_mag``, ``b_psi``) are shared across the
+    guess) or [B] arrays (per-sample). ``b_mag``/``b_psi`` may be [N]
+    (one magnetic environment shared by the batch) or [B, N]
+    (per-sample environments — the global-grid case, where every cell
+    has its own IGRF field; e.g. from
+    :func:`pyrayhf_tpu.envgen.generate_input_3D`). ``F1``/``E``
+    parameters and the altitude grid ``alt`` are shared across the
     batch. Returns (vh_fit [B, F], EDP_fit [B, N], F2_fit dict of [B]
     arrays, history [steps, B] squared-residual trace).
 
@@ -524,8 +528,22 @@ def retrieve_gradient_batch(F2, F1, E, f_in, vh_obs, alt, b_mag, b_psi,
     B = obs.shape[0]
     f = jnp.asarray(f_in, dtype=dt)
     alt_j = jnp.asarray(alt, dtype=dt)
-    bmag_j = jnp.asarray(b_mag, dtype=dt)
-    bpsi_j = jnp.asarray(b_psi, dtype=dt)
+
+    def _env(v, name):
+        a = jnp.asarray(v, dtype=dt)
+        if a.ndim == 1:
+            return a
+        if a.ndim == 2 and a.shape[0] in (1, B):
+            return jnp.broadcast_to(a, (B, a.shape[-1]))
+        raise ValueError(f"{name} must be [N] or [B, N]; got {a.shape} "
+                         f"for B={B}")
+
+    bmag_j = _env(b_mag, "b_mag")
+    bpsi_j = _env(b_psi, "b_psi")
+
+    def _env_take(a, sel):
+        """Slice/index the batch axis of an environment array (no-op 1-D)."""
+        return a if a.ndim == 1 else a[sel]
 
     def per_sample(v):
         a = jnp.asarray(v, dtype=dt).reshape(-1)
@@ -547,7 +565,8 @@ def retrieve_gradient_batch(F2, F1, E, f_in, vh_obs, alt, b_mag, b_psi,
             nm0 = freq2den(fmax_hz) * 1.0001
         else:
             ind = jax.vmap(lambda h: jnp.argmin(jnp.abs(alt_j - h)))(hm0)
-            f_c = bmag_j[ind] * G_P
+            f_c = (bmag_j[ind] if bmag_j.ndim == 1
+                   else bmag_j[jnp.arange(B), ind]) * G_P
             nm0 = freq2den(jnp.sqrt(fmax_hz ** 2 - fmax_hz * f_c)) * 1.0001
 
     B_top = jnp.asarray(_scalar(F2["B_top"]), dt)
@@ -601,7 +620,8 @@ def retrieve_gradient_batch(F2, F1, E, f_in, vh_obs, alt, b_mag, b_psi,
             continue
         out = _lm_batch_core(
             hm0[sl], bb0[sl], nm0[sl], B_top, Es, P, B1_fix, f, obs[sl],
-            alt_j, bmag_j, bpsi_j, mode=mode, n_points=n_points,
+            alt_j, _env_take(bmag_j, sl), _env_take(bpsi_j, sl),
+            mode=mode, n_points=n_points,
             bottom_type=bottom_type, steps=steps, fit_nm=fit_nm,
             crit_margin=crit_margin)
         parts.append(out)
@@ -645,7 +665,8 @@ def retrieve_gradient_batch(F2, F1, E, f_in, vh_obs, alt, b_mag, b_psi,
             jnp.asarray(hm0_n[idx] * fac, dt),
             jnp.asarray(bb0_n[idx] / fac, dt),
             nm0[idx], B_top, Es, P, B1_fix, f, obs[idx],
-            alt_j, bmag_j, bpsi_j, mode=mode, n_points=n_points,
+            alt_j, _env_take(bmag_j, idx), _env_take(bpsi_j, idx),
+            mode=mode, n_points=n_points,
             bottom_type=bottom_type, steps=steps, fit_nm=fit_nm,
             crit_margin=crit_margin)
         r_cost = np.asarray(r[5][-1])

@@ -115,30 +115,53 @@ def _interp_smooth(aq, bq, cq, pack):
     ``pack`` = (a_grid, b_grid, c_grid, field, ga, gb, gc) where
     ga/gb/gc are the precomputed 2nd-order grid-gradient volumes
     (:func:`pyrayhf_tpu.fields.grad_axis_ord2`). The VALUE is plain
-    trilinear interpolation of ``field``; the JVP interpolates the
-    gradient volumes instead of differentiating the trilinear weights,
-    so autodiff through a query point sees a smooth (trilinear) gradient
-    field rather than the cell-piecewise-constant derivative of the
-    interpolant — the same regularisation the isotropic 3-D tracer gets
-    from its precomputed ``dmu_d*`` volumes. Tangents of ``pack`` are
-    treated as zero (fields are trace-time constants in the ray RHS).
-    Out-of-domain queries return NaN (→ the RHS freezes the ray).
+    trilinear interpolation of ``field``; the query-point JVP
+    interpolates the gradient volumes instead of differentiating the
+    trilinear weights, so autodiff through a query point sees a smooth
+    (trilinear) gradient field rather than the cell-piecewise-constant
+    derivative of the interpolant — the same regularisation the
+    isotropic 3-D tracer gets from its precomputed ``dmu_d*`` volumes.
+    The FIELD-table tangent is propagated exactly (trilinear of the
+    tangent volume), so ``jax.grad`` of tracer outputs w.r.t. Ne or B
+    tables is supported; grid-coordinate tangents raise (differentiating
+    w.r.t. the grid axes is not supported). Out-of-domain queries return
+    NaN (→ the RHS freezes the ray).
     """
     a_g, b_g, c_g, field, _, _, _ = pack
     return trilinear(aq, bq, cq, a_g, b_g, c_g, field)
 
 
-@_interp_smooth.defjvp
 def _interp_smooth_jvp(primals, tangents):
+    from jax.custom_derivatives import SymbolicZero
+
     aq, bq, cq, pack = primals
-    da, db, dc, _ = tangents
+    da, db, dc, dpack = tangents
     a_g, b_g, c_g, field, ga, gb, gc = pack
+    d_ag, d_bg, d_cg, d_field = dpack[0], dpack[1], dpack[2], dpack[3]
     val = trilinear(aq, bq, cq, a_g, b_g, c_g, field)
-    gav = trilinear(aq, bq, cq, a_g, b_g, c_g, ga)
-    gbv = trilinear(aq, bq, cq, a_g, b_g, c_g, gb)
-    gcv = trilinear(aq, bq, cq, a_g, b_g, c_g, gc)
-    tan = gav * da + gbv * db + gcv * dc
+    tan = jnp.zeros_like(val)
+
+    def _is_zero(t):
+        return isinstance(t, SymbolicZero)
+
+    if not all(_is_zero(t) for t in (d_ag, d_bg, d_cg)):
+        raise NotImplementedError(
+            "_interp_smooth: differentiation w.r.t. the grid coordinate "
+            "axes is not supported (field-table and query-point tangents "
+            "are).")
+    for dq, gvol in ((da, ga), (db, gb), (dc, gc)):
+        if not _is_zero(dq):
+            tan = tan + trilinear(aq, bq, cq, a_g, b_g, c_g, gvol) * dq
+    if not _is_zero(d_field):
+        # exact value-channel tangent w.r.t. the field table: trilinear
+        # is linear in the table, so interpolate the tangent volume.
+        # (ga/gb/gc tangents only affect the smoothed derivative channel
+        # — irrelevant to the value; ignored.)
+        tan = tan + trilinear(aq, bq, cq, a_g, b_g, c_g, d_field)
     return val, tan
+
+
+_interp_smooth.defjvp(_interp_smooth_jvp, symbolic_zeros=True)
 
 
 def _pack(field, a_g, b_g, c_g):
@@ -176,7 +199,10 @@ def build_field_3d_aniso(alt_km, lat_deg, lon_deg, Ne, B_north, B_east,
     (:func:`pyrayhf_tpu.trace3d.build_field_3d`) nothing here depends on
     frequency or mode — one field dict serves every (f, mode) trace; the
     B vector is stored in ECEF components so the wave-normal angle is a
-    plain dot product along the ray.
+    plain dot product along the ray. The returned tables are
+    differentiable inputs: ``jax.grad`` of tracer outputs w.r.t. ``Ne``
+    or the B components is supported (tangents flow through the
+    smoothed trilinear interpolant's value channel).
 
     ``nu``: ν(alt) [s⁻¹] for the absorption channel (default model).
     """
@@ -377,6 +403,12 @@ def trace_ray_3d_anisotropic(field, lat0_deg, lon0_deg, elevation_deg,
     channel evaluates the QL coefficient at the LOCAL wave-normal angle.
     Capability beyond the reference (its tracers are 2-D fixed-ψ, ref
     ``library.py:2128-2337``).
+
+    Differentiable w.r.t. launch geometry, frequency, AND the field
+    tables (Ne/B volumes in ``field`` — their tangents propagate through
+    the smoothed interpolant), so tracer outputs can drive
+    field-retrieval objectives; the grid COORDINATE axes are not
+    differentiable (a tangent on them raises).
     """
     n_steps = int(round(float(s_max_km) / float(step_km)))
     out = _aniso_core(field, jnp.asarray(lat0_deg, dtype=float),

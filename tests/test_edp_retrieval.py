@@ -573,3 +573,88 @@ def test_retrieval_x_mode_pinning_and_recovery(day_profile):
     assert abs(float(np.ravel(F2_fit["Nm"])[0]) / nm_truth - 1) < 1e-3
     assert abs(float(np.ravel(F2_fit["hm"])[0]) - hm_t) <= 4.0
     assert abs(float(np.ravel(F2_fit["B_bot"])[0]) - bb_t) <= 2.5
+
+
+def test_retrieve_gradient_batch_per_sample_environments(day_profile):
+    """[B, N] b_mag/b_psi (per-sample magnetic environments — the global-
+    grid case where every cell has its own IGRF column) recover per-sample
+    truths and agree with B=1 fits run one at a time on each environment.
+    Exercises the chunked path so environment slicing is covered too."""
+    from pyrayhf_tpu.magnetoionic import freq2den
+    from pyrayhf_tpu.retrieval import retrieve_gradient_batch
+
+    d = day_profile
+    F1 = _layer_scalars(d["F1"])
+    E = _layer_scalars(d["E"])
+    freq = np.arange(2.0, 13.51, 0.25)
+    alt = np.arange(80.0, 700.0, 0.5)
+    nm_truth = float(freq2den(13.5e6)) * 1.0001
+
+    rng = np.random.default_rng(11)
+    B = 4
+    hms = rng.uniform(290.0, 350.0, B)
+    bbs = rng.uniform(40.0, 52.0, B)
+    # heterogeneous environments: per-sample field strength AND dip angle
+    bmag = np.linspace(2.4e-5, 4.4e-5, B)[:, None] * np.ones(alt.size)
+    bpsi = np.linspace(35.0, 80.0, B)[:, None] * np.ones(alt.size)
+    obs = np.stack([np.asarray(model_VH(
+        {"Nm": nm_truth, "hm": hms[b], "B_bot": bbs[b], "B_top": 40.0},
+        F1, E, freq, alt, bmag[b], bpsi[b])[0]) for b in range(B)])
+
+    F2_guess = {"Nm": nm_truth, "hm": hms * 0.95, "B_bot": bbs * 1.08,
+                "B_top": 40.0}
+    _, _, F2_fit, _ = retrieve_gradient_batch(
+        F2_guess, F1, E, freq, obs, alt, bmag, bpsi, steps=15,
+        chunk_size=2)
+    assert np.all(np.abs(F2_fit["hm"] / hms - 1) < 0.02)
+    assert np.all(np.abs(F2_fit["B_bot"] / bbs - 1) < 0.05)
+
+    # per-sample single fits on each sample's own environment agree
+    for b in range(B):
+        F2_g1 = {"Nm": nm_truth, "hm": hms[b] * 0.95,
+                 "B_bot": bbs[b] * 1.08, "B_top": 40.0}
+        _, _, f1_fit, _ = retrieve_gradient_batch(
+            F2_g1, F1, E, freq, obs[b][None], alt, bmag[b], bpsi[b],
+            steps=15)
+        np.testing.assert_allclose(F2_fit["hm"][b], f1_fit["hm"][0],
+                                   rtol=1e-6)
+        np.testing.assert_allclose(F2_fit["B_bot"][b], f1_fit["B_bot"][0],
+                                   rtol=1e-6)
+
+    # a wrong-shaped environment raises
+    with np.testing.assert_raises(ValueError):
+        retrieve_gradient_batch(F2_guess, F1, E, freq, obs, alt,
+                                bmag[:3], bpsi, steps=2)
+
+
+def test_retrieve_batch_per_sample_env_x_mode(day_profile):
+    """X-mode NmF2 pinning uses each sample's OWN B at hmF2 when the
+    environment is per-sample ([B, N]): pins must match the single-sample
+    pin computed from that row's field."""
+    from pyrayhf_tpu.retrieval import retrieve_gradient_batch
+
+    d = day_profile
+    F1 = _layer_scalars(d["F1"])
+    E = _layer_scalars(d["E"])
+    freq = np.arange(2.0, 12.01, 0.5)
+    alt = np.arange(80.0, 700.0, 0.5)
+    B = 3
+    bmag = np.linspace(2.5e-5, 5.0e-5, B)[:, None] * np.ones(alt.size)
+    bpsi = np.full((B, alt.size), 60.0)
+    hms = np.array([300.0, 320.0, 340.0])
+    bbs = np.array([45.0, 48.0, 42.0])
+    obs = np.stack([np.asarray(model_VH(
+        {"Nm": 1.5e12, "hm": hms[b], "B_bot": bbs[b], "B_top": 40.0},
+        F1, E, freq, alt, bmag[b], bpsi[b], mode="X")[0])
+        for b in range(B)])
+    F2_guess = {"Nm": 1.5e12, "hm": hms, "B_bot": bbs, "B_top": 40.0}
+    _, _, fit_b, _ = retrieve_gradient_batch(
+        F2_guess, F1, E, freq, obs, alt, bmag, bpsi, mode="X",
+        n_points=400, steps=2)
+    for b in range(B):
+        _, _, fit_1, _ = retrieve_gradient_batch(
+            {"Nm": 1.5e12, "hm": hms[b], "B_bot": bbs[b], "B_top": 40.0},
+            F1, E, freq, obs[b][None], alt, bmag[b], bpsi[b], mode="X",
+            n_points=400, steps=2)
+        np.testing.assert_allclose(fit_b["Nm"][b], fit_1["Nm"][0],
+                                   rtol=1e-12)

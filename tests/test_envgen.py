@@ -326,3 +326,18 @@ def test_checkpoint_unmarked_sep_generation(tmp_path):
     back = load_checkpoint(p)
     assert int(back["meta"]["n_points"]) == 200
     assert_allclose(back["best"], [1.0, 2.0])
+
+def test_climatology_deep_minimum_no_antiwinter():
+    """F107 below 70 (real solar minimum dips to ~63) must degrade to
+    plain zenith control, not flip the winter term's sign into an
+    anti-winter depression (round-4 ADVICE): the activity scale clips to
+    [70, 200], so F107=63 behaves exactly like F107=70."""
+    def noon_fo(month, lat, F107):
+        F2, _, _ = climatology_parameters(2020, month, 21, 12.0, lat,
+                                          0.0, F107)
+        return float(np.ravel(F2["fo"])[0])
+
+    for month, lat in ((12, 45.0), (6, -45.0)):
+        assert noon_fo(month, lat, 63.0) == noon_fo(month, lat, 70.0)
+    # zenith control intact at deep minimum: summer noon > winter noon
+    assert noon_fo(12, 45.0, 63.0) < 0.95 * noon_fo(6, 45.0, 63.0)

@@ -39,8 +39,8 @@ from .retrieval import (minimize_parameters, model_VH, residual_VH,
                         retrieve_gradient, retrieve_gradient_batch)
 from .pallas_vh import (ionogram_fast_xla, ionogram_pallas,
                         ionogram_pallas_gather, ionogram_pallas_mxu)
-from . import edp, envgen, fields, geodesy, gradient, grid, igrf, io, \
-    magnetoionic, parallel, profiling, retrieval, snell
+from . import ccir, edp, envgen, fields, geodesy, gradient, grid, igrf, \
+    io, magnetoionic, parallel, profiling, retrieval, snell
 from .envgen import (find_mean_gradient_error, generate_input_1D,
                      generate_input_2D, generate_input_3D)
 from .igrf import calculate_magnetic_field

@@ -88,7 +88,7 @@ def modip_deg(year, month, day, lat, lon, coeffs=None):
 
 
 def climatology_parameters(year, month, day, UT, lat, lon, F107,
-                           coeffs=None):
+                           coeffs=None, ccir_maps=None):
     """Analytic layer-parameter climatology at the given locations.
 
     Returns (F2, F1, E) dicts of jnp arrays broadcast over lat/lon, using
@@ -96,6 +96,17 @@ def climatology_parameters(year, month, day, UT, lat, lon, F107,
     B0, B1, P, solzen...). The F2 layer uses the modip model described in
     the module docstring; ``coeffs`` optionally overrides the IGRF epoch
     table used for modip.
+
+    ``ccir_maps``: optional CCIR/URSI coefficient dict for THIS month
+    (``{"F2": [2, 76, 13], "FM3": [2, 49, 9]}`` — the output of
+    :func:`pyrayhf_tpu.ccir.load_ccir_asc`; the reference draws the same
+    quantities from PyIRI's CCIR files, ref ``library.py:2541-2557``).
+    When given, foF2 comes from the Jones–Gallet map evaluation (R12
+    from F107 via the Covington proxy) and hmF2 from the map M(3000)F2
+    through the BSE-1979 relation, replacing the analytic modip model
+    for those two parameters; thickness/shape parameters keep the
+    analytic forms. Without files the analytic model is the fallback —
+    the coefficient data itself cannot be redistributed here.
     """
     lat = jnp.asarray(lat, dtype=float)
     lon = jnp.asarray(lon, dtype=float)
@@ -163,6 +174,12 @@ def climatology_parameters(year, month, day, UT, lat, lon, F107,
     K = 6.274 * (1.0 + 1.15 * s)
     foF2 = K * G * T * dep * winter
     foF2 = jnp.maximum(foF2, 1.1 * foE + 0.5)
+    if ccir_maps is not None:
+        from . import ccir as _ccir
+        R12 = _ccir.r12_from_f107(F107)
+        foF2_map = _ccir.eval_ccir_map(ccir_maps["F2"], m, lat, lon, UT,
+                                       R12)
+        foF2 = jnp.maximum(foF2_map, 1.1 * foE + 0.5)
     # hmF2: daytime low-modip uplift (vertical ExB drift) over an
     # activity-scaled base — the day point is HIGHER than night at the
     # equator (338 vs 281 km), opposite to the round-1 zenith formula.
@@ -172,12 +189,19 @@ def climatology_parameters(year, month, day, UT, lat, lon, F107,
     # activity slopes are the round-3 priors, unconstrained by the pair)
     hmF2 = 241.44 + 40.0 * s + 80.54 * cos_eff ** 0.8 \
         * jnp.exp(-(m / 25.0) ** 2)
+    M3000_map = None
+    if ccir_maps is not None and "FM3" in ccir_maps:
+        from . import ccir as _ccir
+        M3000_map = _ccir.eval_ccir_map(ccir_maps["FM3"], m, lat, lon, UT,
+                                        _ccir.r12_from_f107(F107))
+        hmF2 = _ccir.hmf2_from_m3000(M3000_map, foF2, foE)
     # bottomside thicker by day (both PyIRI points, <0.1%)
     B_bot = 42.04 + 17.11 * cos_eff ** 0.8
     B_top = 43.57 + 1.83 * (1.0 - cos_eff)
     B0 = 108.06 + 144.35 * cos_eff ** 1.2
     B1 = 2.728 - 1.231 * cos_eff ** 1.2
-    M3000 = 2.694 - 0.434 * cos_eff
+    M3000 = (2.694 - 0.434 * cos_eff if M3000_map is None
+             else jnp.broadcast_to(M3000_map, jnp.shape(hmF2)))
     F2 = {"Nm": edp.NM_PER_MHZ2 * foF2 ** 2, "fo": foF2, "hm": hmF2,
           "B_bot": B_bot, "B_top": B_top,
           "B0": B0, "B1": B1, "M3000": M3000}

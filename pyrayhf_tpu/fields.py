@@ -106,6 +106,16 @@ class RefractiveField:
 
     def __init__(self, z_grid, x_grid, field, *, geometry="cartesian",
                  R_E_km=None, fill_value_n=jnp.nan, fill_value_grad=0.0):
+        import numpy as _np
+        # keep full-precision copies of the grids BEFORE the jnp cast: in
+        # f32 sessions (x64 off) the cast quantizes linspace spacings at
+        # ~1e-7 relative, which used to fail the uniform-grid detection
+        # below and silently route every query through searchsorted — an
+        # O(log n) while-loop per query on TPU that made the ray-ODE RHS
+        # ~12× slower (round-5 fan profile: 8 searchsorted whiles at
+        # ~435 µs each per RK4 step vs ~0.4 ms for ALL the gathers).
+        z64 = _np.asarray(z_grid, dtype=_np.float64)
+        x64 = _np.asarray(x_grid, dtype=_np.float64)
         z_grid = jnp.asarray(z_grid, dtype=float)
         x_grid = jnp.asarray(x_grid, dtype=float)
         field = jnp.asarray(field, dtype=float)
@@ -113,9 +123,7 @@ class RefractiveField:
             raise ValueError(
                 f"field must have shape (len(z_grid)={z_grid.size}, "
                 f"len(x_grid)={x_grid.size}), got {field.shape}.")
-        import numpy as _np
-        if not (_np.all(_np.diff(_np.asarray(z_grid)) > 0)
-                and _np.all(_np.diff(_np.asarray(x_grid)) > 0)):
+        if not (_np.all(_np.diff(z64) > 0) and _np.all(_np.diff(x64) > 0)):
             raise ValueError("grids must be strictly increasing")
         if geometry not in ("cartesian", "spherical"):
             raise ValueError("geometry must be 'cartesian' or 'spherical'")
@@ -129,11 +137,11 @@ class RefractiveField:
         # produce tracers and break the uniform-spacing detection. The jnp
         # views are built once at the end, for compute only.
         if geometry == "spherical":
-            c0_np = re + _np.asarray(z_grid, dtype=float)        # r
-            c1_np = _np.asarray(x_grid, dtype=float) / re        # phi
+            c0_np = re + z64                                     # r
+            c1_np = x64 / re                                     # phi
         else:
-            c0_np = _np.asarray(z_grid, dtype=float)
-            c1_np = _np.asarray(x_grid, dtype=float)
+            c0_np = z64
+            c1_np = x64
         self.c0 = jnp.asarray(c0_np)
         self.c1 = jnp.asarray(c1_np)
         self.field = field
@@ -147,15 +155,20 @@ class RefractiveField:
         # place of searchsorted, which lowers to an O(log n)-depth
         # while-structure per query on TPU and dominates the ray-ODE RHS
         # cost. Detected statically at build time.
+        # diffs in f64 of the ORIGINAL grids; rtol 1e-6 additionally
+        # accepts grids that were uniform before an upstream f32
+        # quantization (a one-ulp-of-f32 cell-edge wobble moves a query's
+        # bin by at most one cell, and the clipped interpolation weights
+        # keep the value continuous there)
         d0 = _np.diff(c0_np)
         d1 = _np.diff(c1_np)
-        self._uniform = (bool(_np.allclose(d0, d0[0], rtol=1e-9, atol=0.0))
-                         and bool(_np.allclose(d1, d1[0], rtol=1e-9,
+        self._uniform = (bool(_np.allclose(d0, d0[0], rtol=1e-6, atol=0.0))
+                         and bool(_np.allclose(d1, d1[0], rtol=1e-6,
                                                atol=0.0)))
         self._o0 = float(c0_np[0])
         self._o1 = float(c1_np[0])
-        self._inv_d0 = float(1.0 / d0[0])
-        self._inv_d1 = float(1.0 / d1[0])
+        self._inv_d0 = float((len(c0_np) - 1) / (c0_np[-1] - c0_np[0]))
+        self._inv_d1 = float((len(c1_np) - 1) / (c1_np[-1] - c1_np[0]))
         # one stacked tensor so value_and_grad gathers all three fields per
         # corner in a single gather op
         self._stacked = jnp.stack([field, g0, g1]).reshape(3, -1)

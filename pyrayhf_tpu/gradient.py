@@ -341,7 +341,12 @@ def _cart_gradient_core(n_and_grad, mup_func, x0, z0, elevation_deg, ds,
     x_m = 0.5 * (x_path[:-1] + x_path[1:])
     z_m = 0.5 * (z_path[:-1] + z_path[1:])
     mup_mid = mup_func(x_m, z_m)
-    mu_mid = n_and_grad(x_m, z_m)[0]
+    # value-only path-metrics eval: the full value_and_grad gathers the
+    # two gradient channels too, tripling the post-scan interp bytes on
+    # a [E, n_steps] path for values the metrics never use
+    fld = getattr(n_and_grad, "field", None)
+    mu_mid = (fld.value(z_m, x_m) if fld is not None
+              else n_and_grad(x_m, z_m)[0])
     out = _path_metrics(x_path, z_path, ds_seg, mup_mid, status, mu_mid)
     if kappa_func is not None:
         kappa_mid = kappa_func(x_m, z_m)
@@ -499,7 +504,10 @@ def _sph_gradient_core(n_and_grad_rphi, mup_func, x0, z0, elevation_deg, ds,
     z_m = 0.5 * (z_path[:-1] + z_path[1:])
     mup_mid = mup_func(x_m, z_m)
     phi_m = 0.5 * (phi_path[:-1] + phi_path[1:])
-    mu_mid = n_and_grad_rphi(phi_m, re + z_m)[0]
+    # value-only eval (see the Cartesian core's metrics note)
+    fld_s = getattr(n_and_grad_rphi, "field", None)
+    mu_mid = (fld_s.value(re + z_m, phi_m) if fld_s is not None
+              else n_and_grad_rphi(phi_m, re + z_m)[0])
     out = _path_metrics(x_path, z_path, ds_seg, mup_mid, status, mu_mid)
     if kappa_func is not None:
         kappa_mid = kappa_func(x_m, z_m)

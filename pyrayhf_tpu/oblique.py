@@ -381,14 +381,32 @@ def synthesize_oblique_ionogram_2d(f0s_hz, ground_range_km, x_grid_km,
         # extend the field to the ground with free space (zero density):
         # profiles typically start at ~80 km and rays must fly the
         # sub-ionospheric leg too (the reference's layered tracer inserts
-        # a ground level the same way, ref library.py:1174-1182)
-        z = np.concatenate([[0.0], z])
-        Ne2d = np.concatenate([np.zeros((1, Ne2d.shape[1])), Ne2d])
-        Babs2d = np.concatenate([Babs2d[:1], Babs2d])
-        bpsi2d = np.concatenate([bpsi2d[:1], bpsi2d])
+        # a ground level the same way, ref library.py:1174-1182).
+        # When the grid is uniform and its spacing divides z[0], extend
+        # with a full ladder of free-space rows at the SAME spacing —
+        # a single prepended 0-node makes the grid non-uniform, which
+        # forces the interpolator onto the searchsorted locate (an
+        # O(log n) WHILE loop per query on TPU that round-5 profiling
+        # measured at ~70% of the whole homing fan's runtime).
+        dz = np.diff(z)
+        k = z[0] / dz[0]
+        if (np.allclose(dz, dz[0], rtol=1e-6, atol=0.0)
+                and abs(k - round(k)) < 1e-9 * max(k, 1.0)):
+            ladder = z[0] - dz[0] * np.arange(int(round(k)), 0, -1)
+            ladder[0] = 0.0                      # exact ground node
+            n_ext = ladder.size
+        else:
+            ladder = np.array([0.0])
+            n_ext = 1
+        z = np.concatenate([ladder, z])
+        Ne2d = np.concatenate([np.zeros((n_ext, Ne2d.shape[1])), Ne2d])
+        Babs2d = np.concatenate([np.repeat(Babs2d[:1], n_ext, axis=0),
+                                 Babs2d])
+        bpsi2d = np.concatenate([np.repeat(bpsi2d[:1], n_ext, axis=0),
+                                 bpsi2d])
         # ν keeps its exponential growth toward the ground — the
         # free-space extension has Ne=0, so κ is 0 there regardless
-        nu_z = np.concatenate([nu_z[:1], nu_z])
+        nu_z = np.concatenate([np.repeat(nu_z[:1], n_ext), nu_z])
 
     n_steps = int(round(float(s_max_km) / float(step_km)))
     fan = _fan_2d_fn(z, x, mode, geometry, int(n_elev), n_steps,

@@ -46,21 +46,56 @@ __all__ = ["build_field_3d", "build_field_3d_batch", "home_ray_3d",
            "trace_rays_3d", "trilinear"]
 
 
+def _uniform_locate_params(grid):
+    """(origin, inv_spacing) if ``grid`` is a CONCRETE uniform axis.
+
+    Static (host-side) detection, f64 diffs of the raw values with an
+    rtol that also accepts f32-quantized linspace axes. Returns None for
+    traced or non-uniform grids — callers then keep searchsorted, which
+    lowers to an O(log n) WHILE loop per query on TPU (round-5 profile:
+    those while loops, not the gathers, dominated the ray-ODE RHS; the
+    2-D fields learned the same lesson in
+    :class:`pyrayhf_tpu.fields.RefractiveField`).
+    """
+    import numpy as _np
+
+    if isinstance(grid, jax.core.Tracer):
+        return None
+    g = _np.asarray(grid, dtype=_np.float64)
+    if g.ndim != 1 or g.size < 2:
+        return None
+    d = _np.diff(g)
+    if not bool(_np.allclose(d, d[0], rtol=1e-6, atol=0.0)):
+        return None
+    return float(g[0]), float((g.size - 1) / (g[-1] - g[0]))
+
+
 def trilinear(aq, bq, cq, a_grid, b_grid, c_grid, field, fill_value=jnp.nan):
     """Trilinear interpolation of ``field[na, nb, nc]`` at (aq, bq, cq).
 
     Out-of-domain queries return ``fill_value``. Query shapes broadcast.
+    Concrete uniform grids (the common linspace axes) take a direct
+    index-arithmetic path; otherwise searchsorted.
     """
     aq, bq, cq = jnp.broadcast_arrays(jnp.asarray(aq, dtype=float),
                                       jnp.asarray(bq, dtype=float),
                                       jnp.asarray(cq, dtype=float))
     na, nb, nc = field.shape
-    ia = jnp.clip(jnp.searchsorted(a_grid, aq, side="right") - 1, 0, na - 2)
-    ib = jnp.clip(jnp.searchsorted(b_grid, bq, side="right") - 1, 0, nb - 2)
-    ic = jnp.clip(jnp.searchsorted(c_grid, cq, side="right") - 1, 0, nc - 2)
-    ta = (aq - a_grid[ia]) / (a_grid[ia + 1] - a_grid[ia])
-    tb = (bq - b_grid[ib]) / (b_grid[ib + 1] - b_grid[ib])
-    tc = (cq - c_grid[ic]) / (c_grid[ic + 1] - c_grid[ic])
+
+    def _locate(q, grid, n):
+        up = _uniform_locate_params(grid)
+        if up is not None:
+            o, inv_d = up
+            f = (q - o) * inv_d
+            f = jnp.where(jnp.isnan(f), 0.0, f)
+            i = jnp.clip(jnp.floor(f).astype(jnp.int32), 0, n - 2)
+            return i, f - i
+        i = jnp.clip(jnp.searchsorted(grid, q, side="right") - 1, 0, n - 2)
+        return i, (q - grid[i]) / (grid[i + 1] - grid[i])
+
+    ia, ta = _locate(aq, a_grid, na)
+    ib, tb = _locate(bq, b_grid, nb)
+    ic, tc = _locate(cq, c_grid, nc)
     out = jnp.zeros_like(aq)
     for da, wa in ((0, 1.0 - ta), (1, ta)):
         for db, wb in ((0, 1.0 - tb), (1, tb)):

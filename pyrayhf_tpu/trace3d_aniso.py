@@ -53,10 +53,9 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .constants import C_KM_S, G_P, R_E
+from .constants import C_KM_S, CP, G_P, R_E
 from .fields import grad_axis_ord2
 from .gradient import _STATUS, _integrate
-from .magnetoionic import find_X
 from .trace3d import (_bearing_frame, _ecef, _geodetic, _local_frame,
                       _validate_grids_3d, trilinear)
 
@@ -94,11 +93,19 @@ def _ah_n2(X, Y, cos2, mode_mult):
                       0.0)
         D = Xm1 + s
         d_ok = D != 0.0
-        n2_mag = (Xm1 ** 2 + s) / jnp.where(d_ok, D, 1.0)
+        # masked lanes: guard the INPUTS too, not just the output select —
+        # second-order AD (the tracer's grad-of-grad w.r.t. field tables)
+        # differentiates the division's backward pass, and an unguarded
+        # numerator there turns the masked lane's 0·∂ into NaN
+        Xm1_s = jnp.where(d_ok, Xm1, 1.0)
+        s_s = jnp.where(d_ok, s, 0.0)
+        n2_mag = (Xm1_s ** 2 + s_s) / jnp.where(d_ok, Xm1_s + s_s, 1.0)
     else:
         D = Xm1 - 0.5 * YT2 - beta
         d_ok = D != 0.0
-        n2_mag = 1.0 - X * Xm1 / jnp.where(d_ok, D, 1.0)
+        X_s = jnp.where(d_ok, X, 0.0)
+        Xm1_s = jnp.where(d_ok, Xm1, 1.0)
+        n2_mag = 1.0 - X_s * Xm1_s / jnp.where(d_ok, D, 1.0)
     n2_iso = Xm1
     n2 = jnp.where(mag, jnp.where(d_ok, n2_mag, 2.0), n2_iso)
     # physicality filter mirrors the reference's μ > 1 → NaN (library.py
@@ -254,7 +261,13 @@ def _g_scalar(p, u, f0, field, mode, mode_mult):
     b2 = bx * bx + by * by + bz * bz
     b_ok = b2 > 0.0
     babs = jnp.sqrt(jnp.where(b_ok, b2, 1.0))
-    X = find_X(ne, f0)
+    # X without the reference's sqrt-then-square (find_X, ref :120-137):
+    # d(sqrt)/d(ne) at ne = 0 is inf, so find_X's derivative there is
+    # 0·inf = NaN — and ne = 0 is the NORMAL below-layer state along a
+    # ray. First-order grads w.r.t. launch/frequency masked it, but the
+    # field-table adjoint scatters that NaN onto every Ne cell the ray
+    # passes at zero density (round-5). The algebraic form is exact.
+    X = ne * ((CP / f0) * (CP / f0))
     Y = jnp.where(b_ok, G_P * babs / f0, 0.0)
     u2 = jnp.dot(u, u)
     u_ok = u2 > 0.0

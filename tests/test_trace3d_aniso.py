@@ -268,3 +268,37 @@ def test_aniso_oblique_ionogram_matches_single_homing(grids, igrf_b):
     # 25 MHz >> the 722-km link MUF of a 9 MHz-peak layer: NaN row
     assert not np.isfinite(np.asarray(out["delay_low_sec"])[1])
     assert not np.isfinite(np.asarray(out["delay_high_sec"])[1])
+
+
+def test_field_table_gradients_propagate(grids, igrf_b):
+    """jax.grad of a traced observable w.r.t. the Ne TABLE is nonzero and
+    finite (round-4 ADVICE: the smoothed interpolant used to silently
+    zero field-pack tangents). Checked against a finite difference of a
+    bulk Ne scaling — d(delay)/d(scale) == sum(gf * Ne) by linearity of
+    the tangent map."""
+    import jax
+    import jax.numpy as jnp
+
+    alt, lat, lon, Ne = grids
+    bn, be, bd = igrf_b
+    Ne = jnp.asarray(Ne)
+
+    def delay_of(ne_tab):
+        fld = build_field_3d_aniso(alt, lat, lon, ne_tab, bn, be, bd)
+        r = trace_ray_3d_anisotropic(fld, 30.0, 0.0, 25.0, 0.0, F0,
+                                     step_km=4.0, s_max_km=SMAX)
+        return r["group_delay_sec"]
+
+    gf = jax.grad(delay_of)(Ne)
+    assert bool(jnp.all(jnp.isfinite(gf)))
+    dd_ad = float(jnp.vdot(gf, Ne))          # directional deriv along Ne
+    assert dd_ad != 0.0
+    eps = 1e-4
+    dd_fd = (float(delay_of((1 + eps) * Ne))
+             - float(delay_of((1 - eps) * Ne))) / (2 * eps)
+    # sign and magnitude only: the smoothed interpolant's field adjoint
+    # is approximate BY DESIGN (the gradient-volume tangents d(ga)/d(Ne)
+    # are dropped; the value channel is exact), so AD and the FD of the
+    # discrete forward legitimately differ at the ~10% level here
+    assert np.sign(dd_ad) == np.sign(dd_fd)
+    assert 0.5 < dd_ad / dd_fd < 2.0

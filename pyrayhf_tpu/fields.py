@@ -19,12 +19,49 @@ import jax.numpy as jnp
 
 from .constants import R_E
 
-__all__ = ["bilinear", "gradient_ord2", "grad_axis_ord2", "RefractiveField",
+__all__ = ["bilinear", "gradient_ord2", "grad_axis_ord2", "uniform_axis",
+           "RefractiveField",
            "n_and_grad", "eval_refractive_index_and_grad", "make_n_and_grad",
            "n_and_grad_rphi",
            "build_refractive_index_interpolator_cartesian",
            "build_refractive_index_interpolator_spherical",
            "build_mup_function"]
+
+
+def uniform_axis(c_np):
+    """True if the CONCRETE 1-D axis ``c_np`` is uniformly spaced.
+
+    Host-side (numpy) detection used to pick the direct
+    ``floor((q - o) / d)`` cell locate over ``searchsorted``, which lowers
+    to an O(log n)-depth while-structure per query on TPU and dominated
+    the ray-ODE RHS cost (round-5 fan profile).
+
+    The tolerance has two terms: a 1e-6 relative band on the mean
+    spacing, plus an absolute band of 4 ulp-of-f32 at the axis' largest
+    magnitude. The second term accepts linspace axes that were quantized
+    to f32 upstream (x64 off — every compute array is f32 there anyway,
+    so cell-locate precision is f32 regardless of which locate runs): a
+    one-ulp cell-edge wobble moves a query's bin by at most one cell and
+    the interpolation weight then extrapolates from the neighbour cell,
+    continuous to O(ulp). Genuinely stretched grids (e.g. the reference's
+    tanh-stretched altitude grid) vary their spacing by orders more and
+    are never misclassified.
+    """
+    import numpy as _np
+
+    c = _np.asarray(c_np, dtype=_np.float64)
+    if c.ndim != 1 or c.size < 2:
+        return False
+    dbar = (c[-1] - c[0]) / (c.size - 1)
+    # NODE deviation from the affine fit, not spacing deviation: it is
+    # the node offsets that bound how far the direct locate's cell
+    # assignment can drift, and spacing jitter that cancels (like
+    # quantization noise) never accumulates into a misassignment.
+    dev = _np.abs(c - (c[0] + dbar * _np.arange(c.size)))
+    tol = max(1e-6 * abs(dbar),
+              4.0 * float(_np.finfo(_np.float32).eps) * float(
+                  _np.max(_np.abs(c))))
+    return bool(_np.all(dev <= tol))
 
 
 def grad_axis_ord2(f, c, axis):
@@ -155,16 +192,12 @@ class RefractiveField:
         # place of searchsorted, which lowers to an O(log n)-depth
         # while-structure per query on TPU and dominates the ray-ODE RHS
         # cost. Detected statically at build time.
-        # diffs in f64 of the ORIGINAL grids; rtol 1e-6 additionally
-        # accepts grids that were uniform before an upstream f32
-        # quantization (a one-ulp-of-f32 cell-edge wobble moves a query's
-        # bin by at most one cell, and the clipped interpolation weights
-        # keep the value continuous there)
-        d0 = _np.diff(c0_np)
-        d1 = _np.diff(c1_np)
-        self._uniform = (bool(_np.allclose(d0, d0[0], rtol=1e-6, atol=0.0))
-                         and bool(_np.allclose(d1, d1[0], rtol=1e-6,
-                                               atol=0.0)))
+        # diffs in f64 of the ORIGINAL grids; the tolerance additionally
+        # accepts grids that were quantized to f32 upstream (a one-ulp
+        # cell-edge wobble moves a query's bin by at most one cell, and
+        # the clipped interpolation weights keep the value continuous
+        # there)
+        self._uniform = bool(uniform_axis(c0_np) and uniform_axis(c1_np))
         self._o0 = float(c0_np[0])
         self._o1 = float(c1_np[0])
         self._inv_d0 = float((len(c0_np) - 1) / (c0_np[-1] - c0_np[0]))

@@ -59,13 +59,12 @@ def _uniform_locate_params(grid):
     """
     import numpy as _np
 
+    from .fields import uniform_axis
+
     if isinstance(grid, jax.core.Tracer):
         return None
     g = _np.asarray(grid, dtype=_np.float64)
-    if g.ndim != 1 or g.size < 2:
-        return None
-    d = _np.diff(g)
-    if not bool(_np.allclose(d, d[0], rtol=1e-6, atol=0.0)):
+    if not uniform_axis(g):
         return None
     return float(g[0]), float((g.size - 1) / (g[-1] - g[0]))
 

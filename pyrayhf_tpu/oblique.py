@@ -246,8 +246,10 @@ def _resolve_fan_engine(engine, z_np, x_np, n_elev):
 
     ``"auto"`` picks the VMEM-resident Pallas integrator
     (:mod:`pyrayhf_tpu.pallas_ray`) on TPU when the grids are uniform
-    and the tables fit VMEM — round-5 measured it at ~45× the vmapped
-    XLA fan (119 ms vs 5.4 s for the [64×128×2000] Cartesian fan) —
+    and the tables fit VMEM — round-5 v5e measurements: 199 ms vs
+    5.5 s (27×) for the [64×128×2000] Cartesian fan on a 512×32 grid,
+    1.50 s vs 7.7 s (5×) on the VMEM-limit 512×384 grid (the kernel's
+    per-eval cost is O(table), so coarse-range scenes win most) —
     and the XLA ``lax.scan`` fan otherwise. ``"pallas"`` forces the
     kernel (interpret-mode off-TPU, for tests); ``"xla"`` forces the
     scan fan.
@@ -431,7 +433,7 @@ def synthesize_oblique_ionogram_2d(f0s_hz, ground_range_km, x_grid_km,
     variant); the grazing angle is approximated by the launch elevation —
     exact for symmetric hops, approximate under tilts.
     ``engine``: ``'auto'`` (VMEM-resident Pallas ray integrator on TPU
-    when the grids are uniform — ~45× the XLA fan — else the XLA
+    when the grids are uniform — 5–27× the XLA fan on v5e — else the XLA
     ``lax.scan`` fan), ``'xla'``, or ``'pallas'``.
     """
     import numpy as np

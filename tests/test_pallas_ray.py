@@ -9,10 +9,11 @@ landing ranges (NaN for non-landing rays), group delay / absorption /
 group+phase path accumulators, freeze-on-event, and specular multi-hop
 bounces.
 
-Perf context (round 5, real v5e): the kernel runs the [64×128×2000]
-Cartesian fan in ~119 ms vs 5.4 s for the XLA engine (45×); the
-reference's ``solve_ivp`` tracer (ref library.py:2128-2337) runs one
-ray at a time at ~2.4 s/ray.
+Perf context (round 5, real v5e, tools/bench_fan_pallas.py): the
+kernel runs the [64×128×2000] Cartesian fan in 199 ms vs 5.5 s for
+the XLA engine (27×) on a 512×32 grid, and 1.50 s vs 7.7 s (5×) on
+the VMEM-limit 512×384 grid; the reference's ``solve_ivp`` tracer
+(ref library.py:2128-2337) runs one ray at a time at ~2.4 s/ray.
 """
 
 import jax.numpy as jnp

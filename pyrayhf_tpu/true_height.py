@@ -34,7 +34,11 @@ damping — the same insight behind every production true-height method.
 The classical caveats apply unchanged: underlying ionization below the
 first reflection is not sensed (the *starting problem* — a linear ramp
 from a small seed density is assumed, and its retardation is absorbed by
-the lowest knots), and E-valleys are invisible to a monotone profile.
+the lowest knots), and E-valleys are invisible to a monotone
+single-trace profile. :func:`retrieve_profile_joint` addresses both
+POLAN-style — candidate start gaps and a parameterised valley insert
+(``valley_f_mhz``/``valley_width_km``/``valley_depth``) selected by the
+joint O+X rms.
 """
 
 from functools import partial
@@ -92,10 +96,12 @@ def _knot_density(f_hz, h, alt, b_mag, mode_mult):
 
 @partial(jax.jit,
          static_argnames=("mode_mult", "n_points", "n_bisect", "n_passes",
-                          "per_knot_mode"))
+                          "per_knot_mode", "valley_iv"))
 def _retrieve_profile_core(f_sorted_hz, obs_sorted, alt, b_mag, b_psi,
                            mode_mult, n_points, n_bisect, n_passes,
-                           start_gap, mm_seq=None, per_knot_mode=False):
+                           start_gap, mm_seq=None, per_knot_mode=False,
+                           valley_iv=None, valley_w=0.0, valley_d=0.0,
+                           valley_ne=0.0):
     freq_mhz = f_sorted_hz / 1e6
     alt0, alt_top = alt[0], alt[-1]
     k = f_sorted_hz.shape[0]
@@ -108,6 +114,25 @@ def _retrieve_profile_core(f_sorted_hz, obs_sorted, alt, b_mag, b_psi,
     w = 3.0 * dmax
     if mm_seq is None:
         mm_seq = jnp.full((k,), float(mode_mult))
+
+    # E-valley insert (round 5; POLAN-style): above the last E-region
+    # echo (knot ``valley_iv``) the profile rises to the E-PEAK density
+    # ``valley_ne`` (from the user's foE — strictly above every E echo's
+    # cutoff, so no sounded frequency ever meets a flat shelf at its own
+    # reflection density), dips by the fraction ``valley_d`` of it, and
+    # returns over a total width ``valley_w`` km; the first F knot
+    # anchors at the valley exit (h + valley_w, valley_ne) and every
+    # later lamination inherits the frozen dip — its group retardation
+    # is what the data actually senses. valley_iv is STATIC
+    # (host-chosen from the echo densities); valley_w/valley_d are
+    # traced so a candidate grid vmaps.
+    valley_w = jnp.asarray(valley_w, float)
+    valley_d = jnp.asarray(valley_d, float)
+    valley_ne = jnp.asarray(valley_ne, float)
+    if valley_iv is None:
+        after_valley = jnp.zeros((k,))
+    else:
+        after_valley = jnp.zeros((k,)).at[int(valley_iv) + 1].set(1.0)
 
     if per_knot_mode:
         # joint O+X lamination: the mode multiplier is a per-knot datum
@@ -142,23 +167,33 @@ def _retrieve_profile_core(f_sorted_hz, obs_sorted, alt, b_mag, b_psi,
 
     def place_knot(carry, xs):
         den_below, h_prev, ne_prev = carry
-        f_hz_i, f_mhz_i, obs_i, gap, lid_prev, mm_i = xs
+        f_hz_i, f_mhz_i, obs_i, gap, lid_prev, mm_i, av_i = xs
+        first_above = av_i > 0.5          # first knot above the E-valley
+        w_eff = jnp.where(first_above, valley_w, 0.0)
 
         def candidate(h):
             """Profile with the trial knot (h, ne_i) on top of den_below.
 
             The first knot's segment rises from the floor over ``gap`` km
             (the start model); later knots anchor at the previous knot
-            (``gap`` is +inf for them). The lid above the trial knot uses
-            the previous pass's slope toward the NEXT knot when available
-            (NaN on the first pass), else continues the segment's slope —
-            the lid slope sets where the regrid's interpolated cutoff
-            crossing lands, i.e. the μ' tail just above the reflection
-            point, so matching the final assembled profile matters.
+            (``gap`` is +inf for them). The first knot ABOVE the E-valley
+            anchors at the valley exit (h_prev + valley_w, ne_prev) with
+            the triangular dip filling the span — later knots inherit it
+            through the frozen den_below. The lid above the trial knot
+            uses the previous pass's slope toward the NEXT knot when
+            available (NaN on the first pass), else continues the
+            segment's slope — the lid slope sets where the regrid's
+            interpolated cutoff crossing lands, i.e. the μ' tail just
+            above the reflection point, so matching the final assembled
+            profile matters.
             """
             ne_i = knot_density(f_hz_i, h, mm_i)
-            anchor_h = jnp.maximum(h_prev, h - gap)
-            anchor_ne = jnp.where(anchor_h > h_prev, ne_floor, ne_prev)
+            anchor_h0 = jnp.maximum(h_prev, h - gap)
+            anchor_ne0 = jnp.where(anchor_h0 > h_prev, ne_floor, ne_prev)
+            anchor_h = jnp.where(first_above,
+                                 jnp.minimum(h_prev + w_eff, h - 1e-3),
+                                 anchor_h0)
+            anchor_ne = jnp.where(first_above, valley_ne, anchor_ne0)
             slope = (ne_i - anchor_ne) / jnp.maximum(h - anchor_h, 1e-9)
             seg = anchor_ne + (alt - anchor_h) * slope
             # floor the lid slope so degenerate (near-duplicate-frequency)
@@ -167,8 +202,24 @@ def _retrieve_profile_core(f_sorted_hz, obs_sorted, alt, b_mag, b_psi,
                 jnp.where(jnp.isfinite(lid_prev), lid_prev, slope),
                 ne_i * 1e-6)
             lid = ne_i + lid_slope * (alt - h)
+            # valley span: rise to the E peak over the first 15% of the
+            # width, dip to (1 − D)·ne_V at the midpoint of the
+            # remainder, return to ne_V at the exit
+            ws = jnp.maximum(w_eff, 1e-9)
+            h_pk = h_prev + 0.15 * ws
+            h_bot = h_prev + 0.575 * ws
+            u = alt - h_prev
+            rise = ne_prev + (valley_ne - ne_prev) * u / (0.15 * ws)
+            down = valley_ne * (1.0 - valley_d * (alt - h_pk)
+                                / (h_bot - h_pk))
+            up = valley_ne * (1.0 - valley_d
+                              * jnp.clip((h_prev + ws - alt)
+                                         / (ws - 0.575 * ws), 0.0, 1.0))
+            vprof = jnp.where(alt <= h_pk, rise,
+                              jnp.where(alt <= h_bot, down, up))
+            mid = jnp.where(first_above, vprof, ne_floor)
             den = jnp.where(alt <= h_prev, den_below,
-                            jnp.where(alt <= anchor_h, ne_floor,
+                            jnp.where(alt <= anchor_h, mid,
                                       jnp.where(alt <= h, seg, lid)))
             return den, ne_i
 
@@ -180,7 +231,7 @@ def _retrieve_profile_core(f_sorted_hz, obs_sorted, alt, b_mag, b_psi,
         # saturated predecessor sits at the ceiling — knots then stack
         # 1e-2 apart instead of inverting the bracket (which would feed
         # unsorted xp into the final jnp.interp).
-        lo0 = h_prev + 1e-2
+        lo0 = h_prev + w_eff + 1e-2
         hi0 = jnp.maximum(jnp.clip(obs_i, lo0 + 1e-2, h_ceil),
                           lo0 + 1e-2)
 
@@ -205,13 +256,25 @@ def _retrieve_profile_core(f_sorted_hz, obs_sorted, alt, b_mag, b_psi,
     for _ in range(n_passes):
         (_, _, _), (h, ne) = jax.lax.scan(
             place_knot, (den0, alt0, ne_floor),
-            (f_sorted_hz, freq_mhz, obs_sorted, gaps, lid_slopes, mm_seq))
+            (f_sorted_hz, freq_mhz, obs_sorted, gaps, lid_slopes, mm_seq,
+             after_valley))
         # refinement passes replace the continuation lid above knot i with
         # this pass's actual slope toward knot i+1 (last knot keeps NaN →
         # continuation)
         lid_slopes = jnp.concatenate(
             [jnp.diff(ne) / jnp.maximum(jnp.diff(h), 1e-9),
              jnp.full((1,), jnp.nan)])
+        if valley_iv is not None:
+            # the lid above the LAST E knot is the valley's rise to the
+            # E peak, not the inter-knot slope across the whole valley —
+            # the μ' tail above that echo's reflection lives in the rise
+            iv = int(valley_iv)
+            rise_slope = ((valley_ne - ne[iv])
+                          / jnp.maximum(0.15 * valley_w, 1e-9))
+            lid_slopes = lid_slopes.at[iv].set(jnp.where(
+                valley_w > 1e-6,
+                jnp.maximum(rise_slope, ne[iv] * 1e-6),
+                lid_slopes[iv]))
 
     # final profile: start ramp + all knots + a peak wedge wide enough to
     # survive the peak-exclusive truncation on the caller's grid, then a
@@ -224,11 +287,28 @@ def _retrieve_profile_core(f_sorted_hz, obs_sorted, alt, b_mag, b_psi,
                             / jnp.maximum(h[-1] - h[-2], 1e-9),
                             ne[-1] * 1e-6)
     anchor0 = jnp.clip(h[0] - start_gap, alt0 + 1e-3, h[0] - 1e-3)
-    h_all = jnp.concatenate([alt[:1] - 1e-6, anchor0[None], h,
+    if valley_iv is None:
+        h_mid, ne_mid = h, ne
+    else:
+        # splice the valley nodes (E peak, dip bottom, exit) between the
+        # last E knot and the first F knot; nodes are clipped just below
+        # the next knot so xp stays sorted for any candidate width
+        iv = int(valley_iv)
+        lim = h[iv + 1]
+        v_pk = jnp.clip(h[iv] + 0.15 * valley_w, h[iv] + 1e-3, lim - 3e-3)
+        v_bot = jnp.clip(h[iv] + 0.575 * valley_w, v_pk + 1e-3, lim - 2e-3)
+        v_exit = jnp.clip(h[iv] + valley_w, v_bot + 1e-3, lim - 1e-3)
+        ne_v = jnp.asarray(valley_ne, float)
+        h_mid = jnp.concatenate([h[:iv + 1], v_pk[None], v_bot[None],
+                                 v_exit[None], h[iv + 1:]])
+        ne_mid = jnp.concatenate([ne[:iv + 1], ne_v[None],
+                                  (ne_v * (1.0 - valley_d))[None],
+                                  ne_v[None], ne[iv + 1:]])
+    h_all = jnp.concatenate([alt[:1] - 1e-6, anchor0[None], h_mid,
                              h_peak[None],
                              jnp.maximum(alt[-1:] + 1e-3,
                                          h_peak[None] + 1e-3)])
-    ne_all = jnp.concatenate([ne_floor[None], ne_floor[None], ne,
+    ne_all = jnp.concatenate([ne_floor[None], ne_floor[None], ne_mid,
                               (ne[-1] + slope_top * (h_peak - h[-1]))[None],
                               ne[-1:] * 0.5])
     den_fit = jnp.interp(alt, h_all, ne_all)
@@ -337,9 +417,35 @@ def _run_gap_candidates(run, start_gap_km, obs_sorted):
              "rms_by_gap_km": np.asarray(rms_g)})
 
 
+def _run_joint_candidates(run, gaps, widths, depths, obs_sorted):
+    """Grid-search (start gap × valley width × valley depth).
+
+    Each argument may be a scalar or a 1-D candidate array; the full
+    product laminates in ONE vmapped launch and the smallest-rms
+    combination wins. Returns (h, ne, den_fit, vh_fit, extra-dict) like
+    :func:`_run_gap_candidates`.
+    """
+    g, w, d = (np.atleast_1d(np.asarray(a, dtype=float))
+               for a in (gaps, widths, depths))
+    G, W, D = np.meshgrid(g, w, d, indexing="ij")
+    cand = jnp.asarray(np.stack([G.ravel(), W.ravel(), D.ravel()], axis=1))
+    h_g, ne_g, den_g, vh_g = jax.vmap(
+        lambda c: run(c[0], c[1], c[2]))(cand)
+    rms_g = jnp.sqrt(jnp.nanmean((vh_g - obs_sorted[None, :]) ** 2,
+                                 axis=1))
+    best = int(jnp.nanargmin(rms_g))
+    return (h_g[best], ne_g[best], den_g[best], vh_g[best],
+            {"start_gap_km": float(cand[best, 0]),
+             "valley_width_km": float(cand[best, 1]),
+             "valley_depth": float(cand[best, 2]),
+             "rms_by_candidate_km": np.asarray(rms_g),
+             "candidates": np.asarray(cand)})
+
+
 def retrieve_profile_joint(f_o_in, vh_o, f_x_in, vh_x, alt, b_mag, b_psi,
                            n_points=200, n_bisect=36, n_passes=2,
-                           start_gap_km=20.0):
+                           start_gap_km=20.0, valley_f_mhz=None,
+                           valley_width_km=0.0, valley_depth=0.0):
     """Joint O+X true-height inversion (round 4; beyond the reference).
 
     Real ionogram reduction uses both magnetoionic traces at once: each
@@ -361,6 +467,27 @@ def retrieve_profile_joint(f_o_in, vh_o, f_x_in, vh_x, alt, b_mag, b_psi,
     trace the knots absorb almost any assumed gap (rms(gap) is nearly
     flat — tested); the O−X disagreement gives the joint rms a minimum
     near the true gap.
+
+    **E-valley (round 5; POLAN-style).** A monotone lamination cannot
+    represent the valley above the E peak, so its group retardation
+    biases every F-region height upward. Pass ``valley_f_mhz`` (≈ foE —
+    in practice read off the trace cusp) to anchor a triangular valley
+    insert immediately above the last echo reflecting at or below that
+    plasma frequency: the profile dips to ``(1 − valley_depth)`` of the
+    E-peak density over ``valley_width_km`` km and returns, and the
+    first F knot anchors at the valley exit. Width and depth accept
+    candidate ARRAYS like ``start_gap_km``: every (gap, width, depth)
+    combination laminates in one vmapped launch and the smallest joint
+    rms wins (the result then carries the chosen values plus
+    ``rms_by_candidate_km``/``candidates``).
+
+    Ambiguity limits (classical, Titheridge 1985/POLAN): a vertical
+    ionogram senses mainly the valley's integrated density *deficit*
+    (≈ width × depth × ne_E / 2), so width and depth are individually
+    soft — the joint O−X tension resolves the deficit, not the shape.
+    Recovery of the deficit is tested to ~35% and of the post-valley
+    knot heights to ~2 km in ``tests/test_true_height.py``; treat the
+    reported width/depth split as a convention, not a measurement.
 
     Args as :func:`retrieve_profile` with the trace split into
     ``(f_o_in [MHz], vh_o)`` and ``(f_x_in [MHz], vh_x)``; either may be
@@ -403,13 +530,44 @@ def retrieve_profile_joint(f_o_in, vh_o, f_x_in, vh_x, alt, b_mag, b_psi,
     mm_s = jnp.asarray(np.concatenate([np.ones(f_o.size),
                                        -np.ones(f_x.size)])[order])
 
-    run = lambda g: _retrieve_profile_core(
-        f_s, obs_s, alt_j, jnp.asarray(b_mag, dtype=float),
-        jnp.asarray(b_psi, dtype=float), mode_mult=0.0,
-        n_points=n_points, n_bisect=n_bisect, n_passes=n_passes,
-        start_gap=g, mm_seq=mm_s, per_knot_mode=True)
-    h, ne, den_fit, vh_fit, extra = _run_gap_candidates(
-        run, start_gap_km, obs_s)
+    valley_iv = None
+    if valley_f_mhz is not None:
+        # last interleaved echo whose (approximate) knot density is at or
+        # below the valley-anchor plasma frequency; static by the time
+        # the core traces
+        ne_anchor = float(freq2den(float(valley_f_mhz) * 1e6))
+        ne_interleaved = np.concatenate([ne_o, ne_x])[order]
+        valley_iv = int(np.searchsorted(ne_interleaved,
+                                        ne_anchor * (1 + 1e-9)) - 1)
+        if valley_iv < 0 or valley_iv >= ne_interleaved.size - 1:
+            raise ValueError(
+                "valley_f_mhz must sit strictly between the lowest and "
+                "highest echo plasma frequencies (no E echo below it, or "
+                "no F echo above it)")
+        if ne_interleaved[valley_iv] > 0.995 * ne_anchor:
+            # a shelf at (nearly) a sounded cutoff density gives that
+            # echo unbounded group retardation — degenerate by physics,
+            # not by implementation
+            raise ValueError(
+                "valley_f_mhz must exceed the highest E-region echo's "
+                "plasma frequency by a finite margin (>~0.25%); got an "
+                "echo within 0.5% of the valley anchor density")
+
+    def run(g, vw, vd):
+        return _retrieve_profile_core(
+            f_s, obs_s, alt_j, jnp.asarray(b_mag, dtype=float),
+            jnp.asarray(b_psi, dtype=float), mode_mult=0.0,
+            n_points=n_points, n_bisect=n_bisect, n_passes=n_passes,
+            start_gap=g, mm_seq=mm_s, per_knot_mode=True,
+            valley_iv=valley_iv, valley_w=vw, valley_d=vd,
+            valley_ne=0.0 if valley_iv is None else ne_anchor)
+
+    if valley_iv is None:
+        h, ne, den_fit, vh_fit, extra = _run_gap_candidates(
+            lambda g: run(g, 0.0, 0.0), start_gap_km, obs_s)
+    else:
+        h, ne, den_fit, vh_fit, extra = _run_joint_candidates(
+            run, start_gap_km, valley_width_km, valley_depth, obs_s)
     rms = jnp.sqrt(jnp.nanmean((vh_fit - obs_s) ** 2))
     out = {"h_knots_km": h, "ne_knots_m3": ne, "den_fit": den_fit,
            "vh_fit": vh_fit, "rms_km": rms, "f_sorted_hz": f_s,

@@ -157,6 +157,40 @@ def main():
             f"time/launch={dtx*1e3:.2f} ms -> {dtx/Bx*1e3:.2f} ms/profile"
             f" ({Bx*F/dtx:.3e} vh evals/s)")
 
+    if on_tpu:
+        # round-5 diagnostic: the VMEM-resident Pallas ray-fan kernel
+        # (pallas_ray.py) on the typical oblique-sounding scene — the
+        # tier that ran at ~550-1,350 rays/s through round 4
+        try:
+            from pyrayhf_tpu.oblique import _fan_2d_fn
+            Ff, Ef, NS = 64, 128, 2000
+            zf = np.linspace(0.0, 638.75, 512)
+            xf = np.linspace(0.0, 3995.0, 32)
+            hh = (zf[:, None] - 250.0) / 45.0
+            nef = (8.0e11 * (1.0 + 0.15 * (xf[None, :] / xf[-1] - 0.5))
+                   * np.exp(0.5 * (1.0 - hh - np.exp(-hh))))
+            fan = _fan_2d_fn(zf, xf, "O", "cartesian", Ef, NS, 1,
+                             engine="pallas")
+            fargs = (jnp.asarray(np.linspace(4e6, 30e6, Ff)),
+                     jnp.asarray([5.0, 85.0]),
+                     jnp.asarray(nef, jnp.float32),
+                     jnp.asarray(np.full(nef.shape, 4.5e-5), jnp.float32),
+                     jnp.asarray(np.full(nef.shape, 0.5), jnp.float32),
+                     jnp.asarray(1e7 * np.exp(-(zf - 70.0) / 8.0),
+                                 jnp.float32),
+                     jnp.asarray(2.0, jnp.float32))
+            fout = fan(*fargs)
+            _ = np.asarray(jnp.ravel(fout[0])[0])
+            t0 = time.perf_counter()
+            for _ in range(3):
+                fout = fan(*fargs)
+            _ = np.asarray(jnp.ravel(fout[0])[0])
+            dtf = (time.perf_counter() - t0) / 3
+            log(f"  (ray-fan kernel diagnostic: [{Ff}x{Ef}x{NS}] fan in "
+                f"{dtf*1e3:.1f} ms = {Ff*Ef/dtf:,.0f} rays/s)")
+        except Exception as e:                      # never sink the bench
+            log(f"  (ray-fan kernel diagnostic failed: {e!r})")
+
     # ---- accuracy: on-device parity table vs f64 reference goldens ----
     # Day+Night × O+X × {200, 20k} × {pallas, fast_xla} in the fast dtype
     # (f32), plus the BASELINE f64 X-20k pin. On real TPU this validates

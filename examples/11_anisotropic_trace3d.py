@@ -28,11 +28,15 @@ F0 = 8e6
 
 
 def main():
-    # parabolic F layer on a regional grid; B from the in-repo IGRF
+    # parabolic F layer + a daytime D-region ledge (~2e9 m^-3 at 80 km,
+    # where nu ~ 1e6-1e7 s^-1 — this is what the absorption channel
+    # actually integrates; without it every loss column prints 0.00)
+    # on a regional grid; B from the in-repo IGRF
     alt = np.linspace(60.0, 600.0, 109)
     lat = np.linspace(20.0, 60.0, 21)
     lon = np.linspace(-20.0, 20.0, 21)
-    ne1 = 1.0e12 * np.maximum(0.0, 1.0 - ((alt - 300.0) / 120.0) ** 2)
+    ne1 = (1.0e12 * np.maximum(0.0, 1.0 - ((alt - 300.0) / 120.0) ** 2)
+           + 2.0e9 * np.exp(-((alt - 80.0) / 9.0) ** 2))
     Ne = np.broadcast_to(ne1[:, None, None],
                          (alt.size, lat.size, lon.size)).copy()
     bn, be, bd = prt.igrf_volume(alt, lat, lon)
@@ -54,9 +58,13 @@ def main():
               f"{float(r['cross_track_km']):+9.2f} "
               f"{float(r['phase_path_km']):9.1f} "
               f"{float(r['absorption_db']):8.2f}")
-    print("\nO and X deflect OUT OF PLANE in opposite senses (the sign of")
-    print("the u x B coupling) — a mode split no fixed-psi tracer or 2-D")
-    print("slice can produce. |u| rides the dispersion shell (<= 1):")
+    print("\nX absorbs more than O through the same D region (the omega")
+    print("- omega_L denominator, Davies 7.20) — the loss column above is")
+    print("the anisotropic path's own kappa integral, nonzero and")
+    print("mode-ordered. O and X also deflect OUT OF PLANE in opposite")
+    print("senses (the sign of the u x B coupling) — a mode split no")
+    print("fixed-psi tracer or 2-D slice can produce. |u| rides the")
+    print("dispersion shell (<= 1):")
     for mode in ("O", "X"):
         u = np.asarray(res[mode]["u"])[np.asarray(res[mode]["alive"])]
         um = np.linalg.norm(u, axis=1)

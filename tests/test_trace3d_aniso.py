@@ -302,3 +302,68 @@ def test_field_table_gradients_propagate(grids, igrf_b):
     # discrete forward legitimately differ at the ~10% level here
     assert np.sign(dd_ad) == np.sign(dd_fd)
     assert 0.5 < dd_ad / dd_fd < 2.0
+
+
+def test_dregion_absorption_ordered_and_ql_limit(grids, igrf_b):
+    """Round-5 verdict item 7: with a real daytime D region (~2e9 m^-3
+    at 80 km) the anisotropic absorption channel produces NONZERO,
+    physically-ordered losses (X > O — Davies 7.20's omega - omega_L
+    denominator), and on a northward link it agrees with the fixed-psi
+    tracer's QL integral to the convention bound (<15% here; the two
+    rays bend and sample the D region slightly differently). In the
+    B -> 0 limit both tracers follow the same isotropic path and the
+    losses must coincide to integration precision — ON A GRID THAT
+    RESOLVES THE D REGION: the two engines discretize kappa
+    differently (trilinear of the ne*nu product vs interp(ne)*interp(nu)
+    along the ray), so the 5-km module grid leaves a ~9% quadrature gap
+    that collapses to 0.4% at 1-km altitude sampling (measured; see
+    docs/accuracy.md)."""
+    alt, lat, lon, Ne = grids
+    bn, be, bd = igrf_b
+    ne_d = 2.0e9 * np.exp(-((alt - 80.0) / 9.0) ** 2)
+    Ne_d = Ne + np.broadcast_to(ne_d[:, None, None], Ne.shape)
+    fld = build_field_3d_aniso(alt, lat, lon, Ne_d, bn, be, bd)
+
+    loss = {}
+    for mode in ("O", "X"):
+        r = trace_ray_3d_anisotropic(fld, 30.0, 0.0, 25.0, 90.0, F0,
+                                     mode=mode, step_km=STEP,
+                                     s_max_km=SMAX)
+        assert r["status"] == "ground"
+        loss[mode] = float(r["absorption_db"])
+        assert 1.0 < loss[mode] < 30.0
+    assert loss["X"] > loss["O"]
+
+    babs = np.sqrt(np.asarray(bn) ** 2 + np.asarray(be) ** 2
+                   + np.asarray(bd) ** 2)
+    psi = np.rad2deg(np.arccos(np.clip(-np.asarray(bd) / babs, -1, 1)))
+    for mode in ("O", "X"):
+        ffp = prt.build_field_3d(alt, lat, lon, Ne_d, babs, psi, F0,
+                                 mode=mode)
+        rf = prt.trace_ray_3d(ffp, 30.0, 0.0, 25.0, 0.0, step_km=STEP,
+                              s_max_km=SMAX)
+        ra = trace_ray_3d_anisotropic(fld, 30.0, 0.0, 25.0, 0.0, F0,
+                                      mode=mode, step_km=STEP,
+                                      s_max_km=SMAX)
+        a_f, a_a = float(rf["absorption_db"]), float(ra["absorption_db"])
+        assert abs(a_a - a_f) < 0.15 * a_f, (mode, a_f, a_a)
+
+    # B -> 0: same isotropic path, kappa_O == kappa_X, agreement to
+    # integration precision on a 1-km altitude grid
+    alt1 = np.linspace(60.0, 600.0, 541)
+    ne1 = (1.0e12 * np.maximum(0.0, 1.0 - ((alt1 - 300.0) / 120.0) ** 2)
+           + 2.0e9 * np.exp(-((alt1 - 80.0) / 9.0) ** 2))
+    Ne1 = np.broadcast_to(ne1[:, None, None],
+                          (alt1.size, lat.size, lon.size)).copy()
+    b0 = 1e-12
+    z = np.zeros_like(Ne1)
+    fld0 = build_field_3d_aniso(alt1, lat, lon, Ne1, z + b0, z, z)
+    ffp0 = prt.build_field_3d(alt1, lat, lon, Ne1,
+                              np.full_like(Ne1, b0),
+                              np.full_like(Ne1, 0.0), F0, mode="O")
+    ra0 = trace_ray_3d_anisotropic(fld0, 30.0, 0.0, 25.0, 0.0, F0,
+                                   step_km=STEP, s_max_km=SMAX)
+    rf0 = prt.trace_ray_3d(ffp0, 30.0, 0.0, 25.0, 0.0, step_km=STEP,
+                           s_max_km=SMAX)
+    a0a, a0f = float(ra0["absorption_db"]), float(rf0["absorption_db"])
+    assert abs(a0a - a0f) < 0.02 * a0f, (a0f, a0a)

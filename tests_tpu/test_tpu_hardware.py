@@ -283,3 +283,37 @@ def test_fan_kernel_perf_floor_and_parity_on_device():
         best = min(best, (time.perf_counter() - t0) / 3)
     rate = F * E / best
     assert rate >= 2e4, f"fan kernel regressed: {rate:.3e} rays/s"
+
+
+def test_aniso_homing_smoke_on_device():
+    """Round-5 addition: anisotropic two-angle homing (dispersion-
+    surface fan + crossing solve) runs on the real chip and closes a
+    northward link, with a D region producing nonzero absorption
+    through the homed ray's own kappa integral."""
+    import pyrayhf_tpu as prt
+
+    alt = np.linspace(60.0, 600.0, 109)
+    lat = np.linspace(20.0, 60.0, 17)
+    lon = np.linspace(-10.0, 10.0, 9)
+    ne1 = (1.0e12 * np.maximum(0.0, 1.0 - ((alt - 300.0) / 120.0) ** 2)
+           + 2.0e9 * np.exp(-((alt - 80.0) / 9.0) ** 2))
+    Ne = np.broadcast_to(ne1[:, None, None],
+                         (alt.size, lat.size, lon.size)).copy()
+    bn, be, bd = prt.igrf_volume(alt, lat, lon)
+    field = prt.build_field_3d_aniso(alt, lat, lon, Ne, bn, be, bd)
+    # 900-km link at elevations 14-26 deg: under f32 the steeper fan
+    # rays (>~24 deg here) freeze where the group velocity underflows at
+    # the F-layer reflection (DEVNOTES round 4), so the smoke homes in
+    # the shallow band where the f32 fan lands (builder-probed on v5e:
+    # delay 3.337 ms, elev 21.8, absorption 4.73 dB)
+    out = prt.home_ray_3d_anisotropic(field, 30.0, 0.0, 38.1, 0.0, 8e6,
+                                      mode="O", n_elev=12, n_az=3,
+                                      az_span_deg=3.0, elev_min_deg=14.0,
+                                      elev_max_deg=26.0, step_km=4.0,
+                                      s_max_km=1800.0)
+    d = float(out["delay_low_sec"])
+    assert np.isfinite(d)
+    # 900-km link: delay between the free-space chord and 2x it
+    assert 900.0 / 3e5 < d < 2 * 900.0 / 3e5
+    assert float(out["absorption_low_db"]) > 0.5
+    assert abs(float(out["azimuth_offset_low_deg"])) < 1.0

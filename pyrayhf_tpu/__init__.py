@@ -61,7 +61,7 @@ try:
     from importlib import metadata as _metadata
     __version__ = _metadata.version("pyrayhf-tpu")
 except Exception:
-    __version__ = "0.4.0"
+    __version__ = "0.5.0"
 from .oblique import (synthesize_oblique_ionogram,
                       synthesize_oblique_ionogram_2d)
 from . import oblique

@@ -44,40 +44,15 @@ def _rk4_step(rhs, y, ds):
     return y + (ds / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
 
 
-def _integrate(rhs, y0, n_steps, ds, event_value, reflect_slot=None,
-               max_bounces=0, v_slice=slice(2, 4), reflect_fn=None,
-               renorm_fn=None):
-    """Scan a fixed-step RK4 with freeze-on-event semantics.
+def _make_step(rhs, ds, event_value, reflect_fn, max_bounces, v_slice,
+               renorm_fn):
+    """Per-ray step function shared by every fixed-step integrator.
 
-    ``event_value(y)`` returns a vector of signed boundary distances
-    (positive inside the domain, matching the reference's event functions);
-    the first nonpositive entry terminates the ray. On the terminating step
-    the state is linearly backtracked to the crossing.
-
-    Multi-hop: with ``reflect_slot`` given (the index of the vertical
-    velocity component — 3 for Cartesian v_z, 2 for spherical v_r), the
-    first ``max_bounces`` GROUND crossings (event index 0) reflect
-    specularly — backtrack to the crossing, flip that slot — instead of
-    freezing; the ray freezes on ground hit ``max_bounces + 1``. The
-    reference has no multi-hop anywhere (its ground event is terminal,
-    ref ``library.py:1009-1012``). A position-dependent mirror (the 3-D
-    tracer's local-vertical reflection) passes ``reflect_fn(y) → y``
-    instead of a slot.
-
-    ``v_slice``: the direction components renormalised every step
-    (2:4 for the 2-D tracers, 3:6 for the 3-D ECEF state).
-
-    ``renorm_fn``: optional per-step state projection ``y → y`` replacing
-    the unit-normalisation of ``v_slice`` — the anisotropic Haselgrove
-    state carries a refractive-index VECTOR whose magnitude is physics
-    (|u| = n on the dispersion shell), so it re-projects onto the shell
-    instead of normalising to 1.
-
-    Returns (ys [n_steps+1, dim], alive [n_steps+1], status_code).
+    Factored out of :func:`_integrate` so the batched early-exit
+    integrator (:func:`_integrate_fan`) can ``vmap`` the identical step
+    math — results must agree bitwise between the scan, while_loop and
+    fan paths.
     """
-    if reflect_fn is None and reflect_slot is not None:
-        def reflect_fn(y):
-            return y.at[reflect_slot].set(jnp.abs(y[reflect_slot]))
 
     def step(carry, _):
         y, alive, status, bounces = carry
@@ -131,13 +106,164 @@ def _integrate(rhs, y0, n_steps, ds, event_value, reflect_slot=None,
         return ((y_next, alive_next, new_status, bounces),
                 (y_next, alive_next))
 
+    return step
+
+
+def _integrate(rhs, y0, n_steps, ds, event_value, reflect_slot=None,
+               max_bounces=0, v_slice=slice(2, 4), reflect_fn=None,
+               renorm_fn=None, early_exit=False):
+    """Scan a fixed-step RK4 with freeze-on-event semantics.
+
+    ``event_value(y)`` returns a vector of signed boundary distances
+    (positive inside the domain, matching the reference's event functions);
+    the first nonpositive entry terminates the ray. On the terminating step
+    the state is linearly backtracked to the crossing.
+
+    Multi-hop: with ``reflect_slot`` given (the index of the vertical
+    velocity component — 3 for Cartesian v_z, 2 for spherical v_r), the
+    first ``max_bounces`` GROUND crossings (event index 0) reflect
+    specularly — backtrack to the crossing, flip that slot — instead of
+    freezing; the ray freezes on ground hit ``max_bounces + 1``. The
+    reference has no multi-hop anywhere (its ground event is terminal,
+    ref ``library.py:1009-1012``). A position-dependent mirror (the 3-D
+    tracer's local-vertical reflection) passes ``reflect_fn(y) → y``
+    instead of a slot.
+
+    ``v_slice``: the direction components renormalised every step
+    (2:4 for the 2-D tracers, 3:6 for the 3-D ECEF state).
+
+    ``renorm_fn``: optional per-step state projection ``y → y`` replacing
+    the unit-normalisation of ``v_slice`` — the anisotropic Haselgrove
+    state carries a refractive-index VECTOR whose magnitude is physics
+    (|u| = n on the dispersion shell), so it re-projects onto the shell
+    instead of normalising to 1.
+
+    ``early_exit``: run the step loop as a ``lax.while_loop`` that stops
+    once the ray freezes, instead of a fixed-length ``lax.scan``. The
+    step math and every output are identical (frozen-tail rows are
+    filled after the loop); only the executed trip count changes.
+    ONLY for un-vmapped single-ray calls: under ``vmap`` the while_loop
+    batching rule re-selects the whole carry — including the path
+    buffer — per lane per iteration (measured 3× SLOWER than the scan
+    on the 48×9 fan); batched fans use :func:`_integrate_fan`, whose
+    while_loop sits OUTSIDE the ray batch. Reverse-mode AD cannot cross
+    ``lax.while_loop`` — callers that differentiate through the trace
+    (the anisotropic tracer's field-table gradients) keep the scan.
+
+    Returns (ys [n_steps+1, dim], alive [n_steps+1], status_code).
+    """
+    if reflect_fn is None and reflect_slot is not None:
+        def reflect_fn(y):
+            return y.at[reflect_slot].set(jnp.abs(y[reflect_slot]))
+
+    step = _make_step(rhs, ds, event_value, reflect_fn, max_bounces,
+                      v_slice, renorm_fn)
     init = (y0, jnp.asarray(True), jnp.asarray(_STATUS["length"]),
             jnp.asarray(0))
-    (_, _, status, _), (ys, alive) = jax.lax.scan(step, init, None,
-                                                  length=n_steps)
+    if not early_exit:
+        (_, _, status, _), (ys, alive) = jax.lax.scan(step, init, None,
+                                                      length=n_steps)
+        ys = jnp.concatenate([y0[None], ys], axis=0)
+        alive = jnp.concatenate([jnp.asarray(True)[None], alive])
+        return ys, alive, status
+
+    buf0 = jnp.zeros((n_steps,) + y0.shape, dtype=y0.dtype)
+    abuf0 = jnp.zeros((n_steps,), dtype=bool)
+
+    def cond(state):
+        i, carry, _, _ = state
+        return (i < n_steps) & carry[1]
+
+    def body(state):
+        i, carry, buf, abuf = state
+        carry, (y_next, alive_next) = step(carry, None)
+        buf = jax.lax.dynamic_update_index_in_dim(buf, y_next, i, 0)
+        abuf = abuf.at[i].set(alive_next)
+        return i + 1, carry, buf, abuf
+
+    i_fin, (y_fin, _, status, _), buf, abuf = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0), init, buf0, abuf0))
+    # unexecuted tail rows: the scan path would have kept emitting the
+    # frozen state with alive=False — reproduce that exactly
+    tail = jnp.arange(n_steps) >= i_fin
+    ys = jnp.where(tail[:, None], y_fin, buf)
+    alive = jnp.where(tail, False, abuf)
     ys = jnp.concatenate([y0[None], ys], axis=0)
     alive = jnp.concatenate([jnp.asarray(True)[None], alive])
     return ys, alive, status
+
+
+def _integrate_fan(rhs, y0b, n_steps, ds, event_value, reflect_slot=None,
+                   max_bounces=0, v_slice=slice(2, 4), reflect_fn=None,
+                   renorm_fn=None, chunk=125):
+    """Batched early-exit integrator: the whole ray fan in ONE loop.
+
+    Same step math as :func:`_integrate` (bitwise), but structured for
+    the TPU: the per-ray step is ``vmap``-ed INSIDE a chunked
+    ``lax.while_loop`` whose condition is "any ray still alive", and
+    path rows land in the output buffer by whole-chunk
+    ``dynamic_update_slice`` (in-place inside the loop). A fan therefore
+    pays for ``ceil(longest-lived ray / chunk) · chunk`` steps instead
+    of the full ``n_steps`` budget — typical oblique fans freeze in the
+    first third of a conservative arc budget. (Naively vmapping
+    :func:`_integrate`'s ``early_exit`` is 3× SLOWER than the scan: the
+    while_loop batching rule re-selects every lane's whole carry —
+    including the path buffer — each iteration.)
+
+    ``y0b``: [R, dim] launch states. Returns
+    (ys [R, n_steps+1, dim], alive [R, n_steps+1], status [R]).
+    Forward-mode AD only (lax.while_loop); reverse-mode users take the
+    scan path (``early_exit=False`` in the callers).
+    """
+    if reflect_fn is None and reflect_slot is not None:
+        def reflect_fn(y):
+            return y.at[reflect_slot].set(jnp.abs(y[reflect_slot]))
+
+    step = jax.vmap(_make_step(rhs, ds, event_value, reflect_fn,
+                               max_bounces, v_slice, renorm_fn),
+                    in_axes=((0, 0, 0, 0), None))
+    R, dim = y0b.shape
+    chunk = min(int(chunk), int(n_steps))
+    n_chunks = -(-int(n_steps) // chunk)
+    n_pad = n_chunks * chunk
+
+    def gated(carry, idx):
+        # steps past n_steps (the padded tail of the last chunk) must
+        # not advance the carry: a ray alive at exactly n_steps keeps
+        # its scan-semantics state/status
+        carry2, out = step(carry, None)
+        valid = idx < n_steps
+        carry3 = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(valid, new, old), carry2, carry)
+        return carry3, out
+
+    def cond(state):
+        i, carry, _, _ = state
+        return (i < n_chunks) & jnp.any(carry[1])
+
+    def body(state):
+        i, carry, buf, abuf = state
+        idxs = i * chunk + jnp.arange(chunk)
+        carry, (ys_k, al_k) = jax.lax.scan(gated, carry, idxs)
+        buf = jax.lax.dynamic_update_slice(buf, ys_k, (i * chunk, 0, 0))
+        abuf = jax.lax.dynamic_update_slice(abuf, al_k, (i * chunk, 0))
+        return i + 1, carry, buf, abuf
+
+    init = (y0b, jnp.ones((R,), dtype=bool),
+            jnp.full((R,), _STATUS["length"]), jnp.zeros((R,), dtype=int))
+    buf0 = jnp.zeros((n_pad, R, dim), dtype=y0b.dtype)
+    abuf0 = jnp.zeros((n_pad, R), dtype=bool)
+    i_fin, carry_fin, buf, abuf = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0), init, buf0, abuf0))
+    y_fin, _, status, _ = carry_fin
+    # chunks the loop never ran: every ray was already frozen — fill
+    # with each ray's final state, exactly what the scan would emit
+    tail = jnp.arange(n_pad) >= i_fin * chunk
+    ys = jnp.where(tail[:, None, None], y_fin[None], buf)[:n_steps]
+    alive = jnp.where(tail[:, None], False, abuf)[:n_steps]
+    ys = jnp.concatenate([y0b[None], ys], axis=0)
+    alive = jnp.concatenate([jnp.ones((1, R), dtype=bool), alive], axis=0)
+    return jnp.swapaxes(ys, 0, 1), jnp.swapaxes(alive, 0, 1), status
 
 
 # Dormand–Prince 5(4) embedded pair (the same tableau scipy's RK45 uses).
@@ -173,7 +299,7 @@ def _dp45_step(rhs, y, h):
 def _integrate_adaptive(rhs, y0, n_attempts, s_max, h0, rtol, atol,
                         h_max, event_value, reflect_slot=None,
                         max_bounces=0, v_slice=slice(2, 4),
-                        reflect_fn=None):
+                        reflect_fn=None, early_exit=False):
     """Error-controlled DP45 with freeze-on-event semantics.
 
     Same output contract as :func:`_integrate` but each scan iteration is an
@@ -262,8 +388,33 @@ def _integrate_adaptive(rhs, y0, n_attempts, s_max, h0, rtol, atol,
     init = (y0, jnp.asarray(h0, dtype=y0.dtype),
             jnp.zeros((), dtype=y0.dtype), jnp.asarray(True),
             jnp.asarray(_STATUS["length"]), jnp.asarray(0))
-    (_, _, s_final, alive_final, status, _), (ys, alive) = jax.lax.scan(
-        attempt, init, None, length=n_attempts)
+    if early_exit:
+        # while_loop over attempts (see _integrate's early_exit contract:
+        # identical outputs, trip count stops at the last live lane; no
+        # reverse-mode AD)
+        buf0 = jnp.zeros((n_attempts,) + y0.shape, dtype=y0.dtype)
+        abuf0 = jnp.zeros((n_attempts,), dtype=bool)
+
+        def cond(state):
+            i, carry, _, _ = state
+            return (i < n_attempts) & carry[3]
+
+        def body(state):
+            i, carry, buf, abuf = state
+            carry, (y_next, alive_next) = attempt(carry, None)
+            buf = jax.lax.dynamic_update_index_in_dim(buf, y_next, i, 0)
+            abuf = abuf.at[i].set(alive_next)
+            return i + 1, carry, buf, abuf
+
+        i_fin, carry_fin, buf, abuf = jax.lax.while_loop(
+            cond, body, (jnp.asarray(0), init, buf0, abuf0))
+        y_fin, _, s_final, alive_final, status, _ = carry_fin
+        tail = jnp.arange(n_attempts) >= i_fin
+        ys = jnp.where(tail[:, None], y_fin, buf)
+        alive = jnp.where(tail, False, abuf)
+    else:
+        (_, _, s_final, alive_final, status, _), (ys, alive) = jax.lax.scan(
+            attempt, init, None, length=n_attempts)
     # a ray still alive after all attempts with s < s_max exhausted the
     # attempt budget (many rejections in a stiff region) — report that as a
     # distinct 'attempts' status, not a bogus 'length' arc-budget stop
@@ -300,11 +451,13 @@ def _path_metrics(x_path, z_path, ds_seg, mup_mid, status, mu_mid=None):
 
 
 @partial(jax.jit, static_argnames=("n_and_grad", "mup_func", "n_steps",
-                                   "adaptive", "n_hops", "kappa_func"))
+                                   "adaptive", "n_hops", "kappa_func",
+                                   "early_exit"))
 def _cart_gradient_core(n_and_grad, mup_func, x0, z0, elevation_deg, ds,
                         n_steps, z_ground, z_max, x_min, x_max,
                         adaptive=False, rtol=1e-7, atol=1e-9,
-                        s_max=None, h_max=None, n_hops=1, kappa_func=None):
+                        s_max=None, h_max=None, n_hops=1, kappa_func=None,
+                        early_exit=False):
     elev = jnp.deg2rad(elevation_deg)
     v0 = jnp.array([jnp.cos(elev), jnp.sin(elev)])
     v0 = v0 / jnp.linalg.norm(v0)
@@ -330,10 +483,10 @@ def _cart_gradient_core(n_and_grad, mup_func, x0, z0, elevation_deg, ds,
     if adaptive:
         ys, alive, status = _integrate_adaptive(
             rhs, y0, n_steps, s_max, ds, rtol, atol, h_max, events,
-            **hop_kw)
+            early_exit=early_exit, **hop_kw)
     else:
         ys, alive, status = _integrate(rhs, y0, n_steps, ds, events,
-                                       **hop_kw)
+                                       early_exit=early_exit, **hop_kw)
     x_path, z_path = ys[:, 0], ys[:, 1]
     dx = jnp.diff(x_path)
     dz = jnp.diff(z_path)
@@ -364,7 +517,8 @@ def trace_ray_cartesian_gradient(n_and_grad, mup_func, x0_km, z0_km,
                                  x_min_km=None, x_max_km=None,
                                  rtol=UNSET, atol=UNSET, max_step_km=None,
                                  renormalize_every=None, n_hops=1,
-                                 kappa_func=None, config=None):
+                                 kappa_func=None, config=None,
+                                 early_exit=True):
     """2-D Cartesian ray-ODE trace; API-parity with ref :1271-1457.
 
     ``n_hops`` (beyond the reference): number of ionospheric hops — the
@@ -428,7 +582,7 @@ def trace_ray_cartesian_gradient(n_and_grad, mup_func, x0_km, z0_km,
                               jnp.asarray(x_min_km, dtype=float),
                               jnp.asarray(x_max_km, dtype=float),
                               n_hops=int(n_hops), kappa_func=kappa_func,
-                              **kw)
+                              early_exit=bool(early_exit), **kw)
     code = int(out.pop("status_code"))
     out["status"] = {v: k for k, v in _STATUS.items()}[code]
     out["t"] = None
@@ -455,11 +609,13 @@ def trace_rays_cartesian_gradient(n_and_grad, mup_func, x0_km, z0_km,
 
 
 @partial(jax.jit, static_argnames=("n_and_grad_rphi", "mup_func", "n_steps",
-                                   "adaptive", "n_hops", "kappa_func"))
+                                   "adaptive", "n_hops", "kappa_func",
+                                   "early_exit"))
 def _sph_gradient_core(n_and_grad_rphi, mup_func, x0, z0, elevation_deg, ds,
                        n_steps, re, z_ground, r_max, phi_min, phi_max,
                        adaptive=False, rtol=1e-7, atol=1e-9,
-                       s_max=None, h_max=None, n_hops=1, kappa_func=None):
+                       s_max=None, h_max=None, n_hops=1, kappa_func=None,
+                       early_exit=False):
     r0 = re + z0
     phi0 = x0 / re
     elev = jnp.deg2rad(elevation_deg)
@@ -489,10 +645,10 @@ def _sph_gradient_core(n_and_grad_rphi, mup_func, x0, z0, elevation_deg, ds,
     if adaptive:
         ys, alive, status = _integrate_adaptive(
             rhs, y0, n_steps, s_max, ds, rtol, atol, h_max, events,
-            **hop_kw)
+            early_exit=early_exit, **hop_kw)
     else:
         ys, alive, status = _integrate(rhs, y0, n_steps, ds, events,
-                                       **hop_kw)
+                                       early_exit=early_exit, **hop_kw)
     r_path, phi_path = ys[:, 0], ys[:, 1]
     x_path = re * phi_path
     z_path = r_path - re
@@ -525,7 +681,8 @@ def trace_ray_spherical_gradient(n_and_grad_rphi, mup_func, x0_km, z0_km,
                                  phi_min=-jnp.pi, phi_max=jnp.pi,
                                  step_km=None, rtol=UNSET, atol=UNSET,
                                  max_step_km=2.0, renormalize_every=None,
-                                 n_hops=1, kappa_func=None, config=None):
+                                 n_hops=1, kappa_func=None, config=None,
+                                 early_exit=True):
     """2-D spherical ray-ODE trace; API-parity with ref :2128-2337.
 
     ``n_hops``/``kappa_func``: multi-hop ground reflections and path
@@ -581,7 +738,7 @@ def trace_ray_spherical_gradient(n_and_grad_rphi, mup_func, x0_km, z0_km,
                              jnp.asarray(phi_min, dtype=float),
                              jnp.asarray(phi_max, dtype=float),
                              n_hops=int(n_hops), kappa_func=kappa_func,
-                             **kw)
+                             early_exit=bool(early_exit), **kw)
     code = int(out.pop("status_code"))
     out["status"] = {v: k for k, v in _STATUS.items()}[code]
     out["t"] = None

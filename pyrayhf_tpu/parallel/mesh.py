@@ -325,7 +325,7 @@ def trace_fan_3d_sharded(field, lat0_deg, lon0_deg, elevation_deg,
     """
     from jax import shard_map
 
-    from ..trace3d import _trace3d_core
+    from ..trace3d import _trace3d_fan_core
 
     els = jnp.asarray(elevation_deg, dtype=float)
     azs = jnp.asarray(azimuth_deg, dtype=float)
@@ -335,23 +335,23 @@ def trace_fan_3d_sharded(field, lat0_deg, lon0_deg, elevation_deg,
             f"elevation count ({els.size}) must be divisible by the "
             f"'{axis}' mesh axis size ({n_dev})")
     n_steps = int(round(float(s_max_km) / float(step_km)))
-    core = _trace3d_core.__wrapped__
+    # the same batched early-exit fan core the unsharded trace_rays_3d
+    # runs — each device's while_loop trips for ITS slice's longest ray
+    # (no collectives inside, so divergent trip counts are fine)
+    core = _trace3d_fan_core.__wrapped__
     args = (jnp.asarray(lat0_deg, dtype=float),
             jnp.asarray(lon0_deg, dtype=float))
 
     def shard_fn(els_t):
-        one = lambda el, az: core(field, *args, el, az,
-                                  jnp.asarray(step_km, dtype=float),
-                                  n_steps,
-                                  jnp.asarray(z_ground_km, dtype=float),
-                                  n_hops=int(n_hops))
-        return jax.vmap(lambda el: jax.vmap(
-            lambda az: one(el, az))(azs))(els_t)
+        return core(field, *args, els_t, azs,
+                    jnp.asarray(step_km, dtype=float), n_steps,
+                    jnp.asarray(z_ground_km, dtype=float),
+                    n_hops=int(n_hops))
 
-    # check_vma off: the tracer's scan carries constant-typed init values
-    # (alive flag, status code) that become device-varying through y0 —
-    # semantically fine for a collective-free pure map, but the varying-
-    # manual-axes checker rejects the mixed carry
+    # check_vma off: the tracer's step loop carries constant-typed init
+    # values (alive flag, status code) that become device-varying through
+    # y0 — semantically fine for a collective-free pure map, but the
+    # varying-manual-axes checker rejects the mixed carry
     fn = jax.jit(shard_map(shard_fn, mesh=mesh, in_specs=(P(axis),),
                            out_specs=P(axis), check_vma=False))
     return fn(els)

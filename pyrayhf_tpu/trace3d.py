@@ -69,6 +69,25 @@ def _uniform_locate_params(grid):
     return float(g[0]), float((g.size - 1) / (g[-1] - g[0]))
 
 
+def _locate(q, grid, n):
+    """(cell index, fractional offset) of query ``q`` on ``grid`` [n].
+
+    Concrete uniform grids (the common linspace axes) take a direct
+    index-arithmetic path; otherwise searchsorted. Shared by the
+    per-channel :func:`trilinear` and the packed block fetch
+    :func:`_trilinear_pack` so both locate identically.
+    """
+    up = _uniform_locate_params(grid)
+    if up is not None:
+        o, inv_d = up
+        f = (q - o) * inv_d
+        f = jnp.where(jnp.isnan(f), 0.0, f)
+        i = jnp.clip(jnp.floor(f).astype(jnp.int32), 0, n - 2)
+        return i, f - i
+    i = jnp.clip(jnp.searchsorted(grid, q, side="right") - 1, 0, n - 2)
+    return i, (q - grid[i]) / (grid[i + 1] - grid[i])
+
+
 def trilinear(aq, bq, cq, a_grid, b_grid, c_grid, field, fill_value=jnp.nan):
     """Trilinear interpolation of ``field[na, nb, nc]`` at (aq, bq, cq).
 
@@ -80,18 +99,6 @@ def trilinear(aq, bq, cq, a_grid, b_grid, c_grid, field, fill_value=jnp.nan):
                                       jnp.asarray(bq, dtype=float),
                                       jnp.asarray(cq, dtype=float))
     na, nb, nc = field.shape
-
-    def _locate(q, grid, n):
-        up = _uniform_locate_params(grid)
-        if up is not None:
-            o, inv_d = up
-            f = (q - o) * inv_d
-            f = jnp.where(jnp.isnan(f), 0.0, f)
-            i = jnp.clip(jnp.floor(f).astype(jnp.int32), 0, n - 2)
-            return i, f - i
-        i = jnp.clip(jnp.searchsorted(grid, q, side="right") - 1, 0, n - 2)
-        return i, (q - grid[i]) / (grid[i + 1] - grid[i])
-
     ia, ta = _locate(aq, a_grid, na)
     ib, tb = _locate(bq, b_grid, nb)
     ic, tc = _locate(cq, c_grid, nc)
@@ -104,6 +111,48 @@ def trilinear(aq, bq, cq, a_grid, b_grid, c_grid, field, fill_value=jnp.nan):
               & (bq >= b_grid[0]) & (bq <= b_grid[-1])
               & (cq >= c_grid[0]) & (cq <= c_grid[-1]))
     return jnp.where(inside, out, fill_value)
+
+
+def _trilinear_pack(aq, bq, cq, a_grid, b_grid, c_grid, pack):
+    """All-channel trilinear fetch at ONE point: a single (2,2,2,C) gather.
+
+    ``pack`` is the channel-stacked volume [na, nb, nc, C]; queries are
+    scalars (vmap for batches). Returns ``(vals [C], inside [])`` —
+    callers apply their own per-channel out-of-domain fills.
+
+    Why this exists: the per-channel :func:`trilinear` issues 8 corner
+    gathers PER CHANNEL, so the ray-ODE RHS (μ + 3 gradient components)
+    costs 32 independent HBM gathers per evaluation — 4 RK4 stages ×
+    thousands of sequential steps deep, where the loop body's OP COUNT,
+    not gather bandwidth, is what the TPU pays for. One row gather of
+    the 8 corners × C channels plus one 8-term weight contraction
+    replaces all of it. Measured on the v5e (tools/bench_fan_3d.py,
+    48×9 fan, 200×40×40 volume): 2641 → 1281 ms from this packing
+    alone (2.1×).
+    """
+    na, nb, nc, C = pack.shape
+    ia, ta = _locate(aq, a_grid, na)
+    ib, tb = _locate(bq, b_grid, nb)
+    ic, tc = _locate(cq, c_grid, nc)
+    # flat row indices of the 8 corners: one add on an [8] vector, then
+    # ONE row gather [8, C]. (A lax.dynamic_slice of the (2,2,2,C) block
+    # is the same data but lowers to a serialized multi-dim TPU gather —
+    # measured 3.3x SLOWER than even the per-channel path.)
+    base = (ia * nb + ib) * nc + ic
+    off = jnp.asarray([(da * nb + db) * nc + dc
+                       for da in (0, 1) for db in (0, 1) for dc in (0, 1)],
+                      dtype=base.dtype)
+    blk = jnp.take(pack.reshape(-1, C), base + off, axis=0)       # [8, C]
+    wa = jnp.stack([1.0 - ta, ta])
+    wb = jnp.stack([1.0 - tb, tb])
+    wc = jnp.stack([1.0 - tc, tc])
+    w = (wa[:, None, None] * wb[None, :, None]
+         * wc[None, None, :]).reshape(8)
+    out = jnp.sum(w[:, None] * blk, axis=0)                       # [C]
+    inside = ((aq >= a_grid[0]) & (aq <= a_grid[-1])
+              & (bq >= b_grid[0]) & (bq <= b_grid[-1])
+              & (cq >= c_grid[0]) & (cq <= c_grid[-1]))
+    return out, inside
 
 
 def _validate_grids_3d(alt_km, lat_deg, lon_deg, Ne):
@@ -249,31 +298,37 @@ def _bearing_frame(lat, lon, az):
     return rhat, d0, nhat / jnp.linalg.norm(nhat)
 
 
-@partial(jax.jit, static_argnames=("n_steps", "n_hops", "adaptive"))
-def _trace3d_core(field, lat0_deg, lon0_deg, elevation_deg, azimuth_deg,
-                  ds, n_steps, z_ground, n_hops=1, adaptive=False,
-                  rtol=1e-7, atol=1e-9, s_max=None, h_max=None):
+def _ray_funcs_3d(field, z_ground):
+    """(rhs_with_freespace, events, reflect) closures over one field.
+
+    Shared by the per-ray core and the batched fan core so both paths
+    integrate the identical step math (the fan core's chunked
+    early-exit loop is bitwise-equal to the scan — see
+    :func:`pyrayhf_tpu.gradient._integrate_fan`).
+    """
     alt_g = field["alt"]
     lat_g = field["lat"]
     lon_g = field["lon"]
 
-    def interp(f, alt, latd, lond, fill=jnp.nan):
-        return trilinear(alt, latd, lond, alt_g, lat_g, lon_g, f,
-                         fill_value=fill)
+    # RHS channels stacked once per launch: μ + the three grid-gradient
+    # components ride ONE 8-corner row gather per evaluation instead
+    # of 32 independent per-channel gathers (see _trilinear_pack)
+    pack_rhs = jnp.stack([field["mu"], field["dmu_dalt"],
+                          field["dmu_dlat"], field["dmu_dlon"]], axis=-1)
 
     def rhs(y):
         p, v = y[:3], y[3:]
         r, lat, lon = _geodetic(p)
         alt = r - R_E
         latd, lond = jnp.rad2deg(lat), jnp.rad2deg(lon)
-        mu = interp(field["mu"], alt, latd, lond)
-        g_a = interp(field["dmu_dalt"], alt, latd, lond, fill=0.0)
-        g_la = interp(field["dmu_dlat"], alt, latd, lond, fill=0.0)
-        g_lo = interp(field["dmu_dlon"], alt, latd, lond, fill=0.0)
+        vals, inside = _trilinear_pack(alt, latd, lond, alt_g, lat_g,
+                                       lon_g, pack_rhs)
+        mu = jnp.where(inside, vals[0], jnp.nan)
+        g = jnp.where(inside, vals[1:], 0.0)
         rhat, north, east = _local_frame(lat, lon)
         cl = jnp.maximum(jnp.cos(lat), 1e-9)
-        grad = (g_a * rhat + (g_la / r) * north
-                + (g_lo / (r * cl)) * east)
+        grad = (g[0] * rhat + (g[1] / r) * north
+                + (g[2] / (r * cl)) * east)
         ok = jnp.isfinite(mu) & (mu > 0.0) & jnp.all(jnp.isfinite(grad))
         mu_s = jnp.where(ok, mu, 1.0)
         gdv = jnp.dot(grad, v)
@@ -309,6 +364,12 @@ def _trace3d_core(field, lat0_deg, lon0_deg, elevation_deg, azimuth_deg,
         v_new = v - 2.0 * jnp.minimum(vr, 0.0) * rhat
         return y.at[3:].set(v_new)
 
+    return rhs_with_freespace, events, reflect
+
+
+def _launch_state_3d(lat0_deg, lon0_deg, elevation_deg, azimuth_deg,
+                     z_ground):
+    """ECEF [x, y, z, vx, vy, vz] launch state for one fan ray."""
     lat0 = jnp.deg2rad(lat0_deg)
     lon0 = jnp.deg2rad(lon0_deg)
     p0 = _ecef(lat0, lon0, R_E + z_ground + 1e-2)
@@ -317,19 +378,21 @@ def _trace3d_core(field, lat0_deg, lon0_deg, elevation_deg, azimuth_deg,
     az = jnp.deg2rad(azimuth_deg)
     v0 = (jnp.sin(el) * rhat0
           + jnp.cos(el) * (jnp.cos(az) * north0 + jnp.sin(az) * east0))
-    y0 = jnp.concatenate([p0, v0])
+    return jnp.concatenate([p0, v0])
 
-    hop_kw = dict(reflect_fn=reflect, max_bounces=n_hops - 1) \
-        if n_hops > 1 else {}
-    if adaptive:
-        from .gradient import _integrate_adaptive
-        ys, alive, status = _integrate_adaptive(
-            rhs_with_freespace, y0, n_steps, s_max, ds, rtol, atol,
-            h_max, events, v_slice=slice(3, 6), **hop_kw)
-    else:
-        ys, alive, status = _integrate(rhs_with_freespace, y0, n_steps,
-                                       ds, events, v_slice=slice(3, 6),
-                                       **hop_kw)
+
+def _path_products_3d(field, lat0_deg, lon0_deg, azimuth_deg, ys, alive,
+                      status):
+    """Path channels, integrals and landing geometry for one traced ray."""
+    alt_g = field["alt"]
+    lat_g = field["lat"]
+    lon_g = field["lon"]
+    alt_bot = alt_g[0]
+    lat0 = jnp.deg2rad(lat0_deg)
+    lon0 = jnp.deg2rad(lon0_deg)
+    az = jnp.deg2rad(azimuth_deg)
+    rhat0 = _local_frame(lat0, lon0)[0]
+
     p_path = ys[:, :3]
     r_path, lat_path, lon_path = _geodetic(p_path)
     alt_path = r_path - R_E
@@ -339,14 +402,20 @@ def _trace3d_core(field, lat0_deg, lon0_deg, elevation_deg, azimuth_deg,
     rm, latm, lonm = _geodetic(pm)
     latd_m, lond_m = jnp.rad2deg(latm), jnp.rad2deg(lonm)
     alt_m = rm - R_E
-    # below the grid: free space (μ = μ' = 1, κ = 0)
+    # below the grid: free space (μ = μ' = 1, κ = 0); one packed fetch
+    # for the three path channels (same trick as the RHS)
     below = alt_m < alt_bot
+    pack_mid = jnp.stack([field["mup"], field["mu"], field["kappa"]],
+                         axis=-1)
+    vals_m, in_m = jax.vmap(
+        lambda a, b, c: _trilinear_pack(a, b, c, alt_g, lat_g, lon_g,
+                                        pack_mid))(alt_m, latd_m, lond_m)
     mup_m = jnp.where(below, 1.0,
-                      interp(field["mup"], alt_m, latd_m, lond_m))
+                      jnp.where(in_m, vals_m[:, 0], jnp.nan))
     mu_m = jnp.where(below, 1.0,
-                     interp(field["mu"], alt_m, latd_m, lond_m))
+                     jnp.where(in_m, vals_m[:, 1], jnp.nan))
     kap_m = jnp.where(below, 0.0,
-                      interp(field["kappa"], alt_m, latd_m, lond_m, fill=0.0))
+                      jnp.where(in_m, vals_m[:, 2], 0.0))
     vfin = jnp.isfinite(mup_m)
     group_path = jnp.nansum(dseg)
     group_delay = jnp.nansum(jnp.where(vfin, mup_m / C_KM_S * dseg, 0.0))
@@ -381,9 +450,66 @@ def _trace3d_core(field, lat0_deg, lon0_deg, elevation_deg, azimuth_deg,
     }
 
 
+@partial(jax.jit, static_argnames=("n_steps", "n_hops", "adaptive",
+                                   "early_exit"))
+def _trace3d_core(field, lat0_deg, lon0_deg, elevation_deg, azimuth_deg,
+                  ds, n_steps, z_ground, n_hops=1, adaptive=False,
+                  rtol=1e-7, atol=1e-9, s_max=None, h_max=None,
+                  early_exit=False):
+    rhs_with_freespace, events, reflect = _ray_funcs_3d(field, z_ground)
+    y0 = _launch_state_3d(lat0_deg, lon0_deg, elevation_deg, azimuth_deg,
+                          z_ground)
+    hop_kw = dict(reflect_fn=reflect, max_bounces=n_hops - 1) \
+        if n_hops > 1 else {}
+    if adaptive:
+        from .gradient import _integrate_adaptive
+        ys, alive, status = _integrate_adaptive(
+            rhs_with_freespace, y0, n_steps, s_max, ds, rtol, atol,
+            h_max, events, v_slice=slice(3, 6), early_exit=early_exit,
+            **hop_kw)
+    else:
+        ys, alive, status = _integrate(rhs_with_freespace, y0, n_steps,
+                                       ds, events, v_slice=slice(3, 6),
+                                       early_exit=early_exit, **hop_kw)
+    return _path_products_3d(field, lat0_deg, lon0_deg, azimuth_deg, ys,
+                             alive, status)
+
+
+@partial(jax.jit, static_argnames=("n_steps", "n_hops", "chunk"))
+def _trace3d_fan_core(field, lat0_deg, lon0_deg, els, azs, ds, n_steps,
+                      z_ground, n_hops=1, chunk=125):
+    """The [E, A] fan as ONE batched early-exit integration.
+
+    The rays ride :func:`pyrayhf_tpu.gradient._integrate_fan` — the
+    per-ray step is vmapped INSIDE a chunked while_loop, so the launch
+    pays for the longest-lived ray (rounded up to a chunk) instead of
+    the full ``n_steps`` arc budget. Identical step math to the vmapped
+    scan core (measured bitwise-equal). On the v5e bench fan (48×9,
+    2000-step budget, longest ray dead at step 649) this is 1281 →
+    305 ms on top of the packed-gather RHS — 2641 → 305 ms (8.7×)
+    for the two round-5 changes together (tools/bench_fan_3d.py).
+    """
+    from .gradient import _integrate_fan
+    rhs_with_freespace, events, reflect = _ray_funcs_3d(field, z_ground)
+    el_g, az_g = jnp.meshgrid(els, azs, indexing="ij")
+    elf, azf = el_g.ravel(), az_g.ravel()
+    y0b = jax.vmap(lambda e, a: _launch_state_3d(
+        lat0_deg, lon0_deg, e, a, z_ground))(elf, azf)
+    hop_kw = dict(reflect_fn=reflect, max_bounces=n_hops - 1) \
+        if n_hops > 1 else {}
+    ys, alive, status = _integrate_fan(rhs_with_freespace, y0b, n_steps,
+                                       ds, events, v_slice=slice(3, 6),
+                                       chunk=chunk, **hop_kw)
+    out = jax.vmap(lambda y_i, a_i, s_i, az_i: _path_products_3d(
+        field, lat0_deg, lon0_deg, az_i, y_i, a_i, s_i))(
+            ys, alive, status, azf)
+    E, A = el_g.shape
+    return {k: v.reshape((E, A) + v.shape[1:]) for k, v in out.items()}
+
+
 def trace_ray_3d(field, lat0_deg, lon0_deg, elevation_deg, azimuth_deg, *,
                  step_km=1.0, s_max_km=6000.0, z_ground_km=0.0, n_hops=1,
-                 rtol=None, atol=None, max_step_km=None):
+                 rtol=None, atol=None, max_step_km=None, early_exit=True):
     """Trace one ray through a 3-D field (see :func:`build_field_3d`).
 
     Launches from (``lat0_deg``, ``lon0_deg``) at ``z_ground_km`` toward
@@ -422,27 +548,42 @@ def trace_ray_3d(field, lat0_deg, lon0_deg, elevation_deg, azimuth_deg, *,
                         jnp.asarray(azimuth_deg, dtype=float),
                         jnp.asarray(step_km, dtype=float), n_steps,
                         jnp.asarray(z_ground_km, dtype=float),
-                        n_hops=int(n_hops), **kw)
+                        n_hops=int(n_hops), early_exit=bool(early_exit),
+                        **kw)
     code = int(out.pop("status_code"))
     out["status"] = {v: k for k, v in _STATUS.items()}[code]
     return out
 
 
 def trace_rays_3d(field, lat0_deg, lon0_deg, elevation_deg, azimuth_deg, *,
-                  step_km=1.0, s_max_km=6000.0, z_ground_km=0.0, n_hops=1):
+                  step_km=1.0, s_max_km=6000.0, z_ground_km=0.0, n_hops=1,
+                  early_exit=True):
     """Batched fan: elevation [E] × azimuth [A] → dict of [E, A, ...].
 
     One XLA launch for the whole solid-angle fan — the 3-D analogue of
-    the 2-D (frequency × elevation) fans.
+    the 2-D (frequency × elevation) fans. ``early_exit=True`` (default)
+    integrates the fan in a chunked while_loop that stops once every
+    ray has frozen (identical results; pays for the longest-lived ray
+    instead of the full arc budget). Pass ``False`` when vmapping this
+    function yourself (e.g. over a stacked frequency axis — a
+    while_loop under vmap re-selects the whole carry per lane) or when
+    differentiating through the trace in reverse mode.
     """
     n_steps = int(round(float(s_max_km) / float(step_km)))
     els = jnp.asarray(elevation_deg, dtype=float)
     azs = jnp.asarray(azimuth_deg, dtype=float)
+    if early_exit:
+        return _trace3d_fan_core(
+            field, jnp.asarray(lat0_deg, dtype=float),
+            jnp.asarray(lon0_deg, dtype=float), els, azs,
+            jnp.asarray(step_km, dtype=float), n_steps,
+            jnp.asarray(z_ground_km, dtype=float), n_hops=int(n_hops))
     fn = lambda el, az: _trace3d_core(
         field, jnp.asarray(lat0_deg, dtype=float),
         jnp.asarray(lon0_deg, dtype=float), el, az,
         jnp.asarray(step_km, dtype=float), n_steps,
-        jnp.asarray(z_ground_km, dtype=float), n_hops=int(n_hops))
+        jnp.asarray(z_ground_km, dtype=float), n_hops=int(n_hops),
+        early_exit=False)
     return jax.vmap(lambda el: jax.vmap(lambda az: fn(el, az))(azs))(els)
 
 
@@ -526,7 +667,7 @@ def _home_setup(tx_lat, tx_lon, rx_lat, rx_lon, n_elev, n_az, az_span_deg,
 
 def _home_fan_core(field, tx_lat, tx_lon, az0, D, els, azs, *, step_km,
                    s_max_km, n_hops, max_range_jump_km, miss_cap,
-                   fan_fn=None):
+                   fan_fn=None, early_exit=True):
     """Traceable homing body: fan trace + elevation & azimuth stages.
 
     Geometry arguments are static Python scalars; the ``field`` leaves
@@ -543,7 +684,7 @@ def _home_fan_core(field, tx_lat, tx_lon, az0, D, els, azs, *, step_km,
     if fan_fn is None:
         fan = trace_rays_3d(field, tx_lat, tx_lon, els, azs,
                             step_km=step_km, s_max_km=s_max_km,
-                            n_hops=n_hops)
+                            n_hops=n_hops, early_exit=early_exit)
     else:
         fan = fan_fn(field, tx_lat, tx_lon, els, azs)
     # n̂ of the launch fan is per-azimuth; re-reference every landing to
@@ -634,7 +775,10 @@ def synthesize_oblique_ionogram_3d(f0s_hz, tx_lat, tx_lon, rx_lat, rx_lon,
         lambda fld: _home_fan_core(
             fld, tx_lat, tx_lon, az0, D, els, azs, step_km=step_km,
             s_max_km=s_max_km, n_hops=n_hops,
-            max_range_jump_km=max_range_jump_km, miss_cap=miss_cap),
+            max_range_jump_km=max_range_jump_km, miss_cap=miss_cap,
+            # vmapped over frequency: a while_loop fan under vmap
+            # re-selects the whole carry per lane -- keep the scan
+            early_exit=False),
         in_axes=(in_axes,)))
 
     chunk = int(freq_chunk) if freq_chunk else f0s.size

@@ -375,7 +375,7 @@ def trace_fan_3d_aniso_sharded(field, lat0_deg, lon0_deg, elevation_deg,
     """
     from jax import shard_map
 
-    from ..trace3d_aniso import _aniso_core
+    from ..trace3d_aniso import _aniso_fan_core
 
     els = jnp.asarray(elevation_deg, dtype=float)
     azs = jnp.asarray(azimuth_deg, dtype=float)
@@ -385,19 +385,18 @@ def trace_fan_3d_aniso_sharded(field, lat0_deg, lon0_deg, elevation_deg,
             f"elevation count ({els.size}) must be divisible by the "
             f"'{axis}' mesh axis size ({n_dev})")
     n_steps = int(round(float(s_max_km) / float(step_km)))
-    core = _aniso_core.__wrapped__
+    # same batched early-exit fan core as the unsharded fan — each
+    # device's while_loop trips for ITS elevation slice's longest ray
+    core = _aniso_fan_core.__wrapped__
     args = (jnp.asarray(lat0_deg, dtype=float),
             jnp.asarray(lon0_deg, dtype=float))
 
     def shard_fn(els_t):
-        one = lambda el, az: core(field, *args, el, az,
-                                  jnp.asarray(f0_hz, dtype=float), mode,
-                                  jnp.asarray(step_km, dtype=float),
-                                  n_steps,
-                                  jnp.asarray(z_ground_km, dtype=float),
-                                  n_hops=int(n_hops))
-        return jax.vmap(lambda el: jax.vmap(
-            lambda az: one(el, az))(azs))(els_t)
+        return core(field, *args, els_t, azs,
+                    jnp.asarray(f0_hz, dtype=float), mode,
+                    jnp.asarray(step_km, dtype=float), n_steps,
+                    jnp.asarray(z_ground_km, dtype=float),
+                    n_hops=int(n_hops))
 
     # check_vma off for the same mixed-carry reason as the fixed-psi fan
     fn = jax.jit(shard_map(shard_fn, mesh=mesh, in_specs=(P(axis),),

@@ -33,10 +33,13 @@ Formulation (TPU-first — one scalar, everything else by autodiff):
   (``jax.custom_jvp``), so the RK4 RHS sees the same smooth gradient
   fields the isotropic tracer interpolates, while the u- and
   f-derivatives stay exact autodiff;
-* integration reuses the shared freeze-on-event ``lax.scan`` RK4
-  (:func:`pyrayhf_tpu.gradient._integrate`) with a ``renorm_fn`` that
-  re-projects |u| onto the dispersion shell (|u| ← n(r, û)) each step —
-  the anisotropic analogue of the unit-direction renormalisation.
+* integration reuses the shared freeze-on-event RK4 integrators
+  (:func:`pyrayhf_tpu.gradient._integrate` for single rays,
+  :func:`pyrayhf_tpu.gradient._integrate_fan` — the batched chunked
+  while_loop that stops at the longest-lived ray — for fans) with a
+  ``renorm_fn`` that re-projects |u| onto the dispersion shell
+  (|u| ← n(r, û)) each step — the anisotropic analogue of the
+  unit-direction renormalisation.
 
 The reference has no anisotropic tracer of any kind (its most general
 tracer is the fixed-ψ 2-D spherical gradient form, ref
@@ -57,7 +60,7 @@ from .constants import C_KM_S, CP, G_P, R_E
 from .fields import grad_axis_ord2
 from .gradient import _STATUS, _integrate
 from .trace3d import (_bearing_frame, _ecef, _geodetic, _local_frame,
-                      _validate_grids_3d, trilinear)
+                      _trilinear_pack, _validate_grids_3d, trilinear)
 
 __all__ = ["build_field_3d_aniso", "igrf_volume",
            "trace_ray_3d_anisotropic", "trace_rays_3d_anisotropic",
@@ -117,25 +120,32 @@ def _ah_n2(X, Y, cos2, mode_mult):
 
 @jax.custom_jvp
 def _interp_smooth(aq, bq, cq, pack):
-    """Trilinear value with smoothed spatial derivatives.
+    """Channel-stacked trilinear value with smoothed spatial derivatives.
 
-    ``pack`` = (a_grid, b_grid, c_grid, field, ga, gb, gc) where
-    ga/gb/gc are the precomputed 2nd-order grid-gradient volumes
-    (:func:`pyrayhf_tpu.fields.grad_axis_ord2`). The VALUE is plain
-    trilinear interpolation of ``field``; the query-point JVP
-    interpolates the gradient volumes instead of differentiating the
-    trilinear weights, so autodiff through a query point sees a smooth
-    (trilinear) gradient field rather than the cell-piecewise-constant
-    derivative of the interpolant — the same regularisation the
-    isotropic 3-D tracer gets from its precomputed ``dmu_d*`` volumes.
-    The FIELD-table tangent is propagated exactly (trilinear of the
-    tangent volume), so ``jax.grad`` of tracer outputs w.r.t. Ne or B
-    tables is supported; grid-coordinate tangents raise (differentiating
-    w.r.t. the grid axes is not supported). Out-of-domain queries return
-    NaN (→ the RHS freezes the ray).
+    ``pack`` = (a_grid, b_grid, c_grid, fieldC, gaC, gbC, gcC) where
+    ``fieldC`` is the channel-stacked volume [na, nb, nc, C] and
+    gaC/gbC/gcC its precomputed 2nd-order grid-gradient volumes
+    (:func:`pyrayhf_tpu.fields.grad_axis_ord2`). Returns the [C] values
+    at one query point. The VALUE is plain trilinear interpolation of
+    ``fieldC`` — all channels ride ONE [8, C] corner row gather
+    (:func:`pyrayhf_tpu.trace3d._trilinear_pack`; per-channel
+    interpolation cost the dispersion RHS 16 trilinear fetches = 128
+    corner gathers per linearised evaluation, the packed form does it
+    in 4). The query-point JVP interpolates the gradient volumes
+    instead of differentiating the trilinear weights, so autodiff
+    through a query point sees a smooth (trilinear) gradient field
+    rather than the cell-piecewise-constant derivative of the
+    interpolant — the same regularisation the isotropic 3-D tracer gets
+    from its precomputed ``dmu_d*`` volumes. The FIELD-table tangent is
+    propagated exactly (trilinear of the tangent volume), so
+    ``jax.grad`` of tracer outputs w.r.t. Ne or B tables is supported;
+    grid-coordinate tangents raise (differentiating w.r.t. the grid
+    axes is not supported). Out-of-domain queries return NaN (→ the RHS
+    freezes the ray).
     """
-    a_g, b_g, c_g, field, _, _, _ = pack
-    return trilinear(aq, bq, cq, a_g, b_g, c_g, field)
+    a_g, b_g, c_g, fieldC, _, _, _ = pack
+    vals, inside = _trilinear_pack(aq, bq, cq, a_g, b_g, c_g, fieldC)
+    return jnp.where(inside, vals, jnp.nan)
 
 
 def _interp_smooth_jvp(primals, tangents):
@@ -143,9 +153,14 @@ def _interp_smooth_jvp(primals, tangents):
 
     aq, bq, cq, pack = primals
     da, db, dc, dpack = tangents
-    a_g, b_g, c_g, field, ga, gb, gc = pack
+    a_g, b_g, c_g, fieldC, gaC, gbC, gcC = pack
     d_ag, d_bg, d_cg, d_field = dpack[0], dpack[1], dpack[2], dpack[3]
-    val = trilinear(aq, bq, cq, a_g, b_g, c_g, field)
+
+    def fetch(vol):
+        vals, inside = _trilinear_pack(aq, bq, cq, a_g, b_g, c_g, vol)
+        return jnp.where(inside, vals, jnp.nan)
+
+    val = fetch(fieldC)
     tan = jnp.zeros_like(val)
 
     def _is_zero(t):
@@ -156,25 +171,30 @@ def _interp_smooth_jvp(primals, tangents):
             "_interp_smooth: differentiation w.r.t. the grid coordinate "
             "axes is not supported (field-table and query-point tangents "
             "are).")
-    for dq, gvol in ((da, ga), (db, gb), (dc, gc)):
+    for dq, gvol in ((da, gaC), (db, gbC), (dc, gcC)):
         if not _is_zero(dq):
-            tan = tan + trilinear(aq, bq, cq, a_g, b_g, c_g, gvol) * dq
+            tan = tan + fetch(gvol) * dq
     if not _is_zero(d_field):
         # exact value-channel tangent w.r.t. the field table: trilinear
         # is linear in the table, so interpolate the tangent volume.
         # (ga/gb/gc tangents only affect the smoothed derivative channel
         # — irrelevant to the value; ignored.)
-        tan = tan + trilinear(aq, bq, cq, a_g, b_g, c_g, d_field)
+        tan = tan + fetch(d_field)
     return val, tan
 
 
 _interp_smooth.defjvp(_interp_smooth_jvp, symbolic_zeros=True)
 
 
-def _pack(field, a_g, b_g, c_g):
-    """(grids, field, ∂a, ∂b, ∂c) tuple for :func:`_interp_smooth`."""
-    return (a_g, b_g, c_g, field, grad_axis_ord2(field, a_g, 0),
-            grad_axis_ord2(field, b_g, 1), grad_axis_ord2(field, c_g, 2))
+def _pack(channels, a_g, b_g, c_g):
+    """(grids, fieldC, ∂a, ∂b, ∂c) tuple for :func:`_interp_smooth`.
+
+    ``channels``: list of [na, nb, nc] volumes, stacked onto a trailing
+    channel axis so every query is one corner-row gather.
+    """
+    fieldC = jnp.stack(channels, axis=-1)
+    return (a_g, b_g, c_g, fieldC, grad_axis_ord2(fieldC, a_g, 0),
+            grad_axis_ord2(fieldC, b_g, 1), grad_axis_ord2(fieldC, c_g, 2))
 
 
 def igrf_volume(alt_km, lat_deg, lon_deg, coeffs=None):
@@ -228,12 +248,12 @@ def build_field_3d_aniso(alt_km, lat_deg, lon_deg, Ne, B_north, B_east,
               - bd[..., None] * rhat[None])
     nu_a = (collision_frequency(alt) if nu is None
             else jnp.asarray(nu, dtype=float))
+    # one channel-stacked table [na, nb, nc, 4] = (Ne, Bx, By, Bz): the
+    # dispersion RHS fetches all four with a single corner-row gather
     return {
         "alt": alt, "lat": lat, "lon": lon, "nu": nu_a,
-        "ne": _pack(Ne, alt, lat, lon),
-        "bx": _pack(b_ecef[..., 0], alt, lat, lon),
-        "by": _pack(b_ecef[..., 1], alt, lat, lon),
-        "bz": _pack(b_ecef[..., 2], alt, lat, lon),
+        "tables": _pack([Ne, b_ecef[..., 0], b_ecef[..., 1],
+                         b_ecef[..., 2]], alt, lat, lon),
     }
 
 
@@ -250,11 +270,9 @@ def _g_scalar(p, u, f0, field, mode, mode_mult):
     # event backtracks) uses the top-edge value
     alt_c = jnp.clip(alt, alt_g[0], alt_g[-1])
     below = alt < alt_g[0]
-    ne = jnp.where(below, 0.0, _interp_smooth(alt_c, latd, lond,
-                                              field["ne"]))
-    bx = _interp_smooth(alt_c, latd, lond, field["bx"])
-    by = _interp_smooth(alt_c, latd, lond, field["by"])
-    bz = _interp_smooth(alt_c, latd, lond, field["bz"])
+    vals = _interp_smooth(alt_c, latd, lond, field["tables"])
+    ne = jnp.where(below, 0.0, vals[0])
+    bx, by, bz = vals[1], vals[2], vals[3]
     fin = (jnp.isfinite(ne) & jnp.isfinite(bx) & jnp.isfinite(by)
            & jnp.isfinite(bz))
     ne = jnp.where(fin & (ne > 0.0), ne, jnp.where(fin, 0.0, 1.0))
@@ -297,9 +315,12 @@ def _g_scalar(p, u, f0, field, mode, mode_mult):
 _NST = 9
 
 
-@partial(jax.jit, static_argnames=("mode", "n_steps", "n_hops"))
-def _aniso_core(field, lat0_deg, lon0_deg, elevation_deg, azimuth_deg,
-                f0_hz, mode, ds, n_steps, z_ground, n_hops=1):
+def _aniso_funcs(field, f0_hz, mode, z_ground):
+    """(rhs, renorm, events, reflect) closures over one aniso field.
+
+    Shared by the per-ray core and the batched fan core so both paths
+    integrate the identical Haselgrove step math.
+    """
     mode_mult = {"O": 1.0, "X": -1.0}[mode]
     g3 = partial(_g_scalar, field=field, mode=mode, mode_mult=mode_mult)
     g_vag = jax.value_and_grad(lambda p, u, f: g3(p, u, f),
@@ -351,6 +372,12 @@ def _aniso_core(field, lat0_deg, lon0_deg, elevation_deg, azimuth_deg,
         ur = jnp.dot(u, rhat)
         return y.at[3:6].set(u - 2.0 * jnp.minimum(ur, 0.0) * rhat)
 
+    return rhs, renorm, events, reflect
+
+
+def _aniso_launch_state(lat0_deg, lon0_deg, elevation_deg, azimuth_deg,
+                        z_ground):
+    """Initial [p, u, t, P, A] state for one anisotropic fan ray."""
     lat0 = jnp.deg2rad(lat0_deg)
     lon0 = jnp.deg2rad(lon0_deg)
     p0 = _ecef(lat0, lon0, R_E + z_ground + 1e-2)
@@ -361,12 +388,16 @@ def _aniso_core(field, lat0_deg, lon0_deg, elevation_deg, azimuth_deg,
           + jnp.cos(el) * (jnp.cos(az) * north0 + jnp.sin(az) * east0))
     # launch in free space below the grid: |u| = 1; the per-step shell
     # projection takes over once the ray enters the plasma
-    y0 = jnp.concatenate([p0, d0, jnp.zeros(3)])
+    return jnp.concatenate([p0, d0, jnp.zeros(3)])
 
-    hop_kw = dict(reflect_fn=reflect, max_bounces=n_hops - 1) \
-        if n_hops > 1 else {}
-    ys, alive, status = _integrate(rhs, y0, n_steps, ds, events,
-                                   renorm_fn=renorm, **hop_kw)
+
+def _aniso_path_products(lat0_deg, lon0_deg, azimuth_deg, ys, alive,
+                         status):
+    """Path channels, integrals and landing geometry for one traced ray."""
+    lat0 = jnp.deg2rad(lat0_deg)
+    lon0 = jnp.deg2rad(lon0_deg)
+    az = jnp.deg2rad(azimuth_deg)
+    rhat0 = _local_frame(lat0, lon0)[0]
     p_path = ys[:, :3]
     r_path, lat_path, lon_path = _geodetic(p_path)
     alt_path = r_path - R_E
@@ -398,9 +429,58 @@ def _aniso_core(field, lat0_deg, lon0_deg, elevation_deg, azimuth_deg,
     }
 
 
+@partial(jax.jit, static_argnames=("mode", "n_steps", "n_hops",
+                                   "early_exit"))
+def _aniso_core(field, lat0_deg, lon0_deg, elevation_deg, azimuth_deg,
+                f0_hz, mode, ds, n_steps, z_ground, n_hops=1,
+                early_exit=False):
+    rhs, renorm, events, reflect = _aniso_funcs(field, f0_hz, mode,
+                                                z_ground)
+    y0 = _aniso_launch_state(lat0_deg, lon0_deg, elevation_deg,
+                             azimuth_deg, z_ground)
+    hop_kw = dict(reflect_fn=reflect, max_bounces=n_hops - 1) \
+        if n_hops > 1 else {}
+    ys, alive, status = _integrate(rhs, y0, n_steps, ds, events,
+                                   renorm_fn=renorm,
+                                   early_exit=early_exit, **hop_kw)
+    return _aniso_path_products(lat0_deg, lon0_deg, azimuth_deg, ys,
+                                alive, status)
+
+
+@partial(jax.jit, static_argnames=("mode", "n_steps", "n_hops", "chunk"))
+def _aniso_fan_core(field, lat0_deg, lon0_deg, els, azs, f0_hz, mode, ds,
+                    n_steps, z_ground, n_hops=1, chunk=125):
+    """The [E, A] anisotropic fan as ONE batched early-exit integration.
+
+    Same structure as :func:`pyrayhf_tpu.trace3d._trace3d_fan_core`:
+    the Haselgrove step is vmapped INSIDE the chunked while_loop of
+    :func:`pyrayhf_tpu.gradient._integrate_fan`, so the launch pays for
+    the longest-lived ray instead of the full arc budget. Forward-only
+    (reverse-mode field-table gradients take the scan path,
+    ``early_exit=False`` in the callers).
+    """
+    from .gradient import _integrate_fan
+    rhs, renorm, events, reflect = _aniso_funcs(field, f0_hz, mode,
+                                                z_ground)
+    el_g, az_g = jnp.meshgrid(els, azs, indexing="ij")
+    elf, azf = el_g.ravel(), az_g.ravel()
+    y0b = jax.vmap(lambda e, a: _aniso_launch_state(
+        lat0_deg, lon0_deg, e, a, z_ground))(elf, azf)
+    hop_kw = dict(reflect_fn=reflect, max_bounces=n_hops - 1) \
+        if n_hops > 1 else {}
+    ys, alive, status = _integrate_fan(rhs, y0b, n_steps, ds, events,
+                                       renorm_fn=renorm, chunk=chunk,
+                                       **hop_kw)
+    out = jax.vmap(lambda y_i, a_i, s_i, az_i: _aniso_path_products(
+        lat0_deg, lon0_deg, az_i, y_i, a_i, s_i))(ys, alive, status, azf)
+    E, A = el_g.shape
+    return {k: v.reshape((E, A) + v.shape[1:]) for k, v in out.items()}
+
+
 def trace_ray_3d_anisotropic(field, lat0_deg, lon0_deg, elevation_deg,
                              azimuth_deg, f0_hz, *, mode="O", step_km=1.0,
-                             s_max_km=6000.0, z_ground_km=0.0, n_hops=1):
+                             s_max_km=6000.0, z_ground_km=0.0, n_hops=1,
+                             early_exit=False):
     """Trace one ray with the full anisotropic dispersion relation.
 
     ``field`` from :func:`build_field_3d_aniso` (frequency- and
@@ -422,6 +502,12 @@ def trace_ray_3d_anisotropic(field, lat0_deg, lon0_deg, elevation_deg,
     the smoothed interpolant), so tracer outputs can drive
     field-retrieval objectives; the grid COORDINATE axes are not
     differentiable (a tangent on them raises).
+
+    ``early_exit=True`` integrates in a while_loop that stops when the
+    ray freezes — faster for forward-only single traces, but reverse-
+    mode AD cannot cross it, so it is OFF by default here (this tracer's
+    field-table gradients are the advertised path; the batched fan
+    :func:`trace_rays_3d_anisotropic` defaults ON instead).
     """
     n_steps = int(round(float(s_max_km) / float(step_km)))
     out = _aniso_core(field, jnp.asarray(lat0_deg, dtype=float),
@@ -431,7 +517,7 @@ def trace_ray_3d_anisotropic(field, lat0_deg, lon0_deg, elevation_deg,
                       jnp.asarray(f0_hz, dtype=float), mode,
                       jnp.asarray(step_km, dtype=float), n_steps,
                       jnp.asarray(z_ground_km, dtype=float),
-                      n_hops=int(n_hops))
+                      n_hops=int(n_hops), early_exit=bool(early_exit))
     code = int(out.pop("status_code"))
     out["status"] = {v: k for k, v in _STATUS.items()}[code]
     return out
@@ -440,21 +526,32 @@ def trace_ray_3d_anisotropic(field, lat0_deg, lon0_deg, elevation_deg,
 def trace_rays_3d_anisotropic(field, lat0_deg, lon0_deg, elevation_deg,
                               azimuth_deg, f0_hz, *, mode="O",
                               step_km=1.0, s_max_km=6000.0,
-                              z_ground_km=0.0, n_hops=1):
+                              z_ground_km=0.0, n_hops=1, early_exit=True):
     """Batched anisotropic fan: elevation [E] × azimuth [A] → [E, A, ...].
 
     One XLA launch, mirroring :func:`pyrayhf_tpu.trace3d.trace_rays_3d`.
     ``f0_hz`` may also be an array broadcast against the fan (e.g.
     per-elevation frequencies for an ionogram sweep — pass matching
-    [E]-shaped ``elevation_deg``).
+    [E]-shaped ``elevation_deg``); non-scalar frequencies take the
+    vmapped scan path. ``early_exit=True`` (default) runs the fan's
+    chunked while_loop integration — identical results, pays for the
+    longest-lived ray instead of the full arc budget. Pass ``False``
+    when vmapping this function yourself or when reverse-mode
+    differentiating through the trace.
     """
     n_steps = int(round(float(s_max_km) / float(step_km)))
     els = jnp.asarray(elevation_deg, dtype=float)
     azs = jnp.asarray(azimuth_deg, dtype=float)
+    f0 = jnp.asarray(f0_hz, dtype=float)
+    if early_exit and f0.ndim == 0:
+        return _aniso_fan_core(
+            field, jnp.asarray(lat0_deg, dtype=float),
+            jnp.asarray(lon0_deg, dtype=float), els, azs, f0, mode,
+            jnp.asarray(step_km, dtype=float), n_steps,
+            jnp.asarray(z_ground_km, dtype=float), n_hops=int(n_hops))
     fn = lambda el, az: _aniso_core(
         field, jnp.asarray(lat0_deg, dtype=float),
-        jnp.asarray(lon0_deg, dtype=float), el, az,
-        jnp.asarray(f0_hz, dtype=float), mode,
+        jnp.asarray(lon0_deg, dtype=float), el, az, f0, mode,
         jnp.asarray(step_km, dtype=float), n_steps,
         jnp.asarray(z_ground_km, dtype=float), n_hops=int(n_hops))
     return jax.vmap(lambda el: jax.vmap(lambda az: fn(el, az))(azs))(els)
@@ -536,10 +633,13 @@ def synthesize_oblique_ionogram_3d_anisotropic(
         elev_min_deg, elev_max_deg, max_miss_jump_km)
 
     def homed_one(f0):
+        # vmapped over frequency: a while_loop fan under vmap re-selects
+        # the whole carry per lane — keep the scan
         fan_fn = lambda fld, tlat, tlon, els_t, azs_t: \
             trace_rays_3d_anisotropic(fld, tlat, tlon, els_t, azs_t, f0,
                                       mode=mode, step_km=step_km,
-                                      s_max_km=s_max_km, n_hops=n_hops)
+                                      s_max_km=s_max_km, n_hops=n_hops,
+                                      early_exit=False)
         return _home_fan_core(field, tx_lat, tx_lon, az0, D, els, azs,
                               step_km=step_km, s_max_km=s_max_km,
                               n_hops=n_hops,

@@ -211,8 +211,8 @@ def test_fixed_psi_error_bounded_quasi_transverse(grids, igrf_b,
 
 
 def test_batched_fan_matches_single(field_igrf):
-    """The [E, A] fan is a vmap of the single-ray core: identical
-    observables, one launch."""
+    """The [E, A] fan (batched early-exit core) reproduces the
+    single-ray scan core's observables, one launch."""
     els = np.array([20.0, 30.0])
     azs = np.array([0.0, 90.0])
     fan = trace_rays_3d_anisotropic(field_igrf, 30.0, 0.0, els, azs, F0,
@@ -224,6 +224,33 @@ def test_batched_fan_matches_single(field_igrf):
               "absorption_db", "phase_path_km"):
         np.testing.assert_allclose(np.asarray(fan[k])[1, 1], float(one[k]),
                                    rtol=1e-10, err_msg=k)
+
+
+def test_fan_early_exit_matches_scan(field_igrf):
+    """The chunked while_loop fan (early_exit=True, the default) equals
+    the vmapped scan fan on every output — including frozen-tail path
+    rows, alive masks and status codes — at fan scale with a mix of
+    landing, escaping and budget-limited rays."""
+    els = np.linspace(8.0, 72.0, 9)
+    azs = np.array([-30.0, 0.0, 30.0])
+    a = trace_rays_3d_anisotropic(field_igrf, 30.0, 0.0, els, azs, F0,
+                                  step_km=STEP, s_max_km=SMAX,
+                                  early_exit=True)
+    b = trace_rays_3d_anisotropic(field_igrf, 30.0, 0.0, els, azs, F0,
+                                  step_km=STEP, s_max_km=SMAX,
+                                  early_exit=False)
+    assert np.array_equal(np.asarray(a["status_code"]),
+                          np.asarray(b["status_code"]))
+    assert np.array_equal(np.asarray(a["alive"]), np.asarray(b["alive"]))
+    for k in ("ground_range_km", "group_delay_sec", "cross_track_km",
+              "absorption_db", "phase_path_km", "apex_alt_km",
+              "landing_lat_deg", "landing_lon_deg", "alt", "u"):
+        va, vb = np.asarray(a[k]), np.asarray(b[k])
+        assert np.array_equal(np.isnan(va), np.isnan(vb)), k
+        m = np.isfinite(vb)
+        if m.any():
+            np.testing.assert_allclose(va[m], vb[m], rtol=0, atol=1e-9,
+                                       err_msg=k)
 
 
 def test_absorption_accrues(field_igrf):

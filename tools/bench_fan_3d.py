@@ -35,6 +35,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from pyrayhf_tpu.trace3d import build_field_3d, trace_rays_3d
+from pyrayhf_tpu.trace3d_aniso import (build_field_3d_aniso, igrf_volume,
+                                       trace_rays_3d_anisotropic)
 
 E, A, NSTEP = 48, 9, 2000        # the home_ray_3d default fan, s_max 4000/2 km
 
@@ -79,6 +81,34 @@ def main():
     landed = int(np.isfinite(np.asarray(out["ground_range_km"])).sum())
     rays = E * A
     print(f"3-D fan [{E}x{A}, {NSTEP} steps, 200x40x40 volume]: "
+          f"{best*1e3:8.1f} ms  ({rays/best:,.0f} rays/s)  "
+          f"landed={landed}/{rays}")
+
+    # the full-Haselgrove anisotropic fan on the same volume (each RHS
+    # eval linearises the dispersion scalar: ~4x the fixed-psi work
+    # plus the shell re-projection each step)
+    bn, be, bd = igrf_volume(alt, lat, lon)
+    fld_a = build_field_3d_aniso(alt, lat, lon, jnp.asarray(ne, f32),
+                                 jnp.asarray(bn, f32),
+                                 jnp.asarray(be, f32),
+                                 jnp.asarray(bd, f32))
+    fld_a = jax.tree_util.tree_map(
+        lambda v: jnp.asarray(v, f32) if hasattr(v, "dtype") else v,
+        fld_a)
+    fan_a = jax.jit(lambda: trace_rays_3d_anisotropic(
+        fld_a, 40.0, 0.0, els, azs, 8.0e6, mode="O", step_km=2.0,
+        s_max_km=4000.0))
+    out = fan_a()
+    _ = np.asarray(jnp.ravel(out["ground_range_km"])[0])    # fence
+    best = np.inf
+    for _rep in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fan_a()
+        _ = np.asarray(jnp.ravel(out["ground_range_km"])[0])
+        best = min(best, (time.perf_counter() - t0) / iters)
+    landed = int(np.isfinite(np.asarray(out["ground_range_km"])).sum())
+    print(f"aniso fan [{E}x{A}, {NSTEP} steps, 200x40x40 volume]: "
           f"{best*1e3:8.1f} ms  ({rays/best:,.0f} rays/s)  "
           f"landed={landed}/{rays}")
 

@@ -632,6 +632,26 @@ def home_ray_3d(field, tx_lat, tx_lon, rx_lat, rx_lon, *, n_elev=48,
     return out
 
 
+@partial(jax.jit, static_argnames=("tx_lat", "tx_lon", "az0", "D",
+                                   "miss_cap", "max_range_jump_km",
+                                   "step_km", "s_max_km", "n_hops"))
+def _homed_sweep(fan_all, tx_lat, tx_lon, az0, D, els, azs, step_km,
+                 s_max_km, n_hops, max_range_jump_km, miss_cap):
+    """Both homing crossing stages vmapped over a PRE-TRACED [F, …] fan.
+
+    Module-level jit (statics = the link geometry scalars) so repeated
+    sweeps over the same link reuse one executable — synthesizers that
+    trace the whole multi-frequency fan in one launch
+    (:func:`pyrayhf_tpu.trace3d_aniso._aniso_ionogram_fan`) feed it
+    here instead of re-homing per frequency.
+    """
+    return jax.vmap(lambda fan_f: _home_fan_core(
+        None, tx_lat, tx_lon, az0, D, els, azs, step_km=step_km,
+        s_max_km=s_max_km, n_hops=n_hops,
+        max_range_jump_km=max_range_jump_km, miss_cap=miss_cap,
+        fan_fn=lambda *_args: fan_f))(fan_all)
+
+
 def _home_setup(tx_lat, tx_lon, rx_lat, rx_lon, n_elev, n_az, az_span_deg,
                 elev_min_deg, elev_max_deg, max_miss_jump_km):
     """Validate the fan request; return (az0, D, els, azs, miss_cap).

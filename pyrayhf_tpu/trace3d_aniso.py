@@ -315,18 +315,21 @@ def _g_scalar(p, u, f0, field, mode, mode_mult):
 _NST = 9
 
 
-def _aniso_funcs(field, f0_hz, mode, z_ground):
+def _aniso_funcs(field, mode, z_ground):
     """(rhs, renorm, events, reflect) closures over one aniso field.
 
-    Shared by the per-ray core and the batched fan core so both paths
-    integrate the identical Haselgrove step math.
+    Shared by the per-ray core and the batched fan cores so every path
+    integrates the identical Haselgrove step math. ``rhs``/``renorm``
+    take the wave frequency as a second argument: the per-ray core
+    fixes it by closure, the multi-frequency fan carries it as a frozen
+    state channel (so one launch integrates an entire ionogram sweep).
     """
     mode_mult = {"O": 1.0, "X": -1.0}[mode]
     g3 = partial(_g_scalar, field=field, mode=mode, mode_mult=mode_mult)
     g_vag = jax.value_and_grad(lambda p, u, f: g3(p, u, f),
                                argnums=(0, 1, 2), has_aux=True)
 
-    def rhs(y):
+    def rhs(y, f0_hz):
         p, u = y[:3], y[3:6]
         (_, (n2, valid, kap)), (G_p, G_u, G_f) = g_vag(p, u, f0_hz)
         sig2 = jnp.dot(G_u, G_u)
@@ -343,7 +346,7 @@ def _aniso_funcs(field, f0_hz, mode, z_ground):
         return jnp.where(ok & jnp.all(jnp.isfinite(vec)), vec,
                          jnp.zeros(_NST))
 
-    def renorm(y):
+    def renorm(y, f0_hz):
         # project |u| back onto the dispersion shell: |u| ← n(r, û)
         p, u = y[:3], y[3:6]
         umag = jnp.linalg.norm(u)
@@ -434,17 +437,52 @@ def _aniso_path_products(lat0_deg, lon0_deg, azimuth_deg, ys, alive,
 def _aniso_core(field, lat0_deg, lon0_deg, elevation_deg, azimuth_deg,
                 f0_hz, mode, ds, n_steps, z_ground, n_hops=1,
                 early_exit=False):
-    rhs, renorm, events, reflect = _aniso_funcs(field, f0_hz, mode,
-                                                z_ground)
+    rhs, renorm, events, reflect = _aniso_funcs(field, mode, z_ground)
     y0 = _aniso_launch_state(lat0_deg, lon0_deg, elevation_deg,
                              azimuth_deg, z_ground)
     hop_kw = dict(reflect_fn=reflect, max_bounces=n_hops - 1) \
         if n_hops > 1 else {}
-    ys, alive, status = _integrate(rhs, y0, n_steps, ds, events,
-                                   renorm_fn=renorm,
+    ys, alive, status = _integrate(lambda y: rhs(y, f0_hz), y0, n_steps,
+                                   ds, events,
+                                   renorm_fn=lambda y: renorm(y, f0_hz),
                                    early_exit=early_exit, **hop_kw)
     return _aniso_path_products(lat0_deg, lon0_deg, azimuth_deg, ys,
                                 alive, status)
+
+
+def _aniso_fan_flat(field, lat0_deg, lon0_deg, elf, azf, f0f, mode, ds,
+                    n_steps, z_ground, n_hops, chunk):
+    """Flat [R]-ray anisotropic early-exit fan (shared fan machinery).
+
+    The wave frequency rides as a FROZEN 10th state channel (df0/ds = 0;
+    the event backtrack is linear so the channel is exactly preserved),
+    which lets one launch integrate rays at DIFFERENT frequencies — the
+    whole (frequency × elevation × azimuth) ionogram sweep in a single
+    chunked while_loop that stops at the longest-lived ray. The step
+    math on the 9 physical channels is identical to the per-ray scan
+    core. Forward-only (reverse-mode field-table gradients take the
+    scan path, ``early_exit=False`` in the callers).
+    """
+    from .gradient import _integrate_fan
+    rhs, renorm, events, reflect = _aniso_funcs(field, mode, z_ground)
+
+    def rhs10(y):
+        return jnp.concatenate([rhs(y, y[_NST]), jnp.zeros(1)])
+
+    def renorm10(y):
+        return renorm(y, y[_NST])
+
+    y0b = jax.vmap(lambda e, a: _aniso_launch_state(
+        lat0_deg, lon0_deg, e, a, z_ground))(elf, azf)
+    y0b = jnp.concatenate([y0b, f0f[:, None]], axis=1)
+    hop_kw = dict(reflect_fn=reflect, max_bounces=n_hops - 1) \
+        if n_hops > 1 else {}
+    ys, alive, status = _integrate_fan(rhs10, y0b, n_steps, ds, events,
+                                       renorm_fn=renorm10, chunk=chunk,
+                                       **hop_kw)
+    return jax.vmap(lambda y_i, a_i, s_i, az_i: _aniso_path_products(
+        lat0_deg, lon0_deg, az_i, y_i[:, :_NST], a_i, s_i))(
+            ys, alive, status, azf)
 
 
 @partial(jax.jit, static_argnames=("mode", "n_steps", "n_hops", "chunk"))
@@ -455,26 +493,39 @@ def _aniso_fan_core(field, lat0_deg, lon0_deg, els, azs, f0_hz, mode, ds,
     Same structure as :func:`pyrayhf_tpu.trace3d._trace3d_fan_core`:
     the Haselgrove step is vmapped INSIDE the chunked while_loop of
     :func:`pyrayhf_tpu.gradient._integrate_fan`, so the launch pays for
-    the longest-lived ray instead of the full arc budget. Forward-only
-    (reverse-mode field-table gradients take the scan path,
-    ``early_exit=False`` in the callers).
+    the longest-lived ray instead of the full arc budget. ``f0_hz``
+    broadcasts against the [E, A] fan.
     """
-    from .gradient import _integrate_fan
-    rhs, renorm, events, reflect = _aniso_funcs(field, f0_hz, mode,
-                                                z_ground)
     el_g, az_g = jnp.meshgrid(els, azs, indexing="ij")
-    elf, azf = el_g.ravel(), az_g.ravel()
-    y0b = jax.vmap(lambda e, a: _aniso_launch_state(
-        lat0_deg, lon0_deg, e, a, z_ground))(elf, azf)
-    hop_kw = dict(reflect_fn=reflect, max_bounces=n_hops - 1) \
-        if n_hops > 1 else {}
-    ys, alive, status = _integrate_fan(rhs, y0b, n_steps, ds, events,
-                                       renorm_fn=renorm, chunk=chunk,
-                                       **hop_kw)
-    out = jax.vmap(lambda y_i, a_i, s_i, az_i: _aniso_path_products(
-        lat0_deg, lon0_deg, az_i, y_i, a_i, s_i))(ys, alive, status, azf)
+    f0_g = jnp.broadcast_to(jnp.asarray(f0_hz, dtype=float), el_g.shape)
+    out = _aniso_fan_flat(field, lat0_deg, lon0_deg, el_g.ravel(),
+                          az_g.ravel(), f0_g.ravel(), mode, ds, n_steps,
+                          z_ground, n_hops, chunk)
     E, A = el_g.shape
     return {k: v.reshape((E, A) + v.shape[1:]) for k, v in out.items()}
+
+
+@partial(jax.jit, static_argnames=("mode", "n_steps", "n_hops", "chunk"))
+def _aniso_ionogram_fan(field, lat0_deg, lon0_deg, els, azs, f0s, mode,
+                        ds, n_steps, z_ground, n_hops=1, chunk=125):
+    """[F, E, A] sweep fan: every frequency's rays in ONE early-exit loop.
+
+    The frequency-as-state-channel trick in :func:`_aniso_fan_flat`
+    makes the whole oblique-ionogram ray budget one batched launch —
+    the anisotropic field tables are frequency-independent, so no
+    per-frequency volumes are needed (unlike the fixed-ψ synthesizer).
+    """
+    f_g, el_g, az_g = jnp.meshgrid(f0s, els, azs, indexing="ij")
+    out = _aniso_fan_flat(field, lat0_deg, lon0_deg, el_g.ravel(),
+                          az_g.ravel(), f_g.ravel(), mode, ds, n_steps,
+                          z_ground, n_hops, chunk)
+    # homing consumes only the per-ray scalars — drop the [n_steps]
+    # path channels here, INSIDE the jit, so the [F·E·A, n_steps]
+    # buffers never materialize in HBM as outputs
+    drop = ("lat", "lon", "alt", "ecef", "u", "alive")
+    F, E, A = el_g.shape
+    return {k: v.reshape((F, E, A) + v.shape[1:])
+            for k, v in out.items() if k not in drop}
 
 
 def trace_ray_3d_anisotropic(field, lat0_deg, lon0_deg, elevation_deg,
@@ -530,20 +581,21 @@ def trace_rays_3d_anisotropic(field, lat0_deg, lon0_deg, elevation_deg,
     """Batched anisotropic fan: elevation [E] × azimuth [A] → [E, A, ...].
 
     One XLA launch, mirroring :func:`pyrayhf_tpu.trace3d.trace_rays_3d`.
-    ``f0_hz`` may also be an array broadcast against the fan (e.g.
-    per-elevation frequencies for an ionogram sweep — pass matching
-    [E]-shaped ``elevation_deg``); non-scalar frequencies take the
-    vmapped scan path. ``early_exit=True`` (default) runs the fan's
-    chunked while_loop integration — identical results, pays for the
-    longest-lived ray instead of the full arc budget. Pass ``False``
-    when vmapping this function yourself or when reverse-mode
-    differentiating through the trace.
+    ``f0_hz`` may also be an array broadcast against the [E, A] fan
+    (e.g. per-elevation frequencies for an ionogram sweep — the
+    early-exit fan carries frequency as a frozen state channel, so
+    mixed-frequency fans still run as one launch).
+    ``early_exit=True`` (default) runs the fan's chunked while_loop
+    integration — identical results, pays for the longest-lived ray
+    instead of the full arc budget. Pass ``False`` when vmapping this
+    function yourself or when reverse-mode differentiating through the
+    trace.
     """
     n_steps = int(round(float(s_max_km) / float(step_km)))
     els = jnp.asarray(elevation_deg, dtype=float)
     azs = jnp.asarray(azimuth_deg, dtype=float)
     f0 = jnp.asarray(f0_hz, dtype=float)
-    if early_exit and f0.ndim == 0:
+    if early_exit:
         return _aniso_fan_core(
             field, jnp.asarray(lat0_deg, dtype=float),
             jnp.asarray(lon0_deg, dtype=float), els, azs, f0, mode,
@@ -622,31 +674,32 @@ def synthesize_oblique_ionogram_3d_anisotropic(
     ``elev_*_deg``, ``azimuth_*_deg``, ``azimuth_offset_*_deg``,
     ``group_path_*``/``phase_path_*``/``absorption_*``) plus the link
     geometry; NaN rows above the (azimuth-resolved) link MUF.
+
+    The ENTIRE [N_freq × E × A] ray budget integrates as one batched
+    early-exit launch (frequency rides as a frozen state channel in
+    :func:`_aniso_fan_flat`); the two crossing stages then vmap over
+    the frequency axis of the traced fan. The sweep therefore pays for
+    its single longest-lived ray, not N_freq full arc budgets.
     """
     import numpy as np
 
-    from .trace3d import _home_fan_core, _home_setup
+    from .trace3d import _home_setup, _homed_sweep
 
     f0s = np.atleast_1d(np.asarray(f0s_hz, dtype=float))
     az0, D, els, azs, miss_cap = _home_setup(
         tx_lat, tx_lon, rx_lat, rx_lon, n_elev, n_az, az_span_deg,
         elev_min_deg, elev_max_deg, max_miss_jump_km)
+    n_steps = int(round(float(s_max_km) / float(step_km)))
 
-    def homed_one(f0):
-        # vmapped over frequency: a while_loop fan under vmap re-selects
-        # the whole carry per lane — keep the scan
-        fan_fn = lambda fld, tlat, tlon, els_t, azs_t: \
-            trace_rays_3d_anisotropic(fld, tlat, tlon, els_t, azs_t, f0,
-                                      mode=mode, step_km=step_km,
-                                      s_max_km=s_max_km, n_hops=n_hops,
-                                      early_exit=False)
-        return _home_fan_core(field, tx_lat, tx_lon, az0, D, els, azs,
-                              step_km=step_km, s_max_km=s_max_km,
-                              n_hops=n_hops,
-                              max_range_jump_km=max_range_jump_km,
-                              miss_cap=miss_cap, fan_fn=fan_fn)
+    fan_all = _aniso_ionogram_fan(
+        field, jnp.asarray(tx_lat, dtype=float),
+        jnp.asarray(tx_lon, dtype=float), els, azs,
+        jnp.asarray(f0s), mode, jnp.asarray(step_km, dtype=float),
+        n_steps, jnp.asarray(0.0), n_hops=int(n_hops))
 
-    out = jax.jit(jax.vmap(homed_one))(jnp.asarray(f0s))
+    out = _homed_sweep(fan_all, float(tx_lat), float(tx_lon), az0, D,
+                       els, azs, float(step_km), float(s_max_km),
+                       int(n_hops), float(max_range_jump_km), miss_cap)
     out.update({"freq_hz": f0s, "bearing_deg": az0, "range_km": D,
                 "elevations_deg": els, "azimuths_deg": azs})
     return out

@@ -112,10 +112,18 @@ def _ah_n2(X, Y, cos2, mode_mult):
     n2_iso = Xm1
     n2 = jnp.where(mag, jnp.where(d_ok, n2_mag, 2.0), n2_iso)
     # physicality filter mirrors the reference's μ > 1 → NaN (library.py
-    # :244-246); the 1e-12 headroom keeps exact free space (n² == 1) valid
-    valid = (jnp.isfinite(n2) & (n2 > 0.0) & (n2 <= 1.0 + 1e-12)
+    # :244-246). The headroom above 1 must be ROUNDING-scale for the
+    # working dtype, not absolute: at the layer's bottom edge the exact
+    # O-branch value is 1 − O(X·(1−n²_iso)) ≈ 1 − 1e-14 and the f32
+    # quotient (Xm1²+s)/(Xm1+s) legitimately rounds to 1 + 1 ulp — on
+    # TPU (reciprocal-multiply division, ≠ IEEE-rounded CPU divide)
+    # this tripped the old 1e-12 gate and permanently froze grazing
+    # rays mid-flight (round-5 all-NaN eastward-link ionogram). Accept
+    # a few-ulp excursion and clamp it back onto the physical shell.
+    tol = max(16.0 * jnp.finfo(jnp.result_type(n2)).eps, 1e-12)
+    valid = (jnp.isfinite(n2) & (n2 > 0.0) & (n2 <= 1.0 + tol)
              & jnp.where(mag, d_ok, True))
-    return jnp.where(valid, n2, 1.0), valid
+    return jnp.where(valid, jnp.minimum(n2, 1.0), 1.0), valid
 
 
 @jax.custom_jvp

@@ -164,8 +164,10 @@ def test_round4_surfaces_smoke_on_device(day_profile):
     bd = U(np.full_like(alt, -3.8e-5))
     field = prt.build_field_3d_aniso(alt, lat, lon, U(den), bn, be, bd)
     res = {}
-    # elevation 25: both modes land in f32 (steeper launches freeze at
-    # the E-layer reflection where the f32 group velocity underflows)
+    # elevation 25: a mid-fan launch both modes land in f32 (round 5:
+    # steeper launches land too since the _ah_n2 ulp-gate fix — the
+    # "f32 group-velocity underflow" freeze was actually the n2<=1+1e-12
+    # validity gate tripping on the TPU's reciprocal-multiply division)
     for mode in ("O", "X"):
         r = prt.trace_ray_3d_anisotropic(field, 30.0, -70.0, 25.0, 90.0,
                                          8e6, mode=mode, step_km=4.0,
@@ -301,15 +303,16 @@ def test_aniso_homing_smoke_on_device():
                          (alt.size, lat.size, lon.size)).copy()
     bn, be, bd = prt.igrf_volume(alt, lat, lon)
     field = prt.build_field_3d_aniso(alt, lat, lon, Ne, bn, be, bd)
-    # 900-km link at elevations 14-26 deg: under f32 the steeper fan
-    # rays (>~24 deg here) freeze where the group velocity underflows at
-    # the F-layer reflection (DEVNOTES round 4), so the smoke homes in
-    # the shallow band where the f32 fan lands (builder-probed on v5e:
-    # delay 3.337 ms, elev 21.8, absorption 4.73 dB)
+    # 900-km link, elevations 14-34 deg: round 4 had to clamp the band
+    # at 26 deg because steeper f32 fan rays froze mid-flight — cured by
+    # the round-5 _ah_n2 ulp-gate fix (the freeze was the n2<=1+1e-12
+    # validity gate tripping on TPU's reciprocal-multiply division, not
+    # a group-velocity underflow); the widened band is the regression
+    # net for that fix on the homing surface
     out = prt.home_ray_3d_anisotropic(field, 30.0, 0.0, 38.1, 0.0, 8e6,
                                       mode="O", n_elev=12, n_az=3,
                                       az_span_deg=3.0, elev_min_deg=14.0,
-                                      elev_max_deg=26.0, step_km=4.0,
+                                      elev_max_deg=34.0, step_km=4.0,
                                       s_max_km=1800.0)
     d = float(out["delay_low_sec"])
     assert np.isfinite(d)
@@ -317,3 +320,45 @@ def test_aniso_homing_smoke_on_device():
     assert 900.0 / 3e5 < d < 2 * 900.0 / 3e5
     assert float(out["absorption_low_db"]) > 0.5
     assert abs(float(out["azimuth_offset_low_deg"])) < 1.0
+
+
+def test_aniso_one_launch_ionogram_on_device():
+    """Round-5 regression net: the one-launch multi-frequency
+    anisotropic oblique ionogram (frequency as a frozen state channel
+    in the early-exit fan) produces finite, MUF-ordered rows on the
+    real chip for an EASTWARD f32 link — the exact surface that came
+    back all-NaN before the _ah_n2 ulp-gate fix (grazing rays froze
+    where the O-branch f32 quotient rounded to 1 + 1 ulp on the TPU's
+    non-IEEE division and the 1e-12 physicality headroom invalidated
+    the point)."""
+    import jax
+    import jax.numpy as jnp
+
+    import pyrayhf_tpu as prt
+
+    alt = np.linspace(60.0, 500.0, 100)
+    lat = np.linspace(30.0, 50.0, 21)
+    lon = np.linspace(-10.0, 10.0, 21)
+    h = (alt[:, None, None] - 250.0) / 45.0
+    nmf2 = 6.0e11 * (1.0 + 0.2 * (lat[None, :, None] - 40.0) / 20.0
+                     + 0.1 * lon[None, None, :] / 10.0)
+    Ne = nmf2 * np.exp(0.5 * (1.0 - h - np.exp(-h)))
+    bn, be, bd = prt.igrf_volume(alt, lat, lon)
+    field = prt.build_field_3d_aniso(alt, lat, lon, Ne, bn, be, bd)
+    f32 = jnp.float32
+    field = jax.tree_util.tree_map(
+        lambda v: jnp.asarray(v, f32) if hasattr(v, "dtype") else v,
+        field)
+    f0s = np.array([5.0e6, 6.0e6, 7.0e6, 20.0e6])
+    out = prt.synthesize_oblique_ionogram_3d_anisotropic(
+        f0s, 40.0, -2.0, 40.5, 6.0, field, mode="O", n_elev=24, n_az=5,
+        az_span_deg=6.0, elev_min_deg=10.0, elev_max_deg=60.0,
+        step_km=4.0, s_max_km=3000.0)
+    d = np.asarray(out["delay_low_sec"])
+    # the three in-band rows close the 681-km link; 20 MHz >> MUF is NaN
+    assert np.isfinite(d[:3]).all()
+    assert not np.isfinite(d[3])
+    chord_delay = 681.0 / 3.0e5
+    assert (d[:3] > chord_delay).all()
+    # low-ray delay grows toward the MUF
+    assert d[0] < d[1] < d[2]

@@ -131,28 +131,40 @@ def _trilinear_pack(aq, bq, cq, a_grid, b_grid, c_grid, pack):
     alone (2.1×).
     """
     na, nb, nc, C = pack.shape
+    rows, w, inside = _corner_rows(aq, bq, cq, a_grid, b_grid, c_grid,
+                                   na, nb, nc)
+    blk = jnp.take(pack.reshape(-1, C), rows, axis=0)             # [8, C]
+    out = jnp.sum(w[:, None] * blk, axis=0)                       # [C]
+    return out, inside
+
+
+def _corner_rows(aq, bq, cq, a_grid, b_grid, c_grid, na, nb, nc):
+    """(flat corner rows [8], trilinear weights [8], inside []) at a point.
+
+    The locate + flat-index arithmetic shared by :func:`_trilinear_pack`
+    and the frequency-batched fan RHS (which adds a per-ray
+    ``f_idx · na·nb·nc`` row offset into a [F, na, nb, nc, C] stack —
+    one add, same single row gather). A ``lax.dynamic_slice`` of the
+    (2,2,2,C) block is the same data but lowers to a serialized
+    multi-dim TPU gather — measured 3.3x SLOWER than even the
+    per-channel path; the flat row gather is the shape XLA lowers well.
+    """
     ia, ta = _locate(aq, a_grid, na)
     ib, tb = _locate(bq, b_grid, nb)
     ic, tc = _locate(cq, c_grid, nc)
-    # flat row indices of the 8 corners: one add on an [8] vector, then
-    # ONE row gather [8, C]. (A lax.dynamic_slice of the (2,2,2,C) block
-    # is the same data but lowers to a serialized multi-dim TPU gather —
-    # measured 3.3x SLOWER than even the per-channel path.)
     base = (ia * nb + ib) * nc + ic
     off = jnp.asarray([(da * nb + db) * nc + dc
                        for da in (0, 1) for db in (0, 1) for dc in (0, 1)],
                       dtype=base.dtype)
-    blk = jnp.take(pack.reshape(-1, C), base + off, axis=0)       # [8, C]
     wa = jnp.stack([1.0 - ta, ta])
     wb = jnp.stack([1.0 - tb, tb])
     wc = jnp.stack([1.0 - tc, tc])
     w = (wa[:, None, None] * wb[None, :, None]
          * wc[None, None, :]).reshape(8)
-    out = jnp.sum(w[:, None] * blk, axis=0)                       # [C]
     inside = ((aq >= a_grid[0]) & (aq <= a_grid[-1])
               & (bq >= b_grid[0]) & (bq <= b_grid[-1])
               & (cq >= c_grid[0]) & (cq <= c_grid[-1]))
-    return out, inside
+    return base + off, w, inside
 
 
 def _validate_grids_3d(alt_km, lat_deg, lon_deg, Ne):
@@ -382,8 +394,18 @@ def _launch_state_3d(lat0_deg, lon0_deg, elevation_deg, azimuth_deg,
 
 
 def _path_products_3d(field, lat0_deg, lon0_deg, azimuth_deg, ys, alive,
-                      status):
-    """Path channels, integrals and landing geometry for one traced ray."""
+                      status, mid_tables=None, row_offset=0):
+    """Path channels, integrals and landing geometry for one traced ray.
+
+    ``mid_tables``/``row_offset``: the frequency-batched fan passes
+    three FLAT [F·na·nb·nc] (μ′, μ, κ) tables plus this ray's
+    ``f_idx · na·nb·nc`` offset (``field`` then only supplies the
+    grids). The quadrature fetch unrolls the 8 trilinear corners as
+    separate 1-D gathers (shapes stay [n_steps]; [R, n_steps] under
+    the fan's vmap): a packed corner-LAST gather would materialize
+    [R, n_steps, 8, C], whose trailing dim tile-pads 8 → 128 lanes —
+    16× HBM waste, a 19.9 GiB OOM at full-sweep scale (F·E·A rays).
+    """
     alt_g = field["alt"]
     lat_g = field["lat"]
     lon_g = field["lon"]
@@ -405,17 +427,29 @@ def _path_products_3d(field, lat0_deg, lon0_deg, azimuth_deg, ys, alive,
     # below the grid: free space (μ = μ' = 1, κ = 0); one packed fetch
     # for the three path channels (same trick as the RHS)
     below = alt_m < alt_bot
-    pack_mid = jnp.stack([field["mup"], field["mu"], field["kappa"]],
-                         axis=-1)
-    vals_m, in_m = jax.vmap(
-        lambda a, b, c: _trilinear_pack(a, b, c, alt_g, lat_g, lon_g,
-                                        pack_mid))(alt_m, latd_m, lond_m)
-    mup_m = jnp.where(below, 1.0,
-                      jnp.where(in_m, vals_m[:, 0], jnp.nan))
-    mu_m = jnp.where(below, 1.0,
-                     jnp.where(in_m, vals_m[:, 1], jnp.nan))
-    kap_m = jnp.where(below, 0.0,
-                      jnp.where(in_m, vals_m[:, 2], 0.0))
+    if mid_tables is None:
+        mid_tables = (field["mup"].reshape(-1), field["mu"].reshape(-1),
+                      field["kappa"].reshape(-1))
+    na, nb, nc = alt_g.size, lat_g.size, lon_g.size
+    ia, ta = _locate(alt_m, alt_g, na)
+    ib, tb = _locate(latd_m, lat_g, nb)
+    ic, tc = _locate(lond_m, lon_g, nc)
+    base = row_offset + (ia * nb + ib) * nc + ic
+    acc = [jnp.zeros_like(ta)] * 3
+    for da in (0, 1):
+        for db in (0, 1):
+            for dc in (0, 1):
+                rows = base + (da * nb + db) * nc + dc
+                w = ((ta if da else 1.0 - ta) * (tb if db else 1.0 - tb)
+                     * (tc if dc else 1.0 - tc))
+                acc = [a + w * jnp.take(t, rows)
+                       for a, t in zip(acc, mid_tables)]
+    in_m = ((alt_m >= alt_g[0]) & (alt_m <= alt_g[-1])
+            & (latd_m >= lat_g[0]) & (latd_m <= lat_g[-1])
+            & (lond_m >= lon_g[0]) & (lond_m <= lon_g[-1]))
+    mup_m = jnp.where(below, 1.0, jnp.where(in_m, acc[0], jnp.nan))
+    mu_m = jnp.where(below, 1.0, jnp.where(in_m, acc[1], jnp.nan))
+    kap_m = jnp.where(below, 0.0, jnp.where(in_m, acc[2], 0.0))
     vfin = jnp.isfinite(mup_m)
     group_path = jnp.nansum(dseg)
     group_delay = jnp.nansum(jnp.where(vfin, mup_m / C_KM_S * dseg, 0.0))
@@ -505,6 +539,123 @@ def _trace3d_fan_core(field, lat0_deg, lon0_deg, els, azs, ds, n_steps,
             ys, alive, status, azf)
     E, A = el_g.shape
     return {k: v.reshape((E, A) + v.shape[1:]) for k, v in out.items()}
+
+
+def _ray_funcs_3d_mf(field_b, z_ground):
+    """(rhs, events, reflect) over a FREQUENCY-STACKED fixed-ψ field.
+
+    ``field_b`` from :func:`build_field_3d_batch` ([F, …] volumes,
+    shared grids). The ray state grows a frozen 7th channel — the
+    ray's frequency INDEX into the stack (df_idx/ds = 0; the event
+    backtrack is linear so it is exactly preserved, same trick as the
+    anisotropic sweep's frequency channel). The RHS adds
+    ``f_idx · na·nb·nc`` to the corner rows of ONE flattened
+    [F·na·nb·nc, 4] table — one integer add on top of the
+    single-frequency packed gather, so rays at DIFFERENT frequencies
+    integrate together in one early-exit fan. Step math per ray is
+    identical to :func:`_ray_funcs_3d` on the matching field slice.
+    """
+    alt_g = field_b["alt"]
+    lat_g = field_b["lat"]
+    lon_g = field_b["lon"]
+    na, nb, nc = alt_g.size, lat_g.size, lon_g.size
+    vol = na * nb * nc
+    flat_rhs = jnp.stack([field_b["mu"], field_b["dmu_dalt"],
+                          field_b["dmu_dlat"], field_b["dmu_dlon"]],
+                         axis=-1).reshape(-1, 4)
+
+    def rhs(y):
+        p, v = y[:3], y[3:6]
+        row_off = jnp.round(y[6]).astype(jnp.int32) * vol
+        r, lat, lon = _geodetic(p)
+        alt = r - R_E
+        latd, lond = jnp.rad2deg(lat), jnp.rad2deg(lon)
+        rows, w, inside = _corner_rows(alt, latd, lond, alt_g, lat_g,
+                                       lon_g, na, nb, nc)
+        blk = jnp.take(flat_rhs, row_off + rows, axis=0)
+        vals = jnp.sum(w[:, None] * blk, axis=0)
+        mu = jnp.where(inside, vals[0], jnp.nan)
+        g = jnp.where(inside, vals[1:], 0.0)
+        rhat, north, east = _local_frame(lat, lon)
+        cl = jnp.maximum(jnp.cos(lat), 1e-9)
+        grad = (g[0] * rhat + (g[1] / r) * north
+                + (g[2] / (r * cl)) * east)
+        ok = jnp.isfinite(mu) & (mu > 0.0) & jnp.all(jnp.isfinite(grad))
+        mu_s = jnp.where(ok, mu, 1.0)
+        gdv = jnp.dot(grad, v)
+        dv = (grad - gdv * v) / mu_s
+        out = jnp.concatenate([v, dv, jnp.zeros(1)])
+        return jnp.where(ok, out, jnp.zeros(7))
+
+    alt_bot = alt_g[0]
+
+    def rhs_with_freespace(y):
+        r = jnp.linalg.norm(y[:3])
+        below = (r - R_E) < alt_bot
+        straight = jnp.concatenate([y[3:6], jnp.zeros(4)])
+        return jnp.where(below, straight, rhs(y))
+
+    def events(y):
+        p = y[:3]
+        r, lat, lon = _geodetic(p)
+        latd, lond = jnp.rad2deg(lat), jnp.rad2deg(lon)
+        return jnp.array([
+            r - (R_E + z_ground) - 1e-3,      # ground (index 0)
+            (R_E + alt_g[-1]) - r,            # top
+            latd - lat_g[0], lat_g[-1] - latd,
+            lond - lon_g[0], lon_g[-1] - lond,
+        ])
+
+    def reflect(y):
+        p, v = y[:3], y[3:6]
+        rhat = p / jnp.linalg.norm(p)
+        vr = jnp.dot(v, rhat)
+        return y.at[3:6].set(v - 2.0 * jnp.minimum(vr, 0.0) * rhat)
+
+    return rhs_with_freespace, events, reflect
+
+
+@partial(jax.jit, static_argnames=("n_steps", "n_hops", "chunk"))
+def _ionogram3d_fan_core(field_b, lat0_deg, lon0_deg, els, azs, ds,
+                         n_steps, z_ground, n_hops=1, chunk=125):
+    """[F, E, A] fixed-ψ sweep fan: every frequency's rays in ONE loop.
+
+    The frequency-INDEX-as-state-channel companion of the anisotropic
+    sweep (:func:`pyrayhf_tpu.trace3d_aniso._aniso_ionogram_fan`): the
+    fixed-ψ tables are frequency-dependent, so rays carry an index into
+    the [F, …] stack instead of the frequency itself. The whole
+    ionogram ray budget pays for its single longest-lived ray instead
+    of F vmapped full-budget scans. Path channels are dropped inside
+    the jit — only per-ray scalars reach HBM as outputs.
+    """
+    from .gradient import _integrate_fan
+    rhs_fs, events, reflect = _ray_funcs_3d_mf(field_b, z_ground)
+    F = field_b["mu"].shape[0]
+    vol = field_b["mu"].shape[1] * field_b["mu"].shape[2] \
+        * field_b["mu"].shape[3]
+    f_g, el_g, az_g = jnp.meshgrid(jnp.arange(F, dtype=float), els, azs,
+                                   indexing="ij")
+    ff, elf, azf = f_g.ravel(), el_g.ravel(), az_g.ravel()
+    y0b = jax.vmap(lambda e, a: _launch_state_3d(
+        lat0_deg, lon0_deg, e, a, z_ground))(elf, azf)
+    y0b = jnp.concatenate([y0b, ff[:, None]], axis=1)
+    hop_kw = dict(reflect_fn=reflect, max_bounces=n_hops - 1) \
+        if n_hops > 1 else {}
+    ys, alive, status = _integrate_fan(rhs_fs, y0b, n_steps, ds, events,
+                                       v_slice=slice(3, 6), chunk=chunk,
+                                       **hop_kw)
+    mid_tables = (field_b["mup"].reshape(-1), field_b["mu"].reshape(-1),
+                  field_b["kappa"].reshape(-1))
+    out = jax.vmap(
+        lambda y_i, a_i, s_i, az_i, f_i: _path_products_3d(
+            field_b, lat0_deg, lon0_deg, az_i, y_i[:, :6], a_i, s_i,
+            mid_tables=mid_tables,
+            row_offset=jnp.round(f_i).astype(jnp.int32) * vol))(
+                ys, alive, status, azf, ff)
+    drop = ("lat", "lon", "alt", "ecef", "alive")
+    E, A = els.size, azs.size
+    return {k: v.reshape((F, E, A) + v.shape[1:])
+            for k, v in out.items() if k not in drop}
 
 
 def trace_ray_3d(field, lat0_deg, lon0_deg, elevation_deg, azimuth_deg, *,
@@ -771,16 +922,21 @@ def synthesize_oblique_ionogram_3d(f0s_hz, tx_lat, tx_lon, rx_lat, rx_lon,
     bearing per frequency. Fan/integration knobs match
     :func:`home_ray_3d`.
 
-    Two compiled programs total (mirroring the 2-D one-launch fan,
+    Three compiled programs total (mirroring the 2-D one-launch fan,
     :func:`pyrayhf_tpu.oblique.synthesize_oblique_ionogram_2d`): the μ/μ'/κ
     volumes for EVERY frequency stack to [F, N_alt, N_lat, N_lon] in one
-    launch (:func:`build_field_3d_batch`), and the whole two-angle homing
-    fan — (elevation × azimuth) trace + both crossing stages — vmaps over
-    that leading frequency axis in a second. ``freq_chunk`` bounds the
-    HBM held by the stacked volumes: frequencies run in fixed-size chunks
-    (last chunk padded, so every chunk reuses the same two executables).
-    Outputs are stacked [N_freq] arrays plus the link geometry; NaN rows
-    above the (azimuth-resolved) link MUF.
+    launch (:func:`build_field_3d_batch`); the ENTIRE [F × E × A] ray
+    budget integrates as one batched early-exit fan — each ray carries
+    its frequency INDEX as a frozen state channel that offsets the
+    packed corner gather into the stacked tables
+    (:func:`_ionogram3d_fan_core`), so the sweep pays for its single
+    longest-lived ray instead of F full-budget scans; and both homing
+    crossing stages vmap over the pre-traced fan (:func:`_homed_sweep`).
+    ``freq_chunk`` bounds the HBM held by the stacked volumes:
+    frequencies run in fixed-size chunks (last chunk padded, so every
+    chunk reuses the same executables). Outputs are stacked [N_freq]
+    arrays plus the link geometry; NaN rows above the
+    (azimuth-resolved) link MUF.
     """
     import numpy as np
 
@@ -789,18 +945,7 @@ def synthesize_oblique_ionogram_3d(f0s_hz, tx_lat, tx_lon, rx_lat, rx_lon,
         tx_lat, tx_lon, rx_lat, rx_lon, n_elev, n_az, az_span_deg,
         elev_min_deg, elev_max_deg, max_miss_jump_km)
 
-    in_axes = {"alt": None, "lat": None, "lon": None, "mu": 0, "mup": 0,
-               "kappa": 0, "dmu_dalt": 0, "dmu_dlat": 0, "dmu_dlon": 0}
-    homed = jax.jit(jax.vmap(
-        lambda fld: _home_fan_core(
-            fld, tx_lat, tx_lon, az0, D, els, azs, step_km=step_km,
-            s_max_km=s_max_km, n_hops=n_hops,
-            max_range_jump_km=max_range_jump_km, miss_cap=miss_cap,
-            # vmapped over frequency: a while_loop fan under vmap
-            # re-selects the whole carry per lane -- keep the scan
-            early_exit=False),
-        in_axes=(in_axes,)))
-
+    n_steps = int(round(float(s_max_km) / float(step_km)))
     chunk = int(freq_chunk) if freq_chunk else f0s.size
     parts = []
     for lo in range(0, f0s.size, chunk):
@@ -811,7 +956,20 @@ def synthesize_oblique_ionogram_3d(f0s_hz, tx_lat, tx_lon, rx_lat, rx_lon,
         field = build_field_3d_batch(alt_km, lat_deg, lon_deg, Ne, Babs,
                                      bpsi, sel, mode=mode, nu=nu,
                                      hbm_budget_bytes=hbm_budget_bytes)
-        row = homed(field)
+        # the chunk's whole [F_chunk x E x A] ray budget integrates as
+        # ONE batched early-exit launch (frequency INDEX as a frozen
+        # state channel into the stacked tables); both crossing stages
+        # then vmap over the pre-traced fan — the per-frequency
+        # full-budget scans are gone
+        fan_all = _ionogram3d_fan_core(
+            field, jnp.asarray(tx_lat, dtype=float),
+            jnp.asarray(tx_lon, dtype=float), els, azs,
+            jnp.asarray(step_km, dtype=float), n_steps,
+            jnp.asarray(0.0), n_hops=int(n_hops))
+        row = _homed_sweep(fan_all, float(tx_lat), float(tx_lon), az0,
+                           D, els, azs, float(step_km), float(s_max_km),
+                           int(n_hops), float(max_range_jump_km),
+                           miss_cap)
         parts.append({k: np.asarray(v)[:chunk - pad if pad else chunk]
                       for k, v in row.items()})
     out = {k: np.concatenate([p[k] for p in parts]) for k in parts[0]}

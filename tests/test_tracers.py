@@ -648,3 +648,57 @@ def test_oblique_ionogram_2d_spherical():
         step_km=2.0)
     dc = np.asarray(outc["delay_low_sec"])
     assert np.all(np.abs(d2[m] - dc[m]) > 1e-7)
+
+
+def test_breit_tuve_theorem(day_profile):
+    """Breit–Tuve equivalence: c·T'_oblique = 2·h'(f_v)/sin(el).
+
+    In a flat, horizontally stratified, ISOTROPIC ionosphere the oblique
+    group delay at f_ob, elevation el equals the equivalent triangular
+    path over the vertical virtual height at f_v = f_ob·sin(el)
+    (Breit & Tuve 1926; exact theorem, since
+    dP' = dh/sqrt(mu^2 - cos^2 el) = dh / (sin(el)·mu_v(f_v))).
+
+    This cross-validates the vertical forward operator (stretched-grid
+    quadrature with the per-frequency reflection solve, ref
+    library.py:459-509) against the layered Snell tracer (ref
+    library.py:1096-1268) through an exact physical identity — the two
+    paths share the AH core but use entirely independent grids,
+    reflection handling and quadratures. Residual is the tracer's apex
+    discretization (sqrt singularity on the 1-km profile grid): ~2% on
+    the shipped grid, and it must SHRINK on a densified grid.
+    """
+    from pyrayhf_tpu.forward import vertical_forward_operator
+
+    d = day_profile
+    alt = np.asarray(d["alt"], float)
+    den = np.asarray(d["den"], float)
+    B0 = np.zeros_like(alt)                  # isotropic: B = 0
+    psi = np.full_like(alt, 40.0)
+    C = 299792.458
+
+    def rel_err(alt_g, den_g, el, fv, n_points):
+        s = np.sin(np.deg2rad(el))
+        b = np.zeros_like(alt_g)
+        p = np.full_like(alt_g, 40.0)
+        vh = float(vertical_forward_operator(
+            np.array([fv]), den_g, b, p, alt_g, mode="O",
+            n_points=n_points)[0])
+        r = trace_ray_cartesian_snells(fv / s * 1e6, el, alt_g, den_g,
+                                       b, p, "O")
+        return C * float(r["group_delay_sec"]) / (2.0 * vh / s) - 1.0
+
+    errs_coarse = []
+    for el in (30.0, 45.0, 60.0):
+        for fv in (4.0, 6.0, 8.0):
+            e = rel_err(alt, den, el, fv, 2000)
+            errs_coarse.append(abs(e))
+            assert abs(e) < 0.03, (el, fv, e)
+
+    # densified grid: the residual is apex discretization, so it shrinks
+    altf = np.arange(alt[0], alt[-1], 0.2)
+    denf = np.interp(altf, alt, den)
+    fine = [abs(rel_err(altf, denf, el, 8.0, 4000))
+            for el in (30.0, 60.0)]
+    assert max(fine) < 0.01
+    assert max(fine) < max(errs_coarse)

@@ -61,7 +61,7 @@ try:
     from importlib import metadata as _metadata
     __version__ = _metadata.version("pyrayhf-tpu")
 except Exception:
-    __version__ = "0.5.0"
+    __version__ = "0.6.0"
 from .oblique import (synthesize_oblique_ionogram,
                       synthesize_oblique_ionogram_2d)
 from . import oblique
@@ -78,6 +78,8 @@ from .ground import (fresnel_coefficients, fresnel_coefficients_real,
 from . import ground
 from .muf import (muf_from_profile, muf_from_vertical_ionogram, muf_map,
                   vertical_to_oblique)
+from .oblique_inversion import retrieve_from_oblique
+from . import oblique_inversion
 from . import muf
 from .trace3d import (build_field_3d, home_ray_3d,
                       synthesize_oblique_ionogram_3d, trace_ray_3d,

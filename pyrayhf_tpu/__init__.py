@@ -73,6 +73,8 @@ from .true_height import (retrieve_profile, retrieve_profile_batch,
 from . import true_height
 from .faraday import faraday_rotation_vertical
 from . import faraday
+from .doppler import doppler_shift_vertical, phase_height_and_mask
+from . import doppler
 from .ground import (fresnel_coefficients, fresnel_coefficients_real,
                      ground_reflection_loss_db)
 from . import ground

@@ -341,3 +341,104 @@ def test_climatology_deep_minimum_no_antiwinter():
         assert noon_fo(month, lat, 63.0) == noon_fo(month, lat, 70.0)
     # zenith control intact at deep minimum: summer noon > winter noon
     assert noon_fo(12, 45.0, 63.0) < 0.95 * noon_fo(6, 45.0, 63.0)
+
+
+def test_climatology_diurnal_periodicity_and_smoothness():
+    """foF2/hmF2 are 24-h periodic in UT and free of step discontinuities
+    (CCIR maps are truncated Fourier series in UT — any parameterisation
+    standing in for them must be smooth and periodic too)."""
+    UTs = np.arange(0.0, 24.01, 0.25)
+    lat, lon = 30.0, 120.0
+
+    def at(UT):
+        F2, _, _ = climatology_parameters(2022, 4, 10, UT, lat, lon, 150.0)
+        return float(np.ravel(F2["fo"])[0]), float(np.ravel(F2["hm"])[0])
+
+    fo = np.array([at(u)[0] for u in UTs])
+    hm = np.array([at(u)[1] for u in UTs])
+    assert abs(fo[0] - fo[-1]) < 1e-9 and abs(hm[0] - hm[-1]) < 1e-9
+    # the steepest 15-min step is the sunrise/sunset transition (the
+    # cos^0.3 depression-recovery term has unbounded slope at the
+    # terminator) and stays bounded; away from the terminator
+    # (|chi - 90| > 15 deg) the diurnal curve is genuinely smooth
+    from pyrayhf_tpu.envgen import solar_zenith_angle
+    chi = np.array([float(np.ravel(np.asarray(
+        solar_zenith_angle(2022, 4, 10, u, lat, lon)))) for u in UTs])
+    rel = np.abs(np.diff(fo)) / fo[:-1]
+    assert np.max(rel) < 0.20
+    away = np.abs(chi[:-1] - 90.0) > 15.0
+    assert np.max(rel[away]) < 0.04
+    assert np.max(np.abs(np.diff(hm))) < 8.0
+
+
+def test_climatology_longitude_wrap_continuity():
+    """The antimeridian is not special: lon = -180 and lon = +180 give the
+    same parameters, and a fine scan across the wrap is smooth."""
+    lats = np.full(7, 25.0)
+    lons = np.array([-181.0, -180.0, -179.5, 179.5, 180.0, 181.0, 540.5])
+    F2, F1, E = climatology_parameters(2023, 7, 4, 6.0, lats, lons, 120.0)
+    fo = np.asarray(F2["fo"])
+    assert abs(fo[1] - fo[4]) < 1e-9                   # -180 == +180
+    assert abs(fo[0] - np.ravel(
+        np.asarray(climatology_parameters(2023, 7, 4, 6.0, 25.0, 179.0,
+                                          120.0)[0]["fo"]))[0]) < 1e-9
+    assert abs(fo[2] - fo[3]) < 0.05 * fo[2]           # smooth across wrap
+    assert abs(fo[6] - fo[2]) < 1e-9                   # 540.5 == 180.5 == -179.5
+
+
+def test_climatology_global_plausibility_bounds():
+    """Everywhere on a coarse global grid, at solar min/mid/max and four
+    UTs, the layer parameters stay inside the climatological envelope
+    (CCIR-map global extrema: foF2 ~2-18 MHz, hmF2 ~200-450 km,
+    foE 0.5-5 MHz) and the layers are physically ordered."""
+    lat = np.linspace(-80.0, 80.0, 17)
+    lon = np.linspace(-180.0, 165.0, 24)
+    LAT, LON = np.meshgrid(lat, lon, indexing="ij")
+    for F107 in (70.0, 150.0, 200.0):
+        for UT in (0.0, 6.0, 12.0, 18.0):
+            F2, F1, E = climatology_parameters(2021, 10, 15, UT,
+                                               LAT.ravel(), LON.ravel(),
+                                               F107)
+            fo2 = np.asarray(F2["fo"])
+            hm2 = np.asarray(F2["hm"])
+            foe = np.asarray(E["fo"])
+            assert np.all((fo2 > 1.5) & (fo2 < 18.0))
+            assert np.all((hm2 > 200.0) & (hm2 < 450.0))
+            assert np.all((foe >= 0.5) & (foe < 5.5))
+            # F2 above E in both density and height, everywhere, always
+            assert np.all(fo2 > foe)
+            assert np.all(hm2 > np.asarray(E["hm"]))
+
+
+def test_climatology_midlat_diurnal_ordering():
+    """Mid-latitude diurnal cycle: noon foF2 clearly exceeds pre-dawn
+    foF2 (the classical ~2x day/night contrast at modip ~45-55), at both
+    solar min and max, in both hemispheres."""
+    for lat in (45.0, -45.0):
+        for F107 in (70.0, 200.0):
+            def fo_lt(lt_hours):
+                UT = (lt_hours - 0.0 / 15.0) % 24.0    # lon=0: LT == UT
+                F2, _, _ = climatology_parameters(2020, 3, 21, UT, lat,
+                                                  0.0, F107)
+                return float(np.ravel(F2["fo"])[0])
+            assert fo_lt(12.0) > 1.3 * fo_lt(4.0)
+
+
+def test_climatology_foe_zenith_exponent():
+    """Daytime foE follows the Chapman/Davies quarter-power law: the
+    regression slope of log foE vs log cos(chi) over the sunlit day is
+    0.25 (the E layer is the best-pinned CCIR morphology there is)."""
+    from pyrayhf_tpu.envgen import solar_zenith_angle
+    UTs = np.arange(8.0, 16.1, 0.5)
+    lat, lon = 10.0, 0.0
+    chi = np.array([float(np.ravel(np.asarray(
+        solar_zenith_angle(2022, 3, 21, u, lat, lon))))
+        for u in UTs])
+    foe = np.array([float(np.ravel(np.asarray(
+        climatology_parameters(2022, 3, 21, u, lat, lon, 150.0)[2]["fo"])))
+        for u in UTs])
+    mask = chi < 75.0
+    x = np.log(np.cos(np.deg2rad(chi[mask])))
+    y = np.log(foe[mask])
+    slope = np.polyfit(x, y, 1)[0]
+    assert abs(slope - 0.25) < 0.02

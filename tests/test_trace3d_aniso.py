@@ -437,3 +437,50 @@ def test_dregion_absorption_ordered_and_ql_limit(grids, igrf_b):
                            s_max_km=SMAX)
     a0a, a0f = float(ra0["absorption_db"]), float(rf0["absorption_db"])
     assert abs(a0a - a0f) < 0.02 * a0f, (a0f, a0a)
+
+
+@pytest.mark.parametrize("mode", ["O", "X"])
+def test_fixed_psi_error_bounded_transequatorial(mode):
+    """Third geometry for the fixed-ψ bound (rounds 3-5 pinned a
+    northward mid-latitude link and an eastward quasi-transverse one):
+    a TRANSEQUATORIAL northward link. At the dip equator B is
+    horizontal, so the vertical-incidence convention freezes ψ ≈ 90°
+    while the true wave-normal angle of a 25°-elevation ray runs ~25°
+    away from it for the whole path — the largest ψ-convention
+    discrepancy any launch geometry can produce. Measured (f64,
+    2-km steps): O 0.27%/0.37%, X 0.71%/0.87% range/delay — still
+    inside the documented 2% bound, X above O, cross-track deflections
+    mode-opposed and agreeing in sign between the two tracers."""
+    F0 = 8e6
+    alt = np.linspace(60.0, 600.0, 109)
+    lat = np.linspace(-30.0, 30.0, 31)
+    lon = np.linspace(-20.0, 20.0, 21)
+    hm, ym, nm = 300.0, 120.0, 1.0e12
+    ne1 = nm * np.maximum(0.0, 1.0 - ((alt - hm) / ym) ** 2)
+    Ne = np.broadcast_to(ne1[:, None, None],
+                         (alt.size, lat.size, lon.size)).copy()
+    bn, be, bd = igrf_volume(alt, lat, lon)
+    babs = np.sqrt(np.asarray(bn) ** 2 + np.asarray(be) ** 2
+                   + np.asarray(bd) ** 2)
+    psi = np.rad2deg(np.arccos(np.clip(-np.asarray(bd) / babs, -1.0, 1.0)))
+    fld_a = build_field_3d_aniso(alt, lat, lon, Ne, bn, be, bd)
+    fld_i = build_field_3d(alt, lat, lon, Ne, babs, psi, F0, mode=mode)
+    ri = trace_ray_3d(fld_i, -20.0, 0.0, 25.0, 0.0, step_km=STEP,
+                      s_max_km=SMAX)
+    ra = trace_ray_3d_anisotropic(fld_a, -20.0, 0.0, 25.0, 0.0, F0,
+                                  mode=mode, step_km=STEP, s_max_km=SMAX)
+    assert ri["status"] == "ground" and ra["status"] == "ground"
+    rel_r = abs(float(ra["ground_range_km"]) / float(ri["ground_range_km"])
+                - 1.0)
+    rel_t = abs(float(ra["group_delay_sec"]) / float(ri["group_delay_sec"])
+                - 1.0)
+    assert rel_r < 0.02 and rel_t < 0.02, (mode, rel_r, rel_t)
+    # the discrepancy is real (the link crosses the equatorial anomaly
+    # of the ψ convention) and the X mode carries more of it than O
+    assert rel_r > 1e-3 and rel_t > 1e-3
+    if mode == "X":
+        assert rel_r > 5e-3 and rel_t > 5e-3
+    # out-of-plane deflection: same sign between tracers, mode-opposed
+    ct_a = float(ra["cross_track_km"])
+    assert ct_a * float(ri["cross_track_km"]) > 0.0
+    assert (ct_a > 0.0) == (mode == "O")

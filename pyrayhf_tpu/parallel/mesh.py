@@ -35,7 +35,8 @@ from ..magnetoionic import find_X, find_Y, find_mu_mup_masked, mode_multiplier
 
 __all__ = ["ionogram_mesh", "synthesize_ionograms_sharded",
            "vh_height_sharded", "retrieval_step_sharded",
-           "retrieve_gradient_batch_sharded", "trace_fan_3d_sharded"]
+           "retrieve_gradient_batch_sharded", "trace_fan_3d_sharded",
+           "doppler_batch_sharded"]
 
 
 def ionogram_mesh(devices=None, batch_axis=None):
@@ -402,3 +403,50 @@ def trace_fan_3d_aniso_sharded(field, lat0_deg, lon0_deg, elevation_deg,
     fn = jax.jit(shard_map(shard_fn, mesh=mesh, in_specs=(P(axis),),
                            out_specs=P(axis), check_vma=False))
     return fn(els)
+
+
+def doppler_batch_sharded(freq, den, dden_dt, bmag, bpsi, alt, mesh,
+                          axis="batch", mode="O", n_points=200):
+    """Batched vertical-incidence Doppler with the profile batch sharded.
+
+    DP over a [B, N] profile stack (e.g. a global grid with a model
+    tendency field): each device runs the phase-operator jvp
+    (:func:`pyrayhf_tpu.doppler.doppler_shift_vertical`) for its profile
+    shard — pure data parallel, no collectives. ``den``/``dden_dt`` are
+    [B, N]; ``bmag``/``bpsi`` may be [N] (shared) or [B, N] (per-cell
+    IGRF); ``alt`` is shared. Returns {"doppler_hz", "phase_height_km"}
+    as [B, F] arrays sharded on B, equal to the vmapped unsharded call.
+    """
+    from jax import shard_map
+
+    from ..doppler import _doppler_core
+
+    freq = jnp.asarray(freq, dtype=float)
+    den = jnp.atleast_2d(jnp.asarray(den, dtype=float))
+    dden = jnp.broadcast_to(jnp.asarray(dden_dt, dtype=float), den.shape)
+    bmag = jnp.broadcast_to(jnp.asarray(bmag, dtype=float), den.shape)
+    bpsi = jnp.broadcast_to(jnp.asarray(bpsi, dtype=float), den.shape)
+    alt = jnp.asarray(alt, dtype=float)
+    B = den.shape[0]
+    n_dev = mesh.shape[axis]
+    if B % n_dev:
+        raise ValueError(
+            f"batch size ({B}) must be divisible by the '{axis}' mesh "
+            f"axis size ({n_dev})")
+    mm = mode_multiplier(mode)
+    zero = jnp.zeros_like(alt)
+
+    def one(d, dd, bm, bp):
+        fd, hp, _ = _doppler_core(freq, d, dd, bm, zero, bp, zero, alt,
+                                  mode_mult=mm, n_points=n_points)
+        return fd, hp
+
+    def shard_fn(d, dd, bm, bp):
+        return jax.vmap(one)(d, dd, bm, bp)
+
+    fn = jax.jit(shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis))))
+    fd, hp = fn(den, dden, bmag, bpsi)
+    return {"doppler_hz": fd, "phase_height_km": hp}

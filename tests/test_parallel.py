@@ -290,3 +290,28 @@ def test_trace_fan_3d_aniso_sharded_matches_unsharded(day_profile):
               "cross_track_km", "absorption_db"):
         np.testing.assert_allclose(np.asarray(sh[k]), np.asarray(un[k]),
                                    rtol=1e-9, atol=1e-9)
+
+
+def test_doppler_batch_sharded_matches_unsharded(mesh8):
+    """DP-sharded batched Doppler equals the per-profile unsharded jvp
+    (pure data parallel — bitwise path, rtol only for the vmap fusion)."""
+    from pyrayhf_tpu.doppler import doppler_shift_vertical
+    from pyrayhf_tpu.parallel import doppler_batch_sharded
+
+    alt, den, bmag, bpsi = _batch_profiles(8)
+    v = 0.02
+    dden = np.stack([-v * np.gradient(d, alt) for d in den])
+    freqs = np.arange(2.0, 10.0, 0.5)
+    out = doppler_batch_sharded(freqs, den, dden, bmag, bpsi, alt, mesh8,
+                                mode="O", n_points=120)
+    fd = np.asarray(out["doppler_hz"])
+    assert fd.shape == (8, freqs.size)
+    for i in (0, 3, 7):
+        single = np.asarray(doppler_shift_vertical(
+            freqs, den[i], dden[i], bmag[i], bpsi[i], alt, mode="O",
+            n_points=120)["doppler_hz"])
+        m = np.isfinite(single)
+        np.testing.assert_allclose(fd[i][m], single[m], rtol=1e-10)
+        assert np.isnan(fd[i][~m]).all()
+    # uplift red-shifts every reflected frequency across the whole batch
+    assert (fd[np.isfinite(fd)] < 0).all()

@@ -362,3 +362,28 @@ def test_aniso_one_launch_ionogram_on_device():
     assert (d[:3] > chord_delay).all()
     # low-ray delay grows toward the MUF
     assert d[0] < d[1] < d[2]
+
+
+def test_doppler_smoke_on_device(day_profile):
+    """Round-5 Doppler product runs on the real chip (f32): uplift
+    red-shifts every reflected frequency and the 5 MHz shift lands
+    within 10% of the moving-mirror value -2fv/c."""
+    import pyrayhf_tpu as prt
+    from pyrayhf_tpu.constants import C_KM_S
+
+    d = day_profile
+    alt = np.asarray(d["alt"], dtype=np.float32)
+    den = np.asarray(d["den"], dtype=np.float32)
+    v = 0.02
+    dden_dt = (-v * np.gradient(den.astype(np.float64), alt.astype(
+        np.float64))).astype(np.float32)
+    freqs = np.arange(2.0, 12.0, 1.0, dtype=np.float32)
+    out = prt.doppler_shift_vertical(
+        freqs, den, dden_dt, np.asarray(d["bmag"], np.float32),
+        np.asarray(d["bpsi"], np.float32), alt, mode="O")
+    fd = np.asarray(out["doppler_hz"])
+    m = np.isfinite(fd)
+    assert m.sum() >= 8
+    assert (fd[m] < 0.0).all()
+    mirror = -2.0 * 5e6 * v / C_KM_S
+    assert abs(fd[3] / mirror - 1.0) < 0.10
